@@ -155,10 +155,10 @@ def test_zonal_stats_basic_and_empty():
 
 
 def test_zonal_stats_circular_wrap():
-    vals = np.array([352.0, 10.0, 355.0, 5.0])
+    vals = np.array([353.0, 15.0, 356.0, 6.0])
     s = kernels.zonal_stats_1d(vals, circular=True)
-    wrapped = np.array([352.0, 370.0, 355.0, 365.0])
-    assert s["min"] == 5 and s["max"] == 355
+    wrapped = np.array([353.0, 375.0, 356.0, 366.0])
+    assert s["min"] == 6 and s["max"] == 356
     assert s["avg"] == int(np.mean(wrapped) - 360.0)
     assert s["med"] == int(np.median(wrapped) - 360.0)
     assert s["std"] == int(np.std(wrapped))
