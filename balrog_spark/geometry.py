@@ -1,0 +1,252 @@
+"""Pure-numpy planar geometry — WKT, point-in-polygon, distances, buffers.
+
+The sandbox has no shapely/GEOS, so the engine carries its own vectorized
+geometry core. Everything operates on (N, 2) float64 vertex arrays in a
+projected CRS (metres) — the reference pipeline likewise requires a projected
+CRS for its raster math (reference: bal.py:352-368) and uses WKT text as the
+interchange format between stages
+(reference: data_prep/vegetation/04_merge_geometries.py:149,217).
+
+All functions are batch-oriented: they take arrays of points and loop only
+over polygons (few) never over points (many), so they stay Arrow-friendly
+inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --- WKT ---------------------------------------------------------------------
+
+def parse_wkt(wkt: str):
+    """Parse POLYGON/MULTIPOLYGON WKT -> list of rings, each an (N, 2) array.
+
+    Only exterior rings are returned (the synthetic corpus and the reference's
+    dissolved vegetation layer carry hole-free parts). POINT is returned as a
+    single (1, 2) ring.
+    """
+    s = wkt.strip()
+    upper = s.upper()
+    if upper.startswith("POINT"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        x, y = body.replace(",", " ").split()[:2]
+        return [np.array([[float(x), float(y)]])]
+    rings = []
+    depth = 0
+    start = None
+    # ring = innermost parenthesised coordinate list; holes are dropped by
+    # keeping only the first ring of each polygon
+    polys = []
+    cur_poly_rings = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+            if (upper.startswith("MULTIPOLYGON") and depth == 3) or \
+               (upper.startswith("POLYGON") and depth == 2):
+                start = i + 1
+        elif ch == ")":
+            if start is not None and (
+                    (upper.startswith("MULTIPOLYGON") and depth == 3)
+                    or (upper.startswith("POLYGON") and depth == 2)):
+                coords = s[start:i]
+                pts = np.array([[float(v) for v in pair.split()[:2]]
+                                for pair in coords.split(",")])
+                cur_poly_rings.append(pts)
+                start = None
+            if (upper.startswith("MULTIPOLYGON") and depth == 2) or \
+               (upper.startswith("POLYGON") and depth == 1):
+                if cur_poly_rings:
+                    polys.append(cur_poly_rings[0])  # exterior only
+                    cur_poly_rings = []
+            depth -= 1
+        i += 1
+    rings = polys
+    return rings
+
+
+def ring_wkt(ring: np.ndarray) -> str:
+    pts = ring
+    if not np.array_equal(pts[0], pts[-1]):
+        pts = np.vstack([pts, pts[:1]])
+    inner = ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
+    return f"(({inner}))"
+
+
+def polygon_wkt(ring: np.ndarray) -> str:
+    return "POLYGON " + ring_wkt(ring)
+
+
+def multipolygon_wkt(rings) -> str:
+    return "MULTIPOLYGON (" + ", ".join(ring_wkt(r) for r in rings) + ")"
+
+
+def _closed(ring: np.ndarray) -> np.ndarray:
+    if np.array_equal(ring[0], ring[-1]) and len(ring) > 1:
+        return ring[:-1]
+    return ring
+
+
+# --- predicates ---------------------------------------------------------------
+
+def points_in_ring(px, py, ring) -> np.ndarray:
+    """Vectorized even-odd ray cast: bool mask of points inside a ring.
+    Boundary handling follows the usual half-open convention."""
+    ring = _closed(np.asarray(ring, dtype=np.float64))
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for k in range(len(ring)):
+        cond = ((y1[k] > py) != (y2[k] > py))
+        if not cond.any():
+            continue
+        xint = (x2[k] - x1[k]) * (py - y1[k]) / (y2[k] - y1[k]) + x1[k]
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def ring_area(ring) -> float:
+    """Shoelace area (absolute)."""
+    ring = _closed(np.asarray(ring, dtype=np.float64))
+    x, y = ring[:, 0], ring[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+                 / 2.0)
+
+
+def ring_centroid(ring):
+    ring = _closed(np.asarray(ring, dtype=np.float64))
+    x, y = ring[:, 0], ring[:, 1]
+    cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-12:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + np.roll(x, -1)) * cross).sum() / (6.0 * a)
+    cy = ((y + np.roll(y, -1)) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def bbox(ring):
+    ring = np.asarray(ring, dtype=np.float64)
+    return (float(ring[:, 0].min()), float(ring[:, 1].min()),
+            float(ring[:, 0].max()), float(ring[:, 1].max()))
+
+
+# --- distances ----------------------------------------------------------------
+
+def points_to_ring_distance(px, py, ring):
+    """Min distance from each point to the ring boundary, plus the nearest
+    boundary point, vectorized over points.
+
+    Returns (dist, nx, ny). Points inside still get boundary distance —
+    callers combine with :func:`points_in_ring` when 0-inside semantics are
+    wanted (shapely nearest_points on the boundary is what the reference's
+    kNN uses, reference: data_prep/vegetation/xx_fiona_testing.py:203-217).
+    """
+    ring = _closed(np.asarray(ring, dtype=np.float64))
+    p = np.stack([np.asarray(px, dtype=np.float64),
+                  np.asarray(py, dtype=np.float64)], axis=-1)  # (N, 2)
+    a = ring                      # (M, 2) segment starts
+    b = np.roll(ring, -1, axis=0)  # (M, 2) segment ends
+    ab = b - a                    # (M, 2)
+    ab2 = (ab ** 2).sum(axis=1)   # (M,)
+    ab2 = np.where(ab2 == 0, 1.0, ab2)
+    # t = clamp(dot(p - a, ab) / |ab|^2) ; broadcast (N, M)
+    ap = p[:, None, :] - a[None, :, :]          # (N, M, 2)
+    t = np.clip((ap * ab[None, :, :]).sum(-1) / ab2[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[..., None] * ab[None, :, :]   # (N, M, 2)
+    d2 = ((p[:, None, :] - proj) ** 2).sum(-1)             # (N, M)
+    k = d2.argmin(axis=1)
+    n = np.arange(len(p))
+    nearest = proj[n, k]
+    return np.sqrt(d2[n, k]), nearest[:, 0], nearest[:, 1]
+
+
+def azimuth_deg(x0, y0, x1, y1):
+    """Planar forward azimuth in degrees clockwise from north, range
+    (-180, 180] like pyproj Geod.inv's fwd azimuth convention."""
+    az = np.degrees(np.arctan2(np.asarray(x1) - x0, np.asarray(y1) - y0))
+    return az
+
+
+# --- constructors ------------------------------------------------------------
+
+def buffer_point(cx: float, cy: float, radius: float, quad_segs: int = 4):
+    """Circular buffer polygon around a point, quad_segs vertices per
+    quadrant — mirrors PostGIS st_buffer(geography, r, 4)
+    (reference: data_prep/gnaf/create_buffered_points.sql:10)."""
+    n = max(int(quad_segs) * 4, 4)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + radius * np.cos(ang),
+                     cy + radius * np.sin(ang)], axis=1)
+
+
+def buffer_points_vec(cx, cy, radius, quad_segs: int = 4):
+    """Batch point buffers: (N,) centres -> (N, V, 2) vertex array."""
+    cx = np.asarray(cx, dtype=np.float64)[:, None]
+    cy = np.asarray(cy, dtype=np.float64)[:, None]
+    n = max(int(quad_segs) * 4, 4)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)[None, :]
+    r = np.broadcast_to(np.asarray(radius, dtype=np.float64),
+                        np.shape(cx[:, 0]))[:, None]
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=2)
+
+
+def clip_ring_to_box(ring, xmin, ymin, xmax, ymax):
+    """Sutherland-Hodgman clip of a convex-or-concave ring to an axis box.
+    Returns the clipped ring (possibly empty). This is the engine's
+    st_subdivide building block (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:66-75) —
+    polygons are split along grid-cell boundaries to bound per-row cost."""
+    poly = _closed(np.asarray(ring, dtype=np.float64)).tolist()
+
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_cross(p, q, x):
+        t = (x - p[0]) / (q[0] - p[0])
+        return [x, p[1] + t * (q[1] - p[1])]
+
+    def y_cross(p, q, y):
+        t = (y - p[1]) / (q[1] - p[1])
+        return [p[0] + t * (q[0] - p[0]), y]
+
+    poly = clip_edge(poly, lambda p: p[0] >= xmin,
+                     lambda p, q: x_cross(p, q, xmin))
+    if not poly:
+        return np.empty((0, 2))
+    poly = clip_edge(poly, lambda p: p[0] <= xmax,
+                     lambda p, q: x_cross(p, q, xmax))
+    if not poly:
+        return np.empty((0, 2))
+    poly = clip_edge(poly, lambda p: p[1] >= ymin,
+                     lambda p, q: y_cross(p, q, ymin))
+    if not poly:
+        return np.empty((0, 2))
+    poly = clip_edge(poly, lambda p: p[1] <= ymax,
+                     lambda p, q: y_cross(p, q, ymax))
+    return np.array(poly) if poly else np.empty((0, 2))
+
+
+def ring_is_valid(ring) -> bool:
+    """Cheap validity: >= 3 distinct vertices and non-zero area (the engine's
+    st_isvalid stand-in, reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:17-18)."""
+    ring = _closed(np.asarray(ring, dtype=np.float64))
+    if len(ring) < 3:
+        return False
+    return ring_area(ring) > 0.0

@@ -1,0 +1,98 @@
+"""End-to-end parity: the tiled Spark BAL pipeline vs a single global-array
+computation with the (golden-anchored) kernels."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from balrog_spark import corpus, kernels, raster
+from balrog_spark.constants import ASPECT_REMAP, slope_remap
+
+NX, NY = 3, 3
+FDI = 80
+
+
+def global_arrays(nx, ny):
+    """Assemble the whole-AOI dem/veg arrays exactly as the tiles tile it
+    (row 0 = north edge of the top tile row)."""
+    n = corpus.TILE_N
+    dem = np.zeros((ny * n, nx * n))
+    veg = np.zeros_like(dem)
+    for tx in range(nx):
+        for ty in range(ny):
+            d, v = corpus.tile_arrays(tx, ty)
+            r0 = (ny - 1 - ty) * n
+            dem[r0:r0 + n, tx * n:(tx + 1) * n] = d
+            veg[r0:r0 + n, tx * n:(tx + 1) * n] = v
+    return dem, veg
+
+
+def global_bal(nx, ny, fdi=FDI):
+    dem, veg_raw = global_arrays(nx, ny)
+    slope_deg, aspect_deg = kernels.cal_slope_aspect_vec(
+        dem, corpus.PIXEL_M, corpus.PIXEL_M)
+    veg_r = kernels.reclassify_vec(veg_raw, corpus.VEG_REMAP)
+    aspect_r = kernels.reclassify_vec(aspect_deg, ASPECT_REMAP)
+    slope_r = kernels.reclassify_vec(slope_deg, slope_remap(90.0))
+    return kernels.bal_all_directions(
+        veg_r.astype(float), slope_r.astype(float), aspect_r.astype(float),
+        corpus.PIXEL_M, fdi)
+
+
+@pytest.fixture(scope="module")
+def bal_result(spark):
+    tiles = corpus.spark_tiles(spark, NX, NY)
+    out = raster.bal_tiles(tiles, fdi=FDI).collect()
+    return {(r.tile_x, r.tile_y): r for r in out}
+
+
+def test_bal_tiles_match_global_computation(bal_result):
+    n = corpus.TILE_N
+    expected = global_bal(NX, NY)
+    assert len(bal_result) == NX * NY
+    for (tx, ty), row in bal_result.items():
+        r0 = (NY - 1 - ty) * n
+        for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max"):
+            got = np.asarray(getattr(row, f"bal_{d}"),
+                             dtype=np.float32).reshape(n, n)
+            exp = expected[d][r0:r0 + n, tx * n:(tx + 1) * n] \
+                .astype(np.float32)
+            assert_array_equal(got, exp,
+                               err_msg=f"tile ({tx},{ty}) dir {d}")
+
+
+def test_bal_tiles_single_tile_aoi(spark):
+    # a lone tile is its own AOI: boundaries behave like Gen-1 raster edges
+    tiles = corpus.spark_tiles(spark, 1, 1)
+    out = raster.bal_tiles(tiles, fdi=50).collect()
+    assert len(out) == 1
+    expected = global_bal(1, 1, fdi=50)
+    got = np.asarray(out[0].bal_max, dtype=np.float32).reshape(
+        corpus.TILE_N, corpus.TILE_N)
+    assert_array_equal(got, expected["max"].astype(np.float32))
+
+
+def test_dynamic_slope_max_matches_global(spark):
+    tiles = corpus.spark_tiles(spark, 2, 2)
+    got = raster.dynamic_slope_max(tiles)
+    dem, _ = global_arrays(2, 2)
+    # per-tile max of slope equals global max only away from tile borders;
+    # the dynamic bound just needs to be >= every in-tile slope and is only
+    # used to cap remap class 6, so exact-global equality is not required —
+    # but with our smooth surface border effects are tiny
+    slope_deg, _ = kernels.cal_slope_aspect_vec(dem, corpus.PIXEL_M,
+                                                corpus.PIXEL_M)
+    smax = slope_deg[slope_deg != -99].max()
+    assert abs(got - smax) < 2.0
+
+
+def test_reclassify_tiles_roundtrip(spark):
+    tiles = corpus.spark_tiles(spark, 1, 1)
+    out = raster.reclassify_tiles(tiles, corpus.VEG_REMAP, layer="veg") \
+        .collect()
+    assert len(out) == 1
+    got = np.asarray(out[0].data, dtype=np.float64).reshape(
+        corpus.TILE_N, corpus.TILE_N)
+    _, veg_raw = corpus.tile_arrays(0, 0)
+    exp = kernels.reclassify_vec(veg_raw, corpus.VEG_REMAP)
+    assert_array_equal(got, exp.astype(np.float64))
