@@ -1,0 +1,168 @@
+"""The per-address BAL classification pipeline — the engine's flagship query.
+
+Shape follows the reference's "Auto BAL Assessment" lifecycle (reference:
+data_prep/vegetation/xx_fiona_testing.py:88-172):
+
+    documents -> parse spans -> addresses + vegetation polygons + tile refs
+    addresses -> kNN nearest vegetation (distance + bearing)
+    addresses -> zonal median slope / aspect (degrees) in the 100 m buffer
+    -> effective slope class (downslope only when the terrain's aspect faces
+       the vegetation, else the AS 3959 upslope/flat table)
+    -> BAL severity via the AS 3959 lookup (broadcast join, pure column ops)
+
+Everything after the kNN/zonal UDF stages is JVM-side: the AS 3959 tables are
+broadcast as a 256-row DataFrame and the distance-class bucketing is a CASE
+chain — so the classification hot path is whole-stage-codegen'd, exactly the
+kind of lookup the reference does per-pixel in Python
+(reference: calculate_bal.py:248-297).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import docparse, joins, raster, zonal
+from .constants import (BALVAL, FDI_VALUES, NODATA, SLOPE_CODES, THRESH,
+                        VEG_CODES, slope_remap, ASPECT_REMAP)
+
+_BIG = 1.0e18  # stand-in for +inf thresholds (never reached by real dists)
+
+
+def bal_lookup_pdf() -> pd.DataFrame:
+    """The dense AS 3959 lookup flattened to rows:
+    (fdi, slope_code, veg_code, t1..t4, b1..b5)."""
+    rows = []
+    for fi, fdi in enumerate(FDI_VALUES):
+        for si, s in enumerate(SLOPE_CODES):
+            for vi, v in enumerate(VEG_CODES):
+                th = [float(t) if np.isfinite(t) else _BIG
+                      for t in THRESH[fi, si, vi]]
+                bv = [float(b) for b in BALVAL[fi, si, vi]]
+                rows.append({"fdi": fdi, "slope_code": int(s),
+                             "veg_code": int(v),
+                             "t1": th[0], "t2": th[1], "t3": th[2],
+                             "t4": th[3],
+                             "b1": bv[0], "b2": bv[1], "b3": bv[2],
+                             "b4": bv[3], "b5": bv[4]})
+    return pd.DataFrame(rows)
+
+
+def classify_bal(df: DataFrame, spark: SparkSession,
+                 fdi_col: str = "fdi", slope_col: str = "slope_code",
+                 veg_col: str = "veg_code", dist_col: str = "distance_m",
+                 out_col: str = "bal") -> DataFrame:
+    """Column-level bal_esti (R9/R10): broadcast-join the AS 3959 lookup and
+    bucket the distance with a CASE chain. Value-identical to
+    kernels.bal_esti_vec (asserted in tests)."""
+    pdf = bal_lookup_pdf().rename(columns=lambda c: f"lk_{c}")
+    lk = F.broadcast(spark.createDataFrame(pdf))
+    j = df.join(
+        lk,
+        (F.col(fdi_col) == F.col("lk_fdi"))
+        & (F.col(slope_col) == F.col("lk_slope_code"))
+        & (F.col(veg_col) == F.col("lk_veg_code")),
+        "left",
+    )
+    d = F.col(dist_col)
+    dist_class = (F.lit(1)
+                  + F.when(d >= F.col("lk_t1"), 1).otherwise(0)
+                  + F.when(d >= F.col("lk_t2"), 1).otherwise(0)
+                  + F.when(d >= F.col("lk_t3"), 1).otherwise(0)
+                  + F.when(d >= F.col("lk_t4"), 1).otherwise(0))
+    bal = (F.when(dist_class == 1, F.col("lk_b1"))
+           .when(dist_class == 2, F.col("lk_b2"))
+           .when(dist_class == 3, F.col("lk_b3"))
+           .when(dist_class == 4, F.col("lk_b4"))
+           .otherwise(F.col("lk_b5")))
+    # unmatched lookup (unknown codes) and the grassland >50 m rule
+    bal = F.coalesce(bal, F.lit(float(NODATA)))
+    bal = F.when((F.col(fdi_col) != 50) & (F.col(veg_col) == 7)
+                 & (d >= 50.0), F.lit(float(NODATA))).otherwise(bal)
+    return j.withColumn(out_col, bal).drop(
+        *[f"lk_{c}" for c in ("fdi", "slope_code", "veg_code", "t1", "t2",
+                              "t3", "t4", "b1", "b2", "b3", "b4", "b5")])
+
+
+def remap_column(col, remap: str):
+    """Scalar-column twin of the reclassify DSL (R1) with the same
+    sequential-mutation semantics: each range is applied to the result of the
+    previous ones (reference: sa_tools.py:172-194)."""
+    cur = col
+    for a_map in remap.split(";"):
+        parts = a_map.lstrip().split(" ")
+        if len(parts) == 2:
+            start, end, new = float(parts[0]), float(parts[0]), parts[1]
+        else:
+            start, end, new = float(parts[0]), float(parts[1]), parts[2]
+        end += 0.0001
+        new_value = float(NODATA) if new == "NODATA" else float(int(new))
+        cur = F.when((cur >= start) & (cur < end),
+                     F.lit(new_value)).otherwise(cur)
+    return cur.cast("int")
+
+
+def direction_class(azimuth_col):
+    """Bearing (deg, (-180,180] clockwise from north) -> 8-sector compass
+    class with the reference's coding (n=1..nw=8,
+    reference: utilities/value_lookup.py:15-23)."""
+    sector = F.round(azimuth_col / F.lit(45.0)).cast("int")
+    return (F.pmod(sector, F.lit(8)) + F.lit(1)).cast("int")
+
+
+def address_bal_factors(spark: SparkSession, documents: DataFrame,
+                        tiles: DataFrame, buffer_m: float = 100.0,
+                        max_ring: int = 8) -> DataFrame:
+    """documents + tiles -> one BAL-factors row per address:
+    (addr_id, fdi, veg_id, bal_number, distance_m, azimuth_deg,
+    slope_med_deg, aspect_med_deg, slope_class, aspect_class, dir_class,
+    eff_slope_code, bal)."""
+    addrs = docparse.addresses_from_documents(documents)
+    vegs = docparse.veg_from_documents(documents)
+
+    knn = joins.knn_join(addrs.select("addr_id", "x", "y"), vegs,
+                         max_ring=max_ring)
+
+    sa = raster.slope_aspect_tiles(tiles, classify=False).cache()
+    slope_tiles = sa.filter(F.col("layer") == "slope")
+    aspect_tiles = sa.filter(F.col("layer") == "aspect")
+    pts = addrs.select("addr_id", "x", "y")
+    zs = zonal.zonal_stats(pts, slope_tiles, buffer_m) \
+        .select("addr_id", F.col("stat_med").alias("slope_med_deg"))
+    za = zonal.zonal_stats(pts, aspect_tiles, buffer_m, circular=True) \
+        .select("addr_id", F.col("stat_med").alias("aspect_med_deg"))
+
+    f = (addrs.join(knn, "addr_id")
+         .join(zs, "addr_id", "left")
+         .join(za, "addr_id", "left"))
+
+    slope_cls = remap_column(F.col("slope_med_deg").cast("double"),
+                             slope_remap(90.0))
+    aspect_cls = remap_column(F.col("aspect_med_deg").cast("double"),
+                              ASPECT_REMAP)
+    f = (f.withColumn("slope_class",
+                      F.when(F.col("slope_med_deg").isNull()
+                             | (F.col("slope_med_deg") == -9999),
+                             F.lit(-99)).otherwise(slope_cls))
+         .withColumn("aspect_class",
+                     F.when(F.col("aspect_med_deg").isNull()
+                            | (F.col("aspect_med_deg") == -9999),
+                            F.lit(-99)).otherwise(aspect_cls))
+         .withColumn("dir_class", direction_class(F.col("azimuth_deg"))))
+    # downslope tables apply only when the terrain falls toward the
+    # vegetation (aspect faces the fire direction); otherwise upslope/flat
+    f = f.withColumn(
+        "eff_slope_code",
+        F.when(F.col("slope_class") == -99, F.lit(-99))
+        .when(F.col("aspect_class") == F.col("dir_class"),
+              F.col("slope_class"))
+        .otherwise(F.lit(-1)))
+
+    out = classify_bal(f.withColumn("veg_code", F.col("bal_number")),
+                       spark, fdi_col="fdi", slope_col="eff_slope_code",
+                       veg_col="veg_code", dist_col="distance_m")
+    return out.select(
+        "addr_id", "fdi", "veg_id", "bal_number", "distance_m",
+        "azimuth_deg", "slope_med_deg", "aspect_med_deg", "slope_class",
+        "aspect_class", "dir_class", "eff_slope_code", "bal")

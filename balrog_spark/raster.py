@@ -181,6 +181,59 @@ def bal_tiles(tiles: DataFrame, fdi: int, halo: int = DEFAULT_HALO,
         compute, schema=BAL_TILES)
 
 
+def slope_aspect_tiles(tiles: DataFrame, halo: int = DEFAULT_HALO,
+                       classify: bool = True,
+                       slope_max: float = 90.0) -> DataFrame:
+    """Derive slope/aspect tile layers from DEM tiles (R4 + R5/R6), halo-
+    exact like :func:`bal_tiles`. Emits two rows per tile with
+    layer 'slope_r'/'aspect_r' (classified) or 'slope'/'aspect' (degrees),
+    same TILES schema, so downstream zonal stats and the per-address BAL
+    pipeline consume them like any raster layer
+    (reference: bal.py:76-143 get_slope_aspect)."""
+    from .schema import TILES
+
+    dem = tiles.filter(F.col("layer") == "dem")
+    contribs = emit_border_strips(dem, halo)
+    aspect_remap_s = ASPECT_REMAP
+    slope_remap_s = slope_remap(slope_max)
+
+    def compute(key, group: pd.DataFrame):
+        got = _assemble(group, "dem", halo)
+        if got is None:
+            return pd.DataFrame(columns=[f.name for f in TILES])
+        dem_pad, present, meta = got
+        n, m, h = meta["nrows"], meta["ncols"], meta["halo"]
+        (dem_c,), present_c, core_r, core_c = _crop_absent_sides(
+            [dem_pad], present, h, n, m)
+        slope_deg, aspect_deg = kernels.cal_slope_aspect_vec(
+            dem_c, meta["pixel_m"], meta["pixel_m"])
+        if classify:
+            slope_out = kernels.reclassify_vec(slope_deg, slope_remap_s) \
+                .astype(np.float32)
+            aspect_out = kernels.reclassify_vec(aspect_deg, aspect_remap_s) \
+                .astype(np.float32)
+            names = ("slope_r", "aspect_r")
+        else:
+            slope_out = slope_deg.astype(np.float32)
+            aspect_out = aspect_deg.astype(np.float32)
+            names = ("slope", "aspect")
+        sl = (slice(core_r, core_r + n), slice(core_c, core_c + m))
+        tx, ty = int(key[0]), int(key[1])
+        rows = []
+        for name, arr in zip(names, (slope_out, aspect_out)):
+            rows.append({
+                "media_ref": f"{name}/{tx}/{ty}", "layer": name,
+                "tile_x": tx, "tile_y": ty,
+                "x0": meta["x0"], "y0": meta["y0"],
+                "pixel_m": meta["pixel_m"], "nrows": n, "ncols": m,
+                "data": arr[sl].ravel(),
+            })
+        return pd.DataFrame(rows, columns=[f.name for f in TILES])
+
+    return contribs.groupBy("tile_x", "tile_y").applyInPandas(
+        compute, schema=TILES)
+
+
 def dynamic_slope_max(tiles: DataFrame) -> float:
     """The reference's two-job dynamic remap bound: global max slope, then
     remap (reference: bal.py:110-120). One cheap columnar pass (higher-order

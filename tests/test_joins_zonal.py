@@ -1,0 +1,162 @@
+"""Spatial joins + zonal stats vs brute-force numpy oracles, and the
+document span-sequence round-trip invariant."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from balrog_spark import (corpus, docparse, geometry, joins, kernels,
+                          pipeline, raster, zonal)
+
+NX, NY = 2, 2
+
+
+@pytest.fixture(scope="module")
+def corpus_dfs(spark):
+    docs = corpus.spark_documents(spark, NX, NY)
+    tiles = corpus.spark_tiles(spark, NX, NY).cache()
+    return docs.cache(), tiles
+
+
+@pytest.fixture(scope="module")
+def flat(corpus_dfs):
+    docs, _ = corpus_dfs
+    addrs = docparse.addresses_from_documents(docs).toPandas()
+    vegs = docparse.veg_from_documents(docs).toPandas()
+    return addrs, vegs
+
+
+def brute_force_nearest(addrs: pd.DataFrame, vegs: pd.DataFrame):
+    rings = {r.veg_id: geometry.parse_wkt(r.wkt)[0] for r in
+             vegs.itertuples()}
+    out = {}
+    for a in addrs.itertuples():
+        best = None
+        for v in vegs.itertuples():
+            ring = rings[v.veg_id]
+            d, _, _ = geometry.points_to_ring_distance(
+                np.array([a.x]), np.array([a.y]), ring)
+            inside = geometry.points_in_ring(np.array([a.x]),
+                                             np.array([a.y]), ring)[0]
+            dist = 0.0 if inside else float(d[0])
+            key = (dist, v.veg_id)
+            if best is None or key < best[0]:
+                best = (key, v.veg_id, dist)
+        out[a.addr_id] = (best[1], best[2])
+    return out
+
+
+def test_span_sequence_roundtrip(corpus_dfs):
+    docs, _ = corpus_dfs
+    spans = docparse.explode_spans(docs)
+    rebuilt = docparse.reassemble_documents(spans)
+    orig = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset)
+                       for s in r.spans] for r in docs.collect()}
+    back = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset)
+                       for s in r.spans] for r in rebuilt.collect()}
+    assert orig == back
+
+
+def test_parse_counts(corpus_dfs, flat):
+    _, tiles = corpus_dfs
+    addrs, vegs = flat
+    assert len(addrs) == NX * NY * 5
+    assert len(vegs) > 0
+    assert tiles.count() == NX * NY * 2
+
+
+def test_pip_join_matches_bruteforce(corpus_dfs, flat):
+    docs, _ = corpus_dfs
+    addrs, vegs = flat
+    got = joins.pip_join(
+        docparse.addresses_from_documents(docs).select("addr_id", "x", "y"),
+        docparse.veg_from_documents(docs)).toPandas()
+    exp = set()
+    for v in vegs.itertuples():
+        ring = geometry.parse_wkt(v.wkt)[0]
+        inside = geometry.points_in_ring(addrs.x.values, addrs.y.values,
+                                         ring)
+        for aid in addrs.addr_id.values[inside]:
+            exp.add((aid, v.veg_id))
+    assert set(zip(got.addr_id, got.veg_id)) == exp
+
+
+def test_dwithin_join_matches_bruteforce(corpus_dfs, flat):
+    docs, _ = corpus_dfs
+    addrs, vegs = flat
+    radius = 300.0
+    got = joins.dwithin_join(
+        docparse.addresses_from_documents(docs).select("addr_id", "x", "y"),
+        docparse.veg_from_documents(docs), radius).toPandas()
+    exp = set()
+    for v in vegs.itertuples():
+        ring = geometry.parse_wkt(v.wkt)[0]
+        d, _, _ = geometry.points_to_ring_distance(addrs.x.values,
+                                                   addrs.y.values, ring)
+        inside = geometry.points_in_ring(addrs.x.values, addrs.y.values,
+                                         ring)
+        ok = np.where(inside, 0.0, d) <= radius
+        for aid in addrs.addr_id.values[ok]:
+            exp.add((aid, v.veg_id))
+    assert set(zip(got.addr_id, got.veg_id)) == exp
+
+
+def test_knn_join_matches_bruteforce(corpus_dfs, flat):
+    docs, _ = corpus_dfs
+    addrs, vegs = flat
+    got = joins.knn_join(
+        docparse.addresses_from_documents(docs).select("addr_id", "x", "y"),
+        docparse.veg_from_documents(docs)).toPandas()
+    assert len(got) == len(addrs)
+    exp = brute_force_nearest(addrs, vegs)
+    for r in got.itertuples():
+        ev, ed = exp[r.addr_id]
+        assert r.veg_id == ev, f"{r.addr_id}: {r.veg_id} != {ev}"
+        assert abs(r.distance_m - ed) < 1e-9
+
+
+def test_zonal_stats_matches_bruteforce(spark, corpus_dfs, flat):
+    docs, tiles = corpus_dfs
+    addrs, _ = flat
+    radius = 100.0
+    pts = docparse.addresses_from_documents(docs).select("addr_id", "x", "y")
+    dem_tiles = tiles.filter(F.col("layer") == "dem")
+    got = zonal.zonal_stats(pts, dem_tiles, radius).toPandas() \
+        .set_index("addr_id")
+
+    # oracle: global pixel grid
+    n = corpus.TILE_N
+    for a in addrs.itertuples():
+        vals = []
+        for tx in range(NX):
+            for ty in range(NY):
+                dem, _ = corpus.tile_arrays(tx, ty)
+                xs = tx * corpus.TILE_M + (np.arange(n) + 0.5) * corpus.PIXEL_M
+                ys = ty * corpus.TILE_M + (n - np.arange(n) - 0.5) \
+                    * corpus.PIXEL_M
+                mask = ((xs[None, :] - a.x) ** 2
+                        + (ys[:, None] - a.y) ** 2) <= radius ** 2
+                v = dem[mask]
+                vals.append(v[v != -99.0])
+        flat_vals = np.concatenate(vals)
+        exp = kernels.zonal_stats_1d(flat_vals)
+        row = got.loc[a.addr_id]
+        for k, col in (("min", "stat_min"), ("max", "stat_max"),
+                       ("avg", "stat_avg"), ("std", "stat_std"),
+                       ("med", "stat_med"), ("pixel_count", "pixel_count")):
+            assert row[col] == exp[k], f"{a.addr_id} {k}"
+
+
+def test_address_bal_factors_end_to_end(spark, corpus_dfs):
+    docs, tiles = corpus_dfs
+    out = pipeline.address_bal_factors(spark, docs, tiles).toPandas()
+    assert len(out) == NX * NY * 5
+    assert set(out.bal.unique()) <= {-99.0, 12.5, 19.0, 29.0, 40.0, 100.0,
+                                     200.0}
+    # verify the JVM-side classify_bal against the numpy kernel row-by-row
+    for r in out.itertuples():
+        exp = float(kernels.bal_esti_vec(
+            np.array([float(r.bal_number)]), np.array([r.distance_m]),
+            np.array([float(r.eff_slope_code)]), int(r.fdi))[0])
+        assert r.bal == exp, f"{r.addr_id}: {r.bal} != {exp}"
