@@ -1,0 +1,1136 @@
+"""Driver-contract queries: every SURVEY §2 operator wired to the driver's
+parquet tables, each with an exact DuckDB oracle.
+
+The driver compares row-count + schema + order-insensitive value-hash between
+the Spark query and the oracle at sf=0.01, so both sides must agree to the
+bit. Strategy:
+
+- spatial inputs (points / boxes) are derived from customer / supplier with
+  pure integer arithmetic duplicated verbatim on both sides; fractional
+  offsets (.125/.625 vs .25/.75-edge boxes) keep every point strictly off
+  polygon boundaries and grid-cell lines so half-open conventions can't
+  disagree;
+- engine operators (PIP / dwithin / kNN / reclassify / bal_esti / slope-
+  aspect / scans) run their real DataFrame/UDF code paths on the Spark side;
+  the oracle is an independent closed-form SQL derivation;
+- floats are rounded on both sides; classified outputs are integers, immune
+  to last-ulp libm differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import annops, joins, kernels, textops
+from .constants import ASPECT_REMAP, slope_remap
+from .corpus import VEG_REMAP
+from .pipeline import bal_lookup_pdf, classify_bal, remap_column
+
+# ---------------------------------------------------------------------------
+# derived spatial inputs (identical arithmetic on both engines)
+# ---------------------------------------------------------------------------
+
+POINTS_CTE = """
+points AS (
+  SELECT c_custkey AS addr_id,
+         CAST((c_custkey * 37) % 4000 AS DOUBLE) + 0.125 AS x,
+         CAST((c_custkey * 91) % 4000 AS DOUBLE) + 0.625 AS y,
+         CASE (c_custkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80
+              WHEN 2 THEN 50 ELSE 40 END AS fdi
+  FROM customer
+)"""
+
+BOXES_CTE = """
+boxes AS (
+  SELECT s_suppkey AS veg_id,
+         CAST((s_suppkey * 73) % 4000 AS DOUBLE) + 0.5 AS cx,
+         CAST((s_suppkey * 131) % 4000 AS DOUBLE) + 0.5 AS cy,
+         CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw,
+         CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh,
+         CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number
+  FROM supplier
+)"""
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_points(spark, sf_dir) -> DataFrame:
+    return _load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS addr_id",
+        "CAST((c_custkey * 37) % 4000 AS DOUBLE) + 0.125 AS x",
+        "CAST((c_custkey * 91) % 4000 AS DOUBLE) + 0.625 AS y",
+        "CASE (c_custkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80 "
+        "WHEN 2 THEN 50 ELSE 40 END AS fdi")
+
+
+def derived_boxes(spark, sf_dir) -> DataFrame:
+    return _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS veg_id",
+        "CAST((s_suppkey * 73) % 4000 AS DOUBLE) + 0.5 AS cx",
+        "CAST((s_suppkey * 131) % 4000 AS DOUBLE) + 0.5 AS cy",
+        "CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw",
+        "CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh",
+        "CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number")
+
+
+def boxes_with_wkt(spark, sf_dir) -> DataFrame:
+    """Boxes as WKT polygons (CCW, closed) for the engine's geometry path."""
+    b = derived_boxes(spark, sf_dir)
+    return b.withColumn(
+        "wkt",
+        F.format_string(
+            "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
+            "%.2f %.2f))",
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh")))
+
+
+# box distance (0 inside else boundary distance) as SQL text
+_BOX_DIST = ("CASE WHEN abs(p.x - b.cx) <= b.hw AND abs(p.y - b.cy) <= b.hh "
+             "THEN 0.0 ELSE sqrt(power(greatest(abs(p.x - b.cx) - b.hw, 0), 2)"
+             " + power(greatest(abs(p.y - b.cy) - b.hh, 0), 2)) END")
+
+
+# ---------------------------------------------------------------------------
+# SQL generators shared by several oracles
+# ---------------------------------------------------------------------------
+
+def _remap_cte_chain(remap: str, base_cte: str, key_cols: str,
+                     val_expr: str, out_name: str) -> str:
+    """DuckDB twin of the sequential reclassify DSL (R1): one CTE per range,
+    each observing the previous range's output — the reference's in-place
+    mutation order (reference: sa_tools.py:172-194)."""
+    parts = []
+    prev = base_cte
+    steps = remap.split(";")
+    parts.append(f"{out_name}_0 AS (SELECT {key_cols}, "
+                 f"CAST({val_expr} AS DOUBLE) AS v FROM {prev})")
+    prev = f"{out_name}_0"
+    for i, a_map in enumerate(steps, start=1):
+        p = a_map.lstrip().split(" ")
+        if len(p) == 2:
+            start, end, new = float(p[0]), float(p[0]), p[1]
+        else:
+            start, end, new = float(p[0]), float(p[1]), p[2]
+        end += 0.0001
+        nv = -99.0 if new == "NODATA" else float(int(new))
+        parts.append(
+            f"{out_name}_{i} AS (SELECT {key_cols}, CASE WHEN v >= {start!r}"
+            f" AND v < {end!r} THEN {nv!r} ELSE v END AS v "
+            f"FROM {out_name}_{i - 1})")
+        prev = f"{out_name}_{i}"
+    parts.append(f"{out_name} AS (SELECT {key_cols}, "
+                 f"CAST(v AS BIGINT) AS v FROM {prev})")
+    return ",\n".join(parts)
+
+
+def _bal_lookup_values_sql() -> str:
+    """The AS 3959 dense lookup as a VALUES list (fdi, slope_code, veg_code,
+    t1..t4, b1..b5) — same rows the engine broadcasts."""
+    pdf = bal_lookup_pdf()
+    rows = ", ".join(
+        "({fdi}, {slope_code}, {veg_code}, {t1!r}, {t2!r}, {t3!r}, {t4!r}, "
+        "{b1!r}, {b2!r}, {b3!r}, {b4!r}, {b5!r})".format(**r)
+        for r in pdf.to_dict("records"))
+    return ("ballookup(fdi, slope_code, veg_code, t1, t2, t3, t4, "
+            "b1, b2, b3, b4, b5) AS (VALUES " + rows + ")")
+
+
+_BAL_CASE = """
+CASE WHEN (x.fdi != 50 AND x.veg_code = 7 AND x.distance_m >= 50.0)
+     THEN -99.0
+     ELSE COALESCE(CASE (1 + CASE WHEN x.distance_m >= lk.t1 THEN 1 ELSE 0 END
+                           + CASE WHEN x.distance_m >= lk.t2 THEN 1 ELSE 0 END
+                           + CASE WHEN x.distance_m >= lk.t3 THEN 1 ELSE 0 END
+                           + CASE WHEN x.distance_m >= lk.t4 THEN 1 ELSE 0 END)
+                        WHEN 1 THEN lk.b1 WHEN 2 THEN lk.b2 WHEN 3 THEN lk.b3
+                        WHEN 4 THEN lk.b4 ELSE lk.b5 END, -99.0)
+END"""
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- projections / filters / misc relational (P1-P4, W1-W3, A3, A4, J1) ----
+
+@q("p1_projection", """
+SELECT c_custkey AS cust_id, upper(c_mktsegment) AS segment,
+       CAST(round(c_acctbal, 1) AS DOUBLE) AS bal_r
+FROM customer""")
+def p1_projection(spark, sf_dir):
+    """P1 column projection + rename (reference:
+    data_prep/gnaf/create_buffered_points.sql:17-25)."""
+    return _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.upper("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 1).cast("double").alias("bal_r"))
+
+
+@q("p2_filter", """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""")
+def p2_filter(spark, sf_dir):
+    """P2 predicate filter (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:24-26)."""
+    return _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber",
+             F.col("l_quantity").cast("double").alias("qty"))
+
+
+@q("p3_distinct", """
+SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nation
+FROM customer""")
+def p3_distinct(spark, sf_dir):
+    """P3 distinct (reference: data_prep/gnaf/create_buffered_points.sql:5-8)."""
+    return _load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation")).dropDuplicates()
+
+
+@q("p4_row_number", """
+SELECT n_name, CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS gid
+FROM nation""")
+def p4_row_number(spark, sf_dir):
+    """P4/W1 deterministic sequential ids (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:10)."""
+    w = Window.orderBy("n_name")
+    return _load(spark, sf_dir, "nation").select(
+        "n_name", F.row_number().over(w).cast("long").alias("gid"))
+
+
+@q("j1_equi_join", """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""")
+def j1_equi_join(spark, sf_dir):
+    """J1 equi join + A3 aggregate (reference:
+    testing/04_add_geoms_to_bal_factors.sql:24-25)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).cast("double")
+                 .alias("revenue")))
+
+
+@q("a3_group_counts", """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+def a3_group_counts(spark, sf_dir):
+    """A3 group-by counts/sums (reference:
+    data_prep/vegetation/xx_testing.sql:102-125)."""
+    return (_load(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_returnflag").alias("flag"),
+                     F.col("l_linestatus").alias("status"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).cast("double")
+                 .alias("sum_qty")))
+
+
+@q("a4_dynamic_max", """
+SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       CAST(ceil(max(l_quantity)) AS BIGINT) AS remap_bound
+FROM lineitem""")
+def a4_dynamic_max(spark, sf_dir):
+    """A4/R6 global max feeding the dynamic remap bound
+    (reference: bal.py:110-120)."""
+    return _load(spark, sf_dir, "lineitem").agg(
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.ceil(F.max("l_quantity")).cast("long").alias("remap_bound"))
+
+
+@q("w2_topk", """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""")
+def w2_topk(spark, sf_dir):
+    """W2/W3 order-by + limit (reference:
+    data_prep/vegetation/xx_get_elevation_aspect_slope.py:69)."""
+    return (_load(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(25)
+            .select("o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("price")))
+
+
+@q("set_union_all", """
+SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS qty FROM lineitem
+WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS qty FROM lineitem
+WHERE l_linenumber = 2""")
+def set_union_all(spark, sf_dir):
+    """UNION ALL accumulation — the -append import twin
+    (reference: data_prep/vegetation/xx_import_nvis_polygons.sh:23-29)."""
+    li = _load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1)
+    b = li.filter(F.col("l_linenumber") == 2)
+    sel = lambda d: d.select("l_orderkey", F.col("l_quantity")
+                             .cast("double").alias("qty"))
+    return sel(a).unionByName(sel(b))
+
+
+# --- raster kernel twins (R1, R9, R10, R11, W4, R4) -------------------------
+
+@q("r1_reclassify", f"""
+WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+{_remap_cte_chain(VEG_REMAP, 'base', 'l_orderkey, l_linenumber',
+                  'l_quantity', 'remapped')}
+SELECT l_orderkey, l_linenumber, v AS veg_class FROM remapped""")
+def r1_reclassify(spark, sf_dir):
+    """R1 range-remap DSL over a numeric column, sequential-mutation
+    semantics (reference: sa_tools.py:139-202)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        remap_column(F.col("l_quantity").cast("double"), VEG_REMAP)
+        .cast("long").alias("veg_class"))
+
+
+@q("r10_dist_class", """
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN d < 19 THEN 1 WHEN d < 25 THEN 2 WHEN d < 35 THEN 3
+                 WHEN d < 48 THEN 4 ELSE 5 END AS BIGINT) AS dist_class
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST((l_partkey * 13) % 60 AS DOUBLE) AS d FROM lineitem) t""")
+def r10_dist_class(spark, sf_dir):
+    """R10 distance bucketing (reference: calculate_bal.py:223-245)."""
+    li = _load(spark, sf_dir, "lineitem")
+    d = (F.col("l_partkey") * 13 % 60).cast("double")
+    cls = (F.when(d < 19, 1).when(d < 25, 2).when(d < 35, 3)
+           .when(d < 48, 4).otherwise(5))
+    return li.select("l_orderkey", "l_linenumber",
+                     cls.cast("long").alias("dist_class"))
+
+
+@q("r11_greatest", """
+SELECT l_orderkey, l_linenumber,
+       CAST(greatest((l_partkey * 3) % 200, (l_partkey * 7) % 200,
+                     (l_suppkey * 11) % 200, (l_suppkey * 13) % 200,
+                     (l_orderkey * 17) % 200, (l_orderkey * 19) % 200,
+                     (l_partkey * 23) % 200, (l_suppkey * 29) % 200)
+            AS BIGINT) AS max_bal
+FROM lineitem""")
+def r11_greatest(spark, sf_dir):
+    """R11 elementwise max across 8 direction values
+    (reference: calculate_bal.py:104-116)."""
+    li = _load(spark, sf_dir, "lineitem")
+    cols = [(F.col("l_partkey") * 3) % 200, (F.col("l_partkey") * 7) % 200,
+            (F.col("l_suppkey") * 11) % 200, (F.col("l_suppkey") * 13) % 200,
+            (F.col("l_orderkey") * 17) % 200,
+            (F.col("l_orderkey") * 19) % 200,
+            (F.col("l_partkey") * 23) % 200, (F.col("l_suppkey") * 29) % 200]
+    return li.select("l_orderkey", "l_linenumber",
+                     F.greatest(*cols).cast("long").alias("max_bal"))
+
+
+_R9_DERIVE = """
+  SELECT l_orderkey, l_linenumber,
+         CASE (l_orderkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80
+              WHEN 2 THEN 50 ELSE 40 END AS fdi,
+         CASE (l_partkey % 8) WHEN 0 THEN -99 WHEN 1 THEN -1
+              ELSE CAST(l_partkey % 8 AS BIGINT) - 1 END AS slope_code,
+         CASE (l_suppkey % 8) WHEN 0 THEN -99
+              ELSE CAST(l_suppkey % 8 AS BIGINT) END AS veg_code,
+         CAST((l_orderkey * 31 + l_partkey * 7) % 120 AS DOUBLE) + 0.5
+             AS distance_m
+  FROM lineitem"""
+
+
+@q("r9_bal_esti", f"""
+WITH {_bal_lookup_values_sql()},
+x AS ({_R9_DERIVE})
+SELECT x.l_orderkey, x.l_linenumber,
+       CAST({_BAL_CASE} AS DOUBLE) AS bal
+FROM x LEFT JOIN ballookup lk
+  ON x.fdi = lk.fdi AND x.slope_code = lk.slope_code
+ AND x.veg_code = lk.veg_code""")
+def r9_bal_esti(spark, sf_dir):
+    """R9 the full AS 3959 BAL classifier as a broadcast lookup join
+    (reference: calculate_bal.py:248-297); the engine's classify_bal path."""
+    li = _load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_linenumber",
+        "CASE (l_orderkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80 "
+        "WHEN 2 THEN 50 ELSE 40 END AS fdi",
+        "CASE (l_partkey % 8) WHEN 0 THEN -99 WHEN 1 THEN -1 "
+        "ELSE CAST(l_partkey % 8 AS BIGINT) - 1 END AS slope_code",
+        "CASE (l_suppkey % 8) WHEN 0 THEN -99 "
+        "ELSE CAST(l_suppkey % 8 AS BIGINT) END AS veg_code",
+        "CAST((l_orderkey * 31 + l_partkey * 7) % 120 AS DOUBLE) + 0.5 "
+        "AS distance_m")
+    out = classify_bal(li, spark)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("bal").cast("double").alias("bal"))
+
+
+@q("w4_directional_scan", f"""
+WITH {_bal_lookup_values_sql()},
+cells AS (
+  SELECT event_id, event_id // 100 AS strip,
+         CASE ((event_id // 100) % 4) WHEN 0 THEN 100 WHEN 1 THEN 80
+              WHEN 2 THEN 50 ELSE 40 END AS fdi,
+         CASE ((event_id * 7) % 8) WHEN 0 THEN -99 WHEN 1 THEN -1
+              ELSE CAST((event_id * 7) % 8 AS BIGINT) - 1 END AS slope_code,
+         CASE ((event_id * 11) % 8) WHEN 0 THEN -99
+              ELSE CAST((event_id * 11) % 8 AS BIGINT) END AS veg_code
+  FROM events),
+balm AS (
+  SELECT c.event_id, c.strip,
+""" + ",\n".join(
+    f"""       (SELECT CASE WHEN (c.fdi != 50 AND c.veg_code = 7
+                         AND {(m - 1) * 25 + 12.5} >= 50.0) THEN -99.0
+                 ELSE COALESCE(CASE (1
+                      + CASE WHEN {(m - 1) * 25 + 12.5} >= lk.t1 THEN 1 ELSE 0 END
+                      + CASE WHEN {(m - 1) * 25 + 12.5} >= lk.t2 THEN 1 ELSE 0 END
+                      + CASE WHEN {(m - 1) * 25 + 12.5} >= lk.t3 THEN 1 ELSE 0 END
+                      + CASE WHEN {(m - 1) * 25 + 12.5} >= lk.t4 THEN 1 ELSE 0 END)
+                      WHEN 1 THEN lk.b1 WHEN 2 THEN lk.b2 WHEN 3 THEN lk.b3
+                      WHEN 4 THEN lk.b4 ELSE lk.b5 END, -99.0) END
+        FROM ballookup lk WHERE lk.fdi = c.fdi
+         AND lk.slope_code = c.slope_code
+         AND lk.veg_code = c.veg_code) AS b{m}"""
+    for m in (1, 2, 3, 4)) + """
+  FROM cells c)
+SELECT event_id,
+       CAST(COALESCE(greatest(
+            lag(b1, 1) OVER w, lag(b2, 2) OVER w,
+            lag(b3, 3) OVER w, lag(b4, 4) OVER w), -99.0) AS DOUBLE) AS bal_w
+FROM balm
+WINDOW w AS (PARTITION BY strip ORDER BY event_id)""")
+def w4_directional_scan(spark, sf_dir):
+    """R7/W4 the directional neighbour scan on a 1-D strip: max of
+    distance-specific BAL over the 4 preceding cells
+    (reference: calculate_bal.py:145-220, SQL twin per FIXTURES.md §5)."""
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", "event_id DIV 100 AS strip",
+        "CASE ((event_id DIV 100) % 4) WHEN 0 THEN 100 WHEN 1 THEN 80 "
+        "WHEN 2 THEN 50 ELSE 40 END AS fdi",
+        "CASE ((event_id * 7) % 8) WHEN 0 THEN -99 WHEN 1 THEN -1 "
+        "ELSE CAST((event_id * 7) % 8 AS BIGINT) - 1 END AS slope_code",
+        "CASE ((event_id * 11) % 8) WHEN 0 THEN -99 "
+        "ELSE CAST((event_id * 11) % 8 AS BIGINT) END AS veg_code")
+    cur = ev
+    for m in (1, 2, 3, 4):
+        dist = (m - 1) * 25 + 12.5
+        cur = classify_bal(
+            cur.withColumn("distance_m", F.lit(float(dist))), spark,
+            out_col=f"b{m}").drop("distance_m")
+    w = Window.partitionBy("strip").orderBy("event_id")
+    bal = F.coalesce(
+        F.greatest(F.lag("b1", 1).over(w), F.lag("b2", 2).over(w),
+                   F.lag("b3", 3).over(w), F.lag("b4", 4).over(w)),
+        F.lit(-99.0))
+    return cur.select("event_id", bal.cast("double").alias("bal_w"))
+
+
+_RADC = 0.01745329251994329576923690768489
+_GRID_W = 100
+
+
+@q("r4_slope_aspect", f"""
+WITH grid AS (
+  SELECT event_id, event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         300.0 + 150.0 * sin((event_id % {_GRID_W}) * 0.21)
+               * cos((event_id // {_GRID_W}) * 0.17) AS z
+  FROM events),
+g2 AS (
+  SELECT r, c, z,
+         CASE WHEN r = 0 THEN (lead(z) OVER wc - z) / 25.0
+              WHEN r = (SELECT max(r) FROM grid)
+                   THEN (z - lag(z) OVER wc) / 25.0
+              ELSE (lead(z) OVER wc - lag(z) OVER wc) / 50.0 END AS dzdx,
+         CASE WHEN c = 0 THEN (lead(z) OVER wr - z) / 25.0
+              WHEN c = {_GRID_W - 1} THEN (z - lag(z) OVER wr) / 25.0
+              ELSE (lead(z) OVER wr - lag(z) OVER wr) / 50.0 END AS dzdy
+  FROM grid
+  WINDOW wc AS (PARTITION BY c ORDER BY r),
+         wr AS (PARTITION BY r ORDER BY c)),
+g3 AS (
+  SELECT r, c,
+         atan(sqrt(dzdx * dzdx + dzdy * dzdy)) / {_RADC!r} AS slope_deg,
+         CASE WHEN dzdy = 0 AND dzdx = 0 THEN
+              ((450.0 - atan2(0.0, -0.0) / {_RADC!r}) % 360.0 + 360.0) % 360.0
+         ELSE ((450.0 - atan2(dzdy, -dzdx) / {_RADC!r}) % 360.0 + 360.0)
+              % 360.0 END AS aspect_deg
+  FROM g2),
+{_remap_cte_chain(slope_remap(90.0), 'g3', 'r, c', 'slope_deg', 'sc')},
+{_remap_cte_chain(ASPECT_REMAP, 'g3', 'r, c', 'aspect_deg', 'ac')}
+SELECT sc.r AS row_idx, sc.c AS col_idx, sc.v AS slope_class,
+       ac.v AS aspect_class
+FROM sc JOIN ac ON sc.r = ac.r AND sc.c = ac.c""")
+def r4_slope_aspect(spark, sf_dir):
+    """R4/R13 slope + compass aspect from a DEM grid, then R5/R6 remaps —
+    engine path: the numpy kernel (np.gradient + arctan/atan2) inside one
+    applyInPandas (reference: sa_tools.py:205-293)."""
+    from pyspark.sql.types import (LongType, StructField, StructType)
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c")
+    out_schema = StructType([
+        StructField("row_idx", LongType(), False),
+        StructField("col_idx", LongType(), False),
+        StructField("slope_class", LongType(), False),
+        StructField("aspect_class", LongType(), False),
+    ])
+
+    def compute(key, pdf: pd.DataFrame):
+        rmax = int(pdf.r.max())
+        grid = np.zeros((rmax + 1, _GRID_W), dtype=np.float64)
+        grid[pdf.r.values, pdf.c.values] = (
+            300.0 + 150.0 * np.sin(pdf.c.values * 0.21)
+            * np.cos(pdf.r.values * 0.17))
+        slope, aspect = kernels.cal_slope_aspect_vec(grid, 25.0, 25.0)
+        sc = kernels.reclassify_vec(slope, slope_remap(90.0))
+        ac = kernels.reclassify_vec(aspect, ASPECT_REMAP)
+        rr, cc = np.meshgrid(np.arange(rmax + 1), np.arange(_GRID_W),
+                             indexing="ij")
+        return pd.DataFrame({"row_idx": rr.ravel(), "col_idx": cc.ravel(),
+                             "slope_class": sc.ravel(),
+                             "aspect_class": ac.ravel()})
+
+    return ev.withColumn("g", F.lit(1)).groupBy("g") \
+        .applyInPandas(compute, schema=out_schema)
+
+
+# --- aggregations (A1, A2) ---------------------------------------------------
+
+@q("a1_zonal_stats", """
+SELECT l_orderkey % 97 AS zone,
+       CAST(min(l_quantity) AS BIGINT) AS stat_min,
+       CAST(max(l_quantity) AS BIGINT) AS stat_max,
+       CAST(floor(avg(l_quantity)) AS BIGINT) AS stat_avg,
+       CAST(floor(stddev_pop(l_quantity)) AS BIGINT) AS stat_std,
+       CAST(floor(median(l_quantity::DOUBLE)) AS BIGINT) AS stat_med,
+       CAST(count(*) AS BIGINT) AS pixel_count
+FROM lineitem GROUP BY l_orderkey % 97""")
+def a1_zonal_stats(spark, sf_dir):
+    """A1 zonal statistics (relational twin): min/max/avg/std/exact-median/
+    count, int-floored (reference:
+    testing/02_get_slope_from_buffer.py:219-251; the raster path is
+    pytest-verified in tests/test_joins_zonal.py)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.groupBy((F.col("l_orderkey") % 97).alias("zone"))
+            .agg(F.min("l_quantity").cast("long").alias("stat_min"),
+                 F.max("l_quantity").cast("long").alias("stat_max"),
+                 F.floor(F.avg("l_quantity")).cast("long").alias("stat_avg"),
+                 F.floor(F.stddev_pop("l_quantity")).cast("long")
+                 .alias("stat_std"),
+                 F.floor(F.expr("percentile(l_quantity, 0.5)")).cast("long")
+                 .alias("stat_med"),
+                 F.count("*").cast("long").alias("pixel_count")))
+
+
+@q("a2_circular_stats", """
+WITH asp AS (
+  SELECT l_orderkey % 50 AS zone,
+         CAST((l_partkey * 7919) % 3600 AS DOUBLE) / 10.0 AS v
+  FROM lineitem),
+rng AS (SELECT zone, min(v) AS mn, max(v) AS mx FROM asp GROUP BY zone),
+adj AS (
+  SELECT a.zone,
+         CASE WHEN r.mn < 90 AND r.mx > 270 AND a.v < 90.0
+              THEN a.v + 360.0 ELSE a.v END AS v
+  FROM asp a JOIN rng r ON a.zone = r.zone)
+SELECT z.zone,
+       CAST(round(CASE WHEN avg(z.v) > 360.0 THEN avg(z.v) - 360.0
+                       ELSE avg(z.v) END, 4) AS DOUBLE) AS avg_aspect,
+       CAST(round(CASE WHEN median(z.v) > 360.0 THEN median(z.v) - 360.0
+                       ELSE median(z.v) END, 4) AS DOUBLE) AS med_aspect,
+       CAST(round(stddev_pop(z.v), 4) AS DOUBLE) AS std_aspect
+FROM adj z GROUP BY z.zone""")
+def a2_circular_stats(spark, sf_dir):
+    """A2 circular (north-wrap) aspect statistics (reference:
+    testing/xx_get_elevation_aspect_slope.py:326-338)."""
+    li = _load(spark, sf_dir, "lineitem")
+    asp = li.select(
+        (F.col("l_orderkey") % 50).alias("zone"),
+        ((F.col("l_partkey") * 7919 % 3600).cast("double") / 10.0)
+        .alias("v"))
+    rng = asp.groupBy("zone").agg(F.min("v").alias("mn"),
+                                  F.max("v").alias("mx"))
+    adj = (asp.join(rng, "zone")
+           .select("zone",
+                   F.when((F.col("mn") < 90) & (F.col("mx") > 270)
+                          & (F.col("v") < 90.0), F.col("v") + 360.0)
+                   .otherwise(F.col("v")).alias("v")))
+    unwrap = lambda c: F.when(c > 360.0, c - 360.0).otherwise(c)
+    return adj.groupBy("zone").agg(
+        F.round(unwrap(F.avg("v")), 4).cast("double").alias("avg_aspect"),
+        F.round(unwrap(F.expr("percentile(v, 0.5)")), 4).cast("double")
+        .alias("med_aspect"),
+        F.round(F.stddev_pop("v"), 4).cast("double").alias("std_aspect"))
+
+
+# --- vector operators (V1, V13, V2/V7, V5, V6, V8, V3) ----------------------
+
+@q("v1_buffer_bbox", f"""
+WITH {POINTS_CTE}
+SELECT addr_id, CAST(x - 100.0 AS DOUBLE) AS xmin,
+       CAST(y - 100.0 AS DOUBLE) AS ymin,
+       CAST(x + 100.0 AS DOUBLE) AS xmax,
+       CAST(y + 100.0 AS DOUBLE) AS ymax
+FROM points""")
+def v1_buffer_bbox(spark, sf_dir):
+    """V1 buffer envelope (the 100 m consideration distance as a bbox;
+    reference: data_prep/gnaf/create_buffered_points.sql:10)."""
+    p = derived_points(spark, sf_dir)
+    return p.select("addr_id",
+                    (F.col("x") - 100.0).cast("double").alias("xmin"),
+                    (F.col("y") - 100.0).cast("double").alias("ymin"),
+                    (F.col("x") + 100.0).cast("double").alias("xmax"),
+                    (F.col("y") + 100.0).cast("double").alias("ymax"))
+
+
+@q("v13_extent", f"""
+WITH {BOXES_CTE}
+SELECT CAST(min(cx - hw) AS DOUBLE) AS xmin,
+       CAST(min(cy - hh) AS DOUBLE) AS ymin,
+       CAST(max(cx + hw) AS DOUBLE) AS xmax,
+       CAST(max(cy + hh) AS DOUBLE) AS ymax,
+       CAST(count(*) AS BIGINT) AS n
+FROM boxes""")
+def v13_extent(spark, sf_dir):
+    """V13 extent/bbox aggregation — axis-aligned extent math, no geometry
+    lib (reference: bal.py:146-199, 233-323)."""
+    b = derived_boxes(spark, sf_dir)
+    return b.agg(
+        F.min(F.col("cx") - F.col("hw")).cast("double").alias("xmin"),
+        F.min(F.col("cy") - F.col("hh")).cast("double").alias("ymin"),
+        F.max(F.col("cx") + F.col("hw")).cast("double").alias("xmax"),
+        F.max(F.col("cy") + F.col("hh")).cast("double").alias("ymax"),
+        F.count("*").cast("long").alias("n"))
+
+
+@q("v2_explode_parts", f"""
+WITH {BOXES_CTE},
+parts AS (
+  SELECT veg_id, 0 AS part_idx, cx - hw - 500.0 AS pcx, cy AS pcy, hw, hh
+  FROM boxes
+  UNION ALL
+  SELECT veg_id, 1 AS part_idx, cx + hw + 500.0 AS pcx, cy AS pcy, hw, hh
+  FROM boxes)
+SELECT veg_id, CAST(part_idx AS BIGINT) AS part_idx,
+       CAST(round(4.0 * hw * hh, 4) AS DOUBLE) AS area_m2
+FROM parts""")
+def v2_explode_parts(spark, sf_dir):
+    """V2 multipolygon explode + V7 per-part shoelace area: the engine
+    parses a 2-part MULTIPOLYGON WKT, explodes parts, computes areas
+    (reference: 03_explode_multipolygons_and_classify.sql:5-9,
+    04_merge_geometries.py:182-191)."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    from . import geometry
+    b = derived_boxes(spark, sf_dir)
+    # build a genuine MULTIPOLYGON WKT with two displaced parts
+    mk = lambda cx: F.format_string(
+        "((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
+        cx - F.col("hw"), F.col("cy") - F.col("hh"),
+        cx + F.col("hw"), F.col("cy") - F.col("hh"),
+        cx + F.col("hw"), F.col("cy") + F.col("hh"),
+        cx - F.col("hw"), F.col("cy") + F.col("hh"),
+        cx - F.col("hw"), F.col("cy") - F.col("hh"))
+    mp = b.select(
+        "veg_id",
+        F.concat(F.lit("MULTIPOLYGON ("),
+                 mk(F.col("cx") - F.col("hw") - 500.0), F.lit(", "),
+                 mk(F.col("cx") + F.col("hw") + 500.0),
+                 F.lit(")")).alias("wkt"))
+    out_schema = StructType([
+        StructField("veg_id", LongType(), False),
+        StructField("part_idx", LongType(), False),
+        StructField("area_m2", DoubleType(), False)])
+
+    def explode_parts(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                for i, ring in enumerate(geometry.parse_wkt(r.wkt)):
+                    rows.append({"veg_id": r.veg_id, "part_idx": i,
+                                 "area_m2": round(
+                                     geometry.ring_area(ring), 4)})
+            yield pd.DataFrame(rows, columns=["veg_id", "part_idx",
+                                              "area_m2"])
+
+    return mp.mapInPandas(explode_parts, schema=out_schema)
+
+
+@q("v5_class_lookup", """
+WITH lk(code, veg_class) AS (VALUES {values})
+SELECT p_partkey, lk.veg_class
+FROM (SELECT p_partkey, CAST(p_partkey % 33 + 1 AS BIGINT) AS code
+      FROM part) t
+JOIN lk ON t.code = lk.code""".format(values=", ".join(
+    f"({c}, {int(kernels.reclassify_vec(np.array([[float(c)]]), VEG_REMAP)[0, 0])})"
+    for c in range(1, 34))))
+def v5_class_lookup(spark, sf_dir):
+    """V5/J4 classification lookup join with a broadcast build side
+    (reference: 02_create_nvis_bal_map_table.sql:16-63)."""
+    lk_pdf = pd.DataFrame({
+        "code": list(range(1, 34)),
+        "veg_class": [int(kernels.reclassify_vec(
+            np.array([[float(c)]]), VEG_REMAP)[0, 0])
+            for c in range(1, 34)]})
+    lk = F.broadcast(spark.createDataFrame(lk_pdf))
+    p = _load(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") % 33 + 1).cast("long")
+        .alias("code"))
+    return p.join(lk, "code").select("p_partkey",
+                                     F.col("veg_class").cast("long")
+                                     .alias("veg_class"))
+
+
+@q("v6_dissolve", f"""
+WITH {BOXES_CTE}
+SELECT bal_number,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(round(sum(4.0 * hw * hh), 4) AS DOUBLE) AS area_m2
+FROM boxes GROUP BY bal_number""")
+def v6_dissolve(spark, sf_dir):
+    """V6 groupwise dissolve of disjoint parts: partial (per-cell) union +
+    final merge — for non-overlapping inputs union area == sum of parts, so
+    the oracle is a plain aggregate; the engine still runs the two-level
+    partial/final shape (reference:
+    03_explode_multipolygons_and_classify.sql:36-58,
+    04_merge_geometries.py:129-205)."""
+    from . import geometry
+
+    b = boxes_with_wkt(spark, sf_dir)
+    # partial: per (class, coarse-cell) groups -> (count, area) partials
+    part = (joins.with_cell(b.withColumn("x", F.col("cx"))
+                            .withColumn("y", F.col("cy")), 1600.0)
+            .groupBy("bal_number", "cell_id")
+            .agg(F.count("*").alias("pn"),
+                 F.sum(4.0 * F.col("hw") * F.col("hh")).alias("pa")))
+    # final: merge partials per class
+    return (part.groupBy("bal_number")
+            .agg(F.sum("pn").cast("long").alias("n_parts"),
+                 F.round(F.sum("pa"), 4).cast("double").alias("area_m2")))
+
+
+@q("v8_subdivide", f"""
+WITH {BOXES_CTE},
+pieces AS (
+  SELECT b.veg_id, gx.g AS cell_x, gy.g AS cell_y,
+         (least(b.cx + b.hw, (gx.g + 1) * 400.0)
+          - greatest(b.cx - b.hw, gx.g * 400.0))
+         * (least(b.cy + b.hh, (gy.g + 1) * 400.0)
+            - greatest(b.cy - b.hh, gy.g * 400.0)) AS piece_area
+  FROM boxes b,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor((b.cx - b.hw) / 400.0) AS BIGINT),
+           CAST(floor((b.cx + b.hw) / 400.0) AS BIGINT))) AS g) gx,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor((b.cy - b.hh) / 400.0) AS BIGINT),
+           CAST(floor((b.cy + b.hh) / 400.0) AS BIGINT))) AS g) gy)
+SELECT veg_id, cell_x, cell_y,
+       CAST(round(piece_area, 4) AS DOUBLE) AS piece_area
+FROM pieces WHERE piece_area > 0""")
+def v8_subdivide(spark, sf_dir):
+    """V8 polygon subdivision along grid-cell boundaries — the engine's
+    st_subdivide: Sutherland-Hodgman clip of each polygon to every cell its
+    bbox covers (reference: 03_explode...sql:66-75)."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    from . import geometry
+    b = boxes_with_wkt(spark, sf_dir)
+    out_schema = StructType([
+        StructField("veg_id", LongType(), False),
+        StructField("cell_x", LongType(), False),
+        StructField("cell_y", LongType(), False),
+        StructField("piece_area", DoubleType(), False)])
+
+    def subdivide(batches):
+        cell = 400.0
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                ring = geometry.parse_wkt(r.wkt)[0]
+                xmin, ymin, xmax, ymax = geometry.bbox(ring)
+                for gx in range(int(np.floor(xmin / cell)),
+                                int(np.floor(xmax / cell)) + 1):
+                    for gy in range(int(np.floor(ymin / cell)),
+                                    int(np.floor(ymax / cell)) + 1):
+                        piece = geometry.clip_ring_to_box(
+                            ring, gx * cell, gy * cell,
+                            (gx + 1) * cell, (gy + 1) * cell)
+                        if len(piece) >= 3:
+                            a = geometry.ring_area(piece)
+                            if a > 0:
+                                rows.append({"veg_id": r.veg_id,
+                                             "cell_x": gx, "cell_y": gy,
+                                             "piece_area": round(a, 4)})
+            yield pd.DataFrame(rows, columns=["veg_id", "cell_x", "cell_y",
+                                              "piece_area"])
+
+    return b.mapInPandas(subdivide, schema=out_schema)
+
+
+@q("v3_validity", f"""
+WITH {BOXES_CTE}
+SELECT veg_id,
+       CAST(CASE WHEN veg_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS is_valid
+FROM boxes""")
+def v3_validity(spark, sf_dir):
+    """V3 validity check: degenerate (zero-area) rings flagged invalid —
+    every 13th box is collapsed to a line before the check
+    (reference: 03_explode...sql:17-18)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from . import geometry
+    b = derived_boxes(spark, sf_dir).withColumn(
+        "hw2", F.when(F.col("veg_id") % 13 == 0, F.lit(0.0))
+        .otherwise(F.col("hw")))
+    wkt = F.format_string(
+        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
+        F.col("cx") - F.col("hw2"), F.col("cy") - F.col("hh"),
+        F.col("cx") + F.col("hw2"), F.col("cy") - F.col("hh"),
+        F.col("cx") + F.col("hw2"), F.col("cy") + F.col("hh"),
+        F.col("cx") - F.col("hw2"), F.col("cy") + F.col("hh"),
+        F.col("cx") - F.col("hw2"), F.col("cy") - F.col("hh"))
+    w = b.select("veg_id", wkt.alias("wkt"))
+    out_schema = StructType([StructField("veg_id", LongType(), False),
+                             StructField("is_valid", LongType(), False)])
+
+    def check(batches):
+        for pdf in batches:
+            rows = [{"veg_id": r.veg_id,
+                     "is_valid": int(geometry.ring_is_valid(
+                         geometry.parse_wkt(r.wkt)[0]))}
+                    for r in pdf.itertuples()]
+            yield pd.DataFrame(rows, columns=["veg_id", "is_valid"])
+
+    return w.mapInPandas(check, schema=out_schema)
+
+
+# --- spatial joins (V9/J2, V10/J3, V11) --------------------------------------
+
+@q("v9_pip_join", f"""
+WITH {POINTS_CTE}, {BOXES_CTE}
+SELECT p.addr_id, b.veg_id, b.bal_number
+FROM points p JOIN boxes b
+  ON p.x > b.cx - b.hw AND p.x < b.cx + b.hw
+ AND p.y > b.cy - b.hh AND p.y < b.cy + b.hh""")
+def v9_pip_join(spark, sf_dir):
+    """V9/J2 point-in-polygon join: the engine's cell-cover broadcast join +
+    exact ray-cast refine (reference: testing/test_gdal.py:127,138)."""
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    b = boxes_with_wkt(spark, sf_dir).select(
+        F.col("veg_id").cast("string").alias("veg_id"), "bal_number", "wkt")
+    out = joins.pip_join(p, b)
+    return out.select(F.col("addr_id").cast("long").alias("addr_id"),
+                      F.col("veg_id").cast("long").alias("veg_id"),
+                      F.col("bal_number").cast("long").alias("bal_number"))
+
+
+@q("v10_dwithin_join", f"""
+WITH {POINTS_CTE}, {BOXES_CTE}
+SELECT p.addr_id, b.veg_id,
+       CAST(round({_BOX_DIST}, 4) AS DOUBLE) AS distance_m
+FROM points p JOIN boxes b ON {_BOX_DIST} <= 150.0""")
+def v10_dwithin_join(spark, sf_dir):
+    """V10/J3 distance-within join via radius-padded cell cover + exact
+    refine (reference: data_prep/vegetation/xx_testing.sql:161-189)."""
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    b = boxes_with_wkt(spark, sf_dir).select(
+        F.col("veg_id").cast("string").alias("veg_id"), "bal_number", "wkt")
+    out = joins.dwithin_join(p, b, 150.0)
+    return out.select(F.col("addr_id").cast("long").alias("addr_id"),
+                      F.col("veg_id").cast("long").alias("veg_id"),
+                      F.round("distance_m", 4).cast("double")
+                      .alias("distance_m"))
+
+
+@q("v11_knn", f"""
+WITH {POINTS_CTE}, {BOXES_CTE},
+scored AS (
+  SELECT p.addr_id, b.veg_id, {_BOX_DIST} AS d
+  FROM points p CROSS JOIN boxes b)
+SELECT addr_id, veg_id, CAST(round(d, 4) AS DOUBLE) AS distance_m
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY addr_id
+                           ORDER BY d ASC, veg_id ASC) = 1""")
+def v11_knn(spark, sf_dir):
+    """V11 nearest-feature kNN via ring expansion with lower-bound
+    termination (reference: data_prep/vegetation/xx_fiona_testing.py:203-227)."""
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    # zero-pad ids so the engine's string tie-break equals numeric order
+    b = boxes_with_wkt(spark, sf_dir).select(
+        F.format_string("%06d", F.col("veg_id")).alias("veg_id"),
+        "bal_number", "wkt")
+    out = joins.knn_join(p, b, max_ring=16)
+    return out.select(F.col("addr_id").cast("long").alias("addr_id"),
+                      F.col("veg_id").cast("long").alias("veg_id"),
+                      F.round("distance_m", 4).cast("double")
+                      .alias("distance_m"))
+
+
+# --- text / dedup / ANN (training-data pipeline ops) -------------------------
+
+@q("dedup_exact", """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash aggregate, map-side combine)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.exact_dedup_groups(d)
+    return out.select("content_hash",
+                      F.col("keep_id").cast("long").alias("keep_id"),
+                      F.col("n_dups").cast("long").alias("n_dups"))
+
+
+_SHINGLES_CTE = """
+norm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+  FROM documents),
+longdocs AS (SELECT doc_id, n FROM norm WHERE length(n) >= 8),
+shingle AS (
+  SELECT DISTINCT doc_id, substr(n, p.g, 8) AS shingle
+  FROM longdocs,
+       LATERAL (SELECT unnest(generate_series(1, length(n) - 7)) AS g) p)"""
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingle a JOIN shingle b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       CAST(round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS DOUBLE)
+           AS jaccard
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.4""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs (shingle equi-join prefilter)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.ngram_jaccard_pairs(d, k=8, threshold=0.4)
+    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
+                      F.col("doc_b").cast("long").alias("doc_b"),
+                      F.col("jaccard").cast("double").alias("jaccard"))
+
+
+@q("dedup_minhash_lsh", f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         min(md5('{i}|' || shingle)) AS mh{i}" for i in range(12))
+    + """
+  FROM shingle GROUP BY doc_id),
+banded AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, "
+    f"md5(mh{3 * b} || mh{3 * b + 1} || mh{3 * b + 2}) AS key FROM mh"
+    for b in range(4)) + """
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH banding candidate pairs (12 hashes, 4 bands x 3 rows)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.minhash_lsh_pairs(d, k=8, n_hashes=12, bands=4)
+    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
+                      F.col("doc_b").cast("long").alias("doc_b"))
+
+
+@q("text_token_count", """
+SELECT doc_id,
+       CAST(len(string_split(trim(lower(regexp_replace(
+            text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) > 0""")
+def text_token_count(spark, sf_dir):
+    """Whitespace token counting."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.token_counts(d)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_tokens")
+
+
+@q("doc_fingerprint", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents""")
+def doc_fingerprint(spark, sf_dir):
+    """Per-document stable content fingerprint."""
+    d = _load(spark, sf_dir, "documents")
+    return textops.fingerprints(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
+
+
+@q("ann_cosine_topk", """
+WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qvec,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 5)
+             AS cosine
+  FROM embeddings e CROSS JOIN q)
+SELECT vec_id, CAST(cosine AS DOUBLE) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the first embedding (the ANN
+    baseline; the LSH-bucketed scale path is ann_lsh_neardup)."""
+    e = _load(spark, sf_dir, "embeddings")
+    query = e.orderBy("vec_id").limit(1)
+    return annops.cosine_topk(e, query, k=10)
+
+
+@q("emb_centroid_by_label", """
+WITH dims AS (
+  SELECT label, u.i AS i, avg(CAST(embedding[u.i] AS DOUBLE)) AS c
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+  GROUP BY label, u.i)
+SELECT label, CAST(round(sqrt(sum(c * c)), 5) AS DOUBLE) AS centroid_norm,
+       CAST(count(*) AS BIGINT) AS dims
+FROM dims GROUP BY label""")
+def emb_centroid_by_label(spark, sf_dir):
+    """Per-label centroid norms (dimension-parallel partial aggregation)."""
+    e = _load(spark, sf_dir, "embeddings")
+    out = annops.centroids_by_label(e)
+    return out.select(F.col("label").cast("long").alias("label"),
+                      "centroid_norm",
+                      F.col("dims").cast("long").alias("dims"))
+
+
+@q("text_quality", """
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+  WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+feat AS (
+  SELECT doc_id, norm,
+         CAST(len(string_split(trim(norm), ' ')) AS DOUBLE) AS toks,
+         length(norm) - length(regexp_replace(norm, '[^a-z ]', '', 'g'))
+             AS nonalpha,
+         (""" + " + ".join(
+    f"""(length(' ' || norm || ' ')
+      - length(replace(' ' || norm || ' ', ' {w} ', ' '))) / {len(w) + 1}.0"""
+    for w in ("the", "a", "and", "of", "to", "in")) + """) AS stop_hits
+  FROM n)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS n_chars,
+       CAST(toks AS BIGINT) AS n_tokens,
+       CAST(round(length(norm) / toks, 6) AS DOUBLE) AS mean_token_len,
+       CAST(round(stop_hits / toks, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(nonalpha / length(norm), 6) AS DOUBLE) AS nonalpha_ratio
+FROM feat""")
+def text_quality(spark, sf_dir):
+    """Heuristic quality scoring (length/stopword/non-alpha ratios)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.quality_scores(d)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_chars", "n_tokens", "mean_token_len",
+                      "stopword_ratio", "nonalpha_ratio")
+
+
+@q("text_langid", """
+WITH n AS (
+  SELECT doc_id, ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' '
+             AS padded,
+         length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS L
+  FROM documents),
+scores AS (
+""" + "\n  UNION ALL\n".join(
+    f"""  SELECT doc_id, '{lang}' AS lang,
+         CAST((""" + " + ".join(
+        f"""(length(padded) - length(replace(padded, ' {w} ', ' ')))
+            / {len(w) + 1}.0""" for w in words)
+    + """) AS BIGINT) AS hits FROM n WHERE L > 0"""
+    for lang, words in sorted({
+        "en": ("the", "and", "is"), "es": ("el", "la", "que"),
+        "fr": ("le", "la", "et"), "de": ("der", "und", "die")}.items()))
+    + """
+)
+SELECT doc_id,
+       CASE WHEN max(hits) > 0
+            THEN max_by(lang, lpad(CAST(hits AS VARCHAR), 10, '0') || lang)
+            ELSE 'und' END AS lang_guess,
+       CAST(max(hits) AS BIGINT) AS marker_hits
+FROM scores GROUP BY doc_id""")
+def text_langid(spark, sf_dir):
+    """Marker-stopword language identification (argmax, deterministic
+    tie-break on language code)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.lang_id(d)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang_guess", "marker_hits")
+
+
+@q("j5_self_join_delta", """
+SELECT a.l_orderkey, a.l_linenumber,
+       CAST(round(b.l_quantity - a.l_quantity, 2) AS DOUBLE) AS qty_delta
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1""")
+def j5_self_join_delta(spark, sf_dir):
+    """J5 self-join delta QA (reference: testing/xx_testing.sql:5-49)."""
+    li = _load(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").alias("qa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"),
+                  (F.col("l_linenumber") - 1).alias("ln2"),
+                  F.col("l_quantity").alias("qb"))
+    return (a.join(b, (a.l_orderkey == b.ok2) & (a.l_linenumber == b.ln2))
+            .select("l_orderkey", "l_linenumber",
+                    F.round(F.col("qb") - F.col("qa"), 2).cast("double")
+                    .alias("qty_delta")))
+
+
+# LSH near-dup: engine-only (bucket recall < 100% by design, no SQL oracle)
+@q("ann_lsh_neardup")
+def ann_lsh_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — rows-only check (bucketing
+    recall is probabilistic; exact twin is verified via ann_cosine_topk).
+    Threshold tuned to the synthetic corpus (max pairwise cosine ~0.51)."""
+    e = _load(spark, sf_dir, "embeddings")
+    return annops.lsh_neardup_pairs(e, threshold=0.30, n_planes=6)
+
+
+def all_queries():
+    return dict(QUERIES)
+
+
+def all_oracles():
+    return dict(ORACLES)

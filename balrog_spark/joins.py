@@ -207,30 +207,37 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
 
         return cand.mapInPandas(refine, schema=out_schema)
 
+    # geometric ring batches: each round probes the annulus (prev, r] so the
+    # driver loop is O(log max_ring) Spark jobs; localCheckpoint truncates
+    # lineage so the iterative plan can't blow up
+    rounds = []
+    r = 0
+    while r <= max_ring:
+        rounds.append(r)
+        r = 1 if r == 0 else r * 2
+    if rounds[-1] != max_ring:
+        rounds.append(max_ring)
+
     resolved_parts = []
     unresolved = pts
     best_so_far = None  # best candidate per addr so far (may not be final)
-    for r in range(max_ring + 1):
+    prev = -1
+    for r in rounds:
+        offs = [(dx, dy) for dx in range(-r, r + 1)
+                for dy in range(-r, r + 1)
+                if prev < max(abs(dx), abs(dy)) <= r]
         if r == 0:
-            ring_cells = unresolved.select(
-                "addr_id", "x", "y",
-                F.col("cell_id").alias("probe_cell"))
-        else:
-            # cells at exactly Chebyshev ring r (pure column math: explode a
-            # literal offsets array)
-            offs = [(dx, dy) for dx in range(-r, r + 1)
-                    for dy in range(-r, r + 1)
-                    if max(abs(dx), abs(dy)) == r]
-            offs_col = F.array(*[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx, dy in offs])
-            ring_cells = unresolved.select(
-                "addr_id", "x", "y", "cell_id",
-                F.explode(offs_col).alias("o")
-            ).select(
-                "addr_id", "x", "y",
-                (F.col("cell_id") + F.col("o.dx") * F.lit(1 << 20)
-                 + F.col("o.dy")).alias("probe_cell"))
+            offs = [(0, 0)]
+        offs_col = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs])
+        ring_cells = unresolved.select(
+            "addr_id", "x", "y", "cell_id",
+            F.explode(offs_col).alias("o")
+        ).select(
+            "addr_id", "x", "y",
+            (F.col("cell_id") + F.col("o.dx") * F.lit(1 << 20)
+             + F.col("o.dy")).alias("probe_cell"))
 
         cand = ring_cells.join(
             cover_b.withColumnRenamed("cell_id", "probe_cell"), "probe_cell")
@@ -242,7 +249,8 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         w = Window.partitionBy("addr_id").orderBy(
             F.col("distance_m").asc(), F.col("veg_id").asc())
         best = scored.withColumn("rn", F.row_number().over(w)) \
-            .filter(F.col("rn") == 1).drop("rn").cache()
+            .filter(F.col("rn") == 1).drop("rn") \
+            .localCheckpoint(eager=True)
 
         bound = r * cell_m
         done = best.filter(F.col("distance_m") <= F.lit(bound))
@@ -250,7 +258,8 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         resolved_parts.append(done)
         # anti-join: drop resolved points from the frontier
         unresolved = unresolved.join(done.select("addr_id"), "addr_id",
-                                     "left_anti")
+                                     "left_anti").localCheckpoint(eager=True)
+        prev = r
         if unresolved.isEmpty():
             best_so_far = None
             break

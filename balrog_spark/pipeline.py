@@ -85,11 +85,8 @@ def classify_bal(df: DataFrame, spark: SparkSession,
                               "t3", "t4", "b1", "b2", "b3", "b4", "b5")])
 
 
-def remap_column(col, remap: str):
-    """Scalar-column twin of the reclassify DSL (R1) with the same
-    sequential-mutation semantics: each range is applied to the result of the
-    previous ones (reference: sa_tools.py:172-194)."""
-    cur = col
+def _parse_remap(remap: str):
+    rules = []
     for a_map in remap.split(";"):
         parts = a_map.lstrip().split(" ")
         if len(parts) == 2:
@@ -97,10 +94,59 @@ def remap_column(col, remap: str):
         else:
             start, end, new = float(parts[0]), float(parts[1]), parts[2]
         end += 0.0001
-        new_value = float(NODATA) if new == "NODATA" else float(int(new))
-        cur = F.when((cur >= start) & (cur < end),
-                     F.lit(new_value)).otherwise(cur)
-    return cur.cast("int")
+        rules.append((start, end,
+                      float(NODATA) if new == "NODATA" else float(int(new))))
+    return rules
+
+
+def composed_remap_intervals(remap: str):
+    """Pre-compose the sequential reclassify DSL into a flat piecewise map
+    over the ORIGINAL value domain.
+
+    The DSL mutates in place, so later ranges can re-remap earlier outputs
+    (reference: sa_tools.py:172-194). But the final value is constant within
+    any interval of the original domain bounded by consecutive range
+    endpoints: trace one representative per interval through the sequential
+    rules and emit (lo, hi, final) pieces; untouched intervals keep identity.
+    This keeps the Spark expression tree LINEAR in the number of ranges
+    (naive when/otherwise folding is exponential)."""
+    rules = _parse_remap(remap)
+    bps = sorted({b for s, e, _ in rules for b in (s, e)})
+    edges = [-np.inf] + bps + [np.inf]
+    pieces = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if lo == hi:
+            continue
+        if np.isinf(lo):
+            rep = hi - 1.0
+        elif np.isinf(hi):
+            rep = lo  # interval [last_bp, inf): representative at the edge
+        else:
+            rep = (lo + hi) / 2.0
+        c = rep
+        hit = False
+        for s, e, nv in rules:
+            if s <= c < e:
+                c = nv
+                hit = True
+        if hit:
+            pieces.append((lo, hi, c))
+    return pieces
+
+
+def remap_column(col, remap: str):
+    """Scalar-column twin of the reclassify DSL (R1), value-identical to the
+    array kernel: flat when-chain over the composed piecewise map, identity
+    fall-through, int truncation like ``astype(int)``."""
+    pieces = composed_remap_intervals(remap)
+    expr = None
+    for lo, hi, val in pieces:
+        cond = ((col >= F.lit(lo)) if not np.isinf(lo) else F.lit(True)) \
+            & ((col < F.lit(hi)) if not np.isinf(hi) else F.lit(True))
+        expr = F.when(cond, F.lit(val)) if expr is None \
+            else expr.when(cond, F.lit(val))
+    expr = col if expr is None else expr.otherwise(col)
+    return expr.cast("int")
 
 
 def direction_class(azimuth_col):
