@@ -1,0 +1,96 @@
+"""Per-partition lineage checkpointing and mid-run resume.
+
+The reference restarts a failed 36-hour dissolve from zero; the engine
+instead records a manifest row per completed work bucket (partition) and
+skips completed buckets on re-run — the Iceberg-snapshot pattern of the
+north rule realized over any table format (parquet locally; swap the
+``_write``/``_read`` pair for Iceberg ``append``/snapshot reads on a
+cluster; the manifest itself is idempotent-append).
+
+Bucket = pmod(hash(partition key), n_buckets): deterministic, uniform, and
+independent of input order, so a resumed run processes exactly the missing
+buckets and the union of outputs is bit-identical to a single run (asserted
+in tests, including a simulated mid-run kill).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set:
+    path = _manifest_path(out_dir)
+    if not os.path.isdir(path):
+        return set()
+    done = set()
+    for fn in sorted(os.listdir(path)):
+        if fn.endswith(".json"):
+            with open(os.path.join(path, fn)) as f:
+                rec = json.load(f)
+            done.add(rec["bucket"])
+    return done
+
+
+def _record(out_dir: str, rec: dict):
+    path = _manifest_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    fn = os.path.join(path, f"bucket-{rec['bucket']:05d}.json")
+    tmp = fn + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, fn)  # atomic commit of the lineage row
+
+
+def run_partitioned(spark: SparkSession, inputs: DataFrame, key_cols,
+                    compute, out_dir: str, n_buckets: int = 8,
+                    stage: str = "stage",
+                    fail_after: int | None = None) -> None:
+    """Run ``compute(bucket_df) -> DataFrame`` once per hash bucket of the
+    input, appending each bucket's output under ``out_dir`` and committing a
+    lineage row per completed bucket. Re-running resumes: completed buckets
+    are anti-joined away by bucket id.
+
+    ``fail_after`` aborts after N buckets (test hook simulating a mid-run
+    kill).
+    """
+    done = completed_buckets(spark, out_dir)
+    bucket_col = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
+    src = inputs.withColumn("_bucket", bucket_col)
+    processed = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        part = src.filter(F.col("_bucket") == b).drop("_bucket")
+        out = compute(part)
+        (out.write.mode("append")
+            .parquet(os.path.join(out_dir, "data")))
+        n_out = out.count()
+        _record(out_dir, {
+            "stage": stage, "bucket": b, "rows_out": n_out,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "checksum": _cheap_checksum(out),
+        })
+        processed += 1
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"simulated failure after {processed} buckets")
+
+
+def _cheap_checksum(df: DataFrame) -> int:
+    """Order-insensitive row checksum (sum of per-row hashes) — the lineage
+    integrity field."""
+    row = df.select(
+        F.sum(F.hash(*df.columns).cast("long")).alias("c")).collect()[0]
+    return int(row.c) if row.c is not None else 0
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

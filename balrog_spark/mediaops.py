@@ -1,0 +1,123 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+mapInPandas stages. The decode step itself is STUBBED in this environment
+(no image/audio codecs in the container): ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+pseudo-decode (hash-seeded pixel array of the declared shape) exercises the
+real Spark-side plumbing — schema, batching, partitioning and UDF signatures
+are production-shaped and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+MEDIA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),      # image | audio | video
+    StructField("mime", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("payload", BinaryType(), False),
+])
+
+FEATURES = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("feat", ArrayType(FloatType()), False),
+    StructField("out_w", IntegerType(), False),
+    StructField("out_h", IntegerType(), False),
+])
+
+
+def decode_image(payload: bytes, width: int, height: int,
+                 fake: bool = False) -> np.ndarray:
+    """Decode an image payload to (h, w, 3) uint8.
+
+    STUB: real codecs are unavailable in this container. ``fake=True``
+    produces a deterministic array seeded by the payload digest so the
+    downstream plumbing is fully exercised and reproducible.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "pass fake=True for the deterministic pseudo-decode")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure numpy indexing)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[ri][:, ci]
+
+
+def image_features(media: DataFrame, out_w: int = 8, out_h: int = 8,
+                   fake_decode: bool = True) -> DataFrame:
+    """Decode -> resize -> per-channel mean feature vector, one Arrow batch
+    at a time. The production path swaps decode_image's body for a codec;
+    the Spark plan is unchanged."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.kind != "image":
+                    continue
+                img = decode_image(bytes(r.payload), int(r.width),
+                                   int(r.height), fake=fake_decode)
+                small = resize_nearest(img, out_w, out_h)
+                feat = (small.astype(np.float32) / 255.0) \
+                    .mean(axis=2).ravel()
+                rows.append({"media_id": r.media_id, "feat": feat,
+                             "out_w": out_w, "out_h": out_h})
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES])
+
+    return media.mapInPandas(gen, schema=FEATURES)
+
+
+FRAMES = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", LongType(), False),
+])
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video payloads: pure column math (sequence +
+    explode), no decode — the downstream decode stage consumes
+    (media_id, frame_idx) pairs."""
+    v = media.filter(F.col("kind") == "video")
+    return v.select(
+        "media_id",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+            F.lit(every_n))).alias("fi")
+    ).select("media_id", F.col("fi").cast("long").alias("frame_idx"))
+
+
+def synthetic_media(spark, n: int = 8) -> DataFrame:
+    """Deterministic media rows for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        rows.append({
+            "media_id": f"m-{i:04d}", "kind": kind,
+            "mime": {"image": "image/png", "audio": "audio/wav",
+                     "video": "video/mp4"}[kind],
+            "width": 16 + (i % 3) * 8, "height": 12 + (i % 2) * 8,
+            "n_frames": 30 * (i + 1) if kind == "video" else None,
+            "payload": bytearray(payload),
+        })
+    return spark.createDataFrame(rows, schema=MEDIA)

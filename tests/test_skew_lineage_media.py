@@ -1,0 +1,110 @@
+"""Skew salting, checkpoint/resume lineage, and multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from balrog_spark import lineage, mediaops, skew
+
+
+def test_salted_aggregate_matches_direct(spark):
+    # skewed input: key 0 holds ~90% of rows
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7 + 1)
+        .alias("k"),
+        (F.col("id") * 3 % 101).alias("v"))
+    got = skew.salted_aggregate(
+        df, ["k"],
+        partial_aggs={"pn": F.count("*"), "ps": F.sum("v"),
+                      "pm": F.max("v")},
+        final_aggs={"n": F.sum("pn"), "s": F.sum("ps"), "mx": F.max("pm")},
+        threshold=1000, n_salt=8).orderBy("k").collect()
+    exp = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"),
+        F.max("v").alias("mx")).orderBy("k").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # the hot key must actually be detected
+    hot = skew.hot_keys(df, ["k"], 1000).collect()
+    assert [r.k for r in hot] == [0]
+
+
+def test_hot_key_salting_splits_groups(spark):
+    df = spark.range(0, 5000).select(F.lit(7).alias("k"),
+                                     F.col("id").alias("v"))
+    hot = skew.hot_keys(df, ["k"], 100)
+    salted = skew.with_salt(df, ["k"], hot, n_salt=8)
+    n_salts = salted.select("salt").distinct().count()
+    assert n_salts > 1  # the hot group really is split
+
+
+def test_lineage_resume_after_simulated_kill(spark, tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    inputs = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 17 % 997).alias("v"))
+
+    def compute(part):
+        return part.groupBy((F.col("k") % 10).alias("g")).agg(
+            F.sum("v").alias("s"), F.count("*").alias("n"))
+
+    # first run dies after 3 of 8 buckets
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                                n_buckets=8, fail_after=3)
+    done1 = lineage.completed_buckets(spark, out_dir)
+    assert len(done1) == 3
+
+    # resume: only the remaining buckets run
+    lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                            n_buckets=8)
+    done2 = lineage.completed_buckets(spark, out_dir)
+    assert len(done2) == 8
+
+    # the union of per-bucket outputs equals the single-pass result
+    got = (lineage.read_output(spark, out_dir)
+           .groupBy("g").agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+           .orderBy("g").collect())
+    exp = (compute(inputs).orderBy("g").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_lineage_rerun_is_noop(spark, tmp_path):
+    out_dir = str(tmp_path / "ckpt2")
+    inputs = spark.range(0, 100).select(F.col("id").alias("k"),
+                                        F.col("id").alias("v"))
+    compute = lambda part: part.select("k", "v")
+    lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                            n_buckets=4)
+    n1 = lineage.read_output(spark, out_dir).count()
+    lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                            n_buckets=4)  # all buckets complete -> no-op
+    n2 = lineage.read_output(spark, out_dir).count()
+    assert n1 == n2 == 100
+
+
+def test_media_image_features_plumbing(spark):
+    media = mediaops.synthetic_media(spark, 9)
+    feats = mediaops.image_features(media, out_w=4, out_h=4).collect()
+    imgs = [r for r in media.collect() if r.kind == "image"]
+    assert len(feats) == len(imgs)
+    for r in feats:
+        assert len(r.feat) == 16
+        assert all(0.0 <= v <= 1.0 for v in r.feat)
+    # determinism: same payload -> same features
+    feats2 = mediaops.image_features(media, out_w=4, out_h=4).collect()
+    assert sorted((r.media_id, tuple(r.feat)) for r in feats) == \
+        sorted((r.media_id, tuple(r.feat)) for r in feats2)
+
+
+def test_media_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_image(b"xx", 4, 4, fake=False)
+
+
+def test_media_frame_sampling(spark):
+    media = mediaops.synthetic_media(spark, 9)
+    frames = mediaops.sample_frames(media, every_n=10)
+    got = {(r.media_id, r.frame_idx) for r in frames.collect()}
+    for r in media.collect():
+        if r.kind == "video":
+            exp = set(range(0, r.n_frames, 10))
+            assert {f for m, f in got if m == r.media_id} == exp
