@@ -31,8 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.format_string("%06d", F.col("veg_id")).alias("veg_id"),
         "bal_number", "wkt")
 
-    # DEM tiles covering the derived 4000x4000 m world (tile = 1600 m)
-    tiles = corpus.spark_tiles(spark, 3, 3)
+    # DEM tiles covering the derived world (tile = 1600 m)
+    import math
+
+    from balrog_spark.driver_queries import world_m
+    n_tiles = max(math.ceil(world_m(spark, sf_dir) / corpus.TILE_M), 1)
+    tiles = corpus.spark_tiles(spark, n_tiles, n_tiles)
 
     from balrog_spark import docparse, joins, raster, zonal
     knn = joins.knn_join(addrs.select("addr_id", "x", "y"), vegs)

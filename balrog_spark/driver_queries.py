@@ -33,21 +33,30 @@ from .pipeline import bal_lookup_pdf, classify_bal, remap_column
 # derived spatial inputs (identical arithmetic on both engines)
 # ---------------------------------------------------------------------------
 
-POINTS_CTE = """
+# the derived world's side length scales with sqrt(row count) so spatial
+# density (and thus join selectivity) is constant across scale factors —
+# identical integer math on both engines
+PREAMBLE = """
+world AS (
+  SELECT 400 * CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM customer
+),
 points AS (
   SELECT c_custkey AS addr_id,
-         CAST((c_custkey * 37) % 4000 AS DOUBLE) + 0.125 AS x,
-         CAST((c_custkey * 91) % 4000 AS DOUBLE) + 0.625 AS y,
+         CAST((c_custkey * 2654435761) % (SELECT w FROM world) AS DOUBLE) + 0.125
+             AS x,
+         CAST((c_custkey * 2246822519) % (SELECT w FROM world) AS DOUBLE) + 0.625
+             AS y,
          CASE (c_custkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80
               WHEN 2 THEN 50 ELSE 40 END AS fdi
   FROM customer
-)"""
-
-BOXES_CTE = """
+),
 boxes AS (
   SELECT s_suppkey AS veg_id,
-         CAST((s_suppkey * 73) % 4000 AS DOUBLE) + 0.5 AS cx,
-         CAST((s_suppkey * 131) % 4000 AS DOUBLE) + 0.5 AS cy,
+         CAST((s_suppkey * 3266489917) % (SELECT w FROM world) AS DOUBLE) + 0.5
+             AS cx,
+         CAST((s_suppkey * 668265263) % (SELECT w FROM world) AS DOUBLE) + 0.5
+             AS cy,
          CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw,
          CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh,
          CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number
@@ -59,20 +68,29 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def world_m(spark, sf_dir) -> int:
+    """Side length of the derived world (same formula as the oracle's
+    ``world`` CTE)."""
+    n = _load(spark, sf_dir, "customer").count()
+    return 400 * int(np.floor(np.sqrt(float(n))))
+
+
 def derived_points(spark, sf_dir) -> DataFrame:
+    w = world_m(spark, sf_dir)
     return _load(spark, sf_dir, "customer").selectExpr(
         "c_custkey AS addr_id",
-        "CAST((c_custkey * 37) % 4000 AS DOUBLE) + 0.125 AS x",
-        "CAST((c_custkey * 91) % 4000 AS DOUBLE) + 0.625 AS y",
+        f"CAST((c_custkey * 2654435761) % {w} AS DOUBLE) + 0.125 AS x",
+        f"CAST((c_custkey * 2246822519) % {w} AS DOUBLE) + 0.625 AS y",
         "CASE (c_custkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80 "
         "WHEN 2 THEN 50 ELSE 40 END AS fdi")
 
 
 def derived_boxes(spark, sf_dir) -> DataFrame:
+    w = world_m(spark, sf_dir)
     return _load(spark, sf_dir, "supplier").selectExpr(
         "s_suppkey AS veg_id",
-        "CAST((s_suppkey * 73) % 4000 AS DOUBLE) + 0.5 AS cx",
-        "CAST((s_suppkey * 131) % 4000 AS DOUBLE) + 0.5 AS cy",
+        f"CAST((s_suppkey * 3266489917) % {w} AS DOUBLE) + 0.5 AS cx",
+        f"CAST((s_suppkey * 668265263) % {w} AS DOUBLE) + 0.5 AS cy",
         "CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw",
         "CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh",
         "CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number")
@@ -591,7 +609,7 @@ def a2_circular_stats(spark, sf_dir):
 # --- vector operators (V1, V13, V2/V7, V5, V6, V8, V3) ----------------------
 
 @q("v1_buffer_bbox", f"""
-WITH {POINTS_CTE}
+WITH {PREAMBLE}
 SELECT addr_id, CAST(x - 100.0 AS DOUBLE) AS xmin,
        CAST(y - 100.0 AS DOUBLE) AS ymin,
        CAST(x + 100.0 AS DOUBLE) AS xmax,
@@ -609,7 +627,7 @@ def v1_buffer_bbox(spark, sf_dir):
 
 
 @q("v13_extent", f"""
-WITH {BOXES_CTE}
+WITH {PREAMBLE}
 SELECT CAST(min(cx - hw) AS DOUBLE) AS xmin,
        CAST(min(cy - hh) AS DOUBLE) AS ymin,
        CAST(max(cx + hw) AS DOUBLE) AS xmax,
@@ -629,7 +647,7 @@ def v13_extent(spark, sf_dir):
 
 
 @q("v2_explode_parts", f"""
-WITH {BOXES_CTE},
+WITH {PREAMBLE},
 parts AS (
   SELECT veg_id, 0 AS part_idx, cx - hw - 500.0 AS pcx, cy AS pcy, hw, hh
   FROM boxes
@@ -707,7 +725,7 @@ def v5_class_lookup(spark, sf_dir):
 
 
 @q("v6_dissolve", f"""
-WITH {BOXES_CTE}
+WITH {PREAMBLE}
 SELECT bal_number,
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(round(sum(4.0 * hw * hh), 4) AS DOUBLE) AS area_m2
@@ -735,7 +753,7 @@ def v6_dissolve(spark, sf_dir):
 
 
 @q("v8_subdivide", f"""
-WITH {BOXES_CTE},
+WITH {PREAMBLE},
 pieces AS (
   SELECT b.veg_id, gx.g AS cell_x, gy.g AS cell_y,
          (least(b.cx + b.hw, (gx.g + 1) * 400.0)
@@ -793,7 +811,7 @@ def v8_subdivide(spark, sf_dir):
 
 
 @q("v3_validity", f"""
-WITH {BOXES_CTE}
+WITH {PREAMBLE}
 SELECT veg_id,
        CAST(CASE WHEN veg_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
            AS is_valid
@@ -832,7 +850,7 @@ def v3_validity(spark, sf_dir):
 # --- spatial joins (V9/J2, V10/J3, V11) --------------------------------------
 
 @q("v9_pip_join", f"""
-WITH {POINTS_CTE}, {BOXES_CTE}
+WITH {PREAMBLE}
 SELECT p.addr_id, b.veg_id, b.bal_number
 FROM points p JOIN boxes b
   ON p.x > b.cx - b.hw AND p.x < b.cx + b.hw
@@ -851,7 +869,7 @@ def v9_pip_join(spark, sf_dir):
 
 
 @q("v10_dwithin_join", f"""
-WITH {POINTS_CTE}, {BOXES_CTE}
+WITH {PREAMBLE}
 SELECT p.addr_id, b.veg_id,
        CAST(round({_BOX_DIST}, 4) AS DOUBLE) AS distance_m
 FROM points p JOIN boxes b ON {_BOX_DIST} <= 150.0""")
@@ -870,7 +888,7 @@ def v10_dwithin_join(spark, sf_dir):
 
 
 @q("v11_knn", f"""
-WITH {POINTS_CTE}, {BOXES_CTE},
+WITH {PREAMBLE},
 scored AS (
   SELECT p.addr_id, b.veg_id, {_BOX_DIST} AS d
   FROM points p CROSS JOIN boxes b)

@@ -29,6 +29,21 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 
 from . import cells, geometry
 
+# worker-global parsed-ring cache: candidate batches repeat the same WKT
+# strings across pandas groups, so parse each polygon once per executor
+_RING_CACHE: dict = {}
+
+
+def _ring_of(wkt: str):
+    ring = _RING_CACHE.get(wkt)
+    if ring is None:
+        if len(_RING_CACHE) > 50000:
+            _RING_CACHE.clear()
+        ring = geometry.parse_wkt(wkt)[0]
+        _RING_CACHE[wkt] = ring
+    return ring
+
+
 _COVER = StructType([
     StructField("cell_id", LongType(), False),
     StructField("veg_id", StringType(), False),
@@ -95,7 +110,7 @@ def pip_join(points: DataFrame, polys: DataFrame,
         for pdf in batches:
             keep = []
             for wkt, grp in pdf.groupby("wkt", sort=False):
-                ring = geometry.parse_wkt(wkt)[0]
+                ring = _ring_of(wkt)
                 inside = geometry.points_in_ring(grp.x.values, grp.y.values,
                                                  ring)
                 if inside.any():
@@ -126,7 +141,7 @@ def dwithin_join(points: DataFrame, polys: DataFrame, radius_m: float,
         for pdf in batches:
             keep = []
             for wkt, grp in pdf.groupby("wkt", sort=False):
-                ring = geometry.parse_wkt(wkt)[0]
+                ring = _ring_of(wkt)
                 d, _, _ = geometry.points_to_ring_distance(
                     grp.x.values, grp.y.values, ring)
                 inside = geometry.points_in_ring(grp.x.values, grp.y.values,
@@ -184,7 +199,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
             for pdf in batches:
                 keep = []
                 for wkt, grp in pdf.groupby("wkt", sort=False):
-                    ring = geometry.parse_wkt(wkt)[0]
+                    ring = _ring_of(wkt)
                     d, nx_, ny_ = geometry.points_to_ring_distance(
                         grp.x.values, grp.y.values, ring)
                     inside = geometry.points_in_ring(
@@ -265,8 +280,20 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
             break
         best_so_far = pending
     if best_so_far is not None:
-        # max_ring exhausted: accept current best (documented truncation)
-        resolved_parts.append(best_so_far)
+        # ring budget exhausted: finish the stragglers exactly with a
+        # cross join against the (distinct) polygon set — by now the
+        # unresolved set is tiny, so the product is bounded
+        polys = cover.select("veg_id", "bal_number", "wkt").distinct() \
+            .withColumn("probe_cell", F.lit(0))
+        far = unresolved.withColumn("probe_cell", F.lit(0)) \
+            .join(F.broadcast(polys), "probe_cell")
+        scored = best_candidates(far).unionByName(best_so_far)
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("addr_id").orderBy(
+            F.col("distance_m").asc(), F.col("veg_id").asc())
+        resolved_parts.append(
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:

@@ -1,0 +1,78 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Headline set: the flagship per-address BAL pipeline plus the operators that
+dominate the engine's cost model (raster scan, spatial joins, zonal stats,
+dedup, ANN). Execution is forced with the noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "r1_reclassify", "r9_bal_esti", "w4_directional_scan",
+    "r4_slope_aspect", "a1_zonal_stats", "a2_circular_stats",
+    "v9_pip_join", "v10_dwithin_join", "v11_knn", "v8_subdivide",
+    "j1_equi_join", "dedup_exact", "dedup_minhash_lsh",
+    "ann_cosine_topk", "text_quality",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from balrog_spark import corpus, raster
+    from balrog_spark.driver_queries import all_queries
+    from balrog_spark.session import get_spark
+
+    spark = get_spark(app="balrog-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    timings = {}
+    t_all0 = time.time()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: per-address BAL over the derived world + document count rate
+    import __spark_entry__ as entrymod
+    t0 = time.time()
+    flag = entrymod.entry(spark)
+    n_addr = flag.count()
+    timings["flagship_bal"] = round(time.time() - t0, 3)
+
+    # raster throughput: the full tiled Gen-1 BAL pipeline on a synthetic
+    # 8x8-tile AOI (64x64 px tiles)
+    tiles = corpus.spark_tiles(spark, 8, 8).cache()
+    tiles.count()
+    t0 = time.time()
+    raster.bal_tiles(tiles, fdi=80).write.format("noop") \
+        .mode("overwrite").save()
+    timings["tile_bal_8x8"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all0, 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship_rows": n_addr,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
