@@ -38,22 +38,21 @@ def entry(spark: SparkSession) -> DataFrame:
     n_tiles = max(math.ceil(world_m(spark, sf_dir) / corpus.TILE_M), 1)
     tiles = corpus.spark_tiles(spark, n_tiles, n_tiles)
 
-    from balrog_spark import docparse, joins, raster, zonal
+    from balrog_spark import joins, raster, zonal
     knn = joins.knn_join(addrs.select("addr_id", "x", "y"), vegs)
     sa = raster.slope_aspect_tiles(tiles, classify=False)
-    slope_tiles = sa.filter(F.col("layer") == "slope")
-    aspect_tiles = sa.filter(F.col("layer") == "aspect")
     pts = addrs.select("addr_id", "x", "y")
-    zs = zonal.zonal_stats(pts, slope_tiles, 100.0) \
-        .select("addr_id", F.col("stat_med").alias("slope_med_deg"))
-    za = zonal.zonal_stats(pts, aspect_tiles, 100.0, circular=True) \
-        .select("addr_id", F.col("stat_med").alias("aspect_med_deg"))
+    z = zonal.zonal_stats_multi(
+        pts, sa, 100.0,
+        {"slope": {"circular": False}, "aspect": {"circular": True}}) \
+        .select("addr_id",
+                F.col("slope_med").alias("slope_med_deg"),
+                F.col("aspect_med").alias("aspect_med_deg"))
 
     from balrog_spark.constants import ASPECT_REMAP, slope_remap
     from balrog_spark.pipeline import (classify_bal, direction_class,
                                        remap_column)
-    f = (addrs.join(knn, "addr_id")
-         .join(zs, "addr_id", "left").join(za, "addr_id", "left"))
+    f = addrs.join(knn, "addr_id").join(z, "addr_id", "left")
     f = (f.withColumn(
             "slope_class",
             F.when(F.col("slope_med_deg").isNull()

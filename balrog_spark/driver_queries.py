@@ -1053,6 +1053,164 @@ def emb_centroid_by_label(spark, sf_dir):
                       F.col("dims").cast("long").alias("dims"))
 
 
+@q("r3_extract_mask", f"""
+WITH {PREAMBLE},
+mask AS (SELECT (cx % 2000.0) + 200.0 AS cx, (cy % 100.0) + 60.0 AS cy,
+             hw, hh FROM boxes WHERE veg_id = 7),
+grid AS (
+  SELECT event_id, event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         CAST(event_id % 97 AS DOUBLE) AS v
+  FROM events),
+px AS (
+  SELECT g.r, g.c, g.v,
+         (g.c + 0.5) * 25.0 AS x, ((SELECT max(r) FROM grid) - g.r + 0.5)
+             * 25.0 AS y
+  FROM grid g)
+SELECT CAST(count(*) AS BIGINT) AS n_inside,
+       CAST(round(sum(p.v), 2) AS DOUBLE) AS sum_inside
+FROM px p, mask m
+WHERE p.x > m.cx - m.hw AND p.x < m.cx + m.hw
+  AND p.y > m.cy - m.hh AND p.y < m.cy + m.hh""")
+def r3_extract_mask(spark, sf_dir):
+    """R3 extract_by_mask: rasterize a polygon mask over a pixel grid and
+    keep in-mask pixels (reference: sa_tools.py:48-136). Engine: the
+    extract_by_mask_tiles UDF on a single tile built from the event grid;
+    oracle: range predicate over the same pixel centres."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    from . import raster
+    b = derived_boxes(spark, sf_dir).filter(F.col("veg_id") == 7)
+    row = b.collect()[0]
+    # transplant the mask into the event grid's extent (same arithmetic as
+    # the oracle's mask CTE)
+    # y is folded into [60, 160) so the mask overlaps the grid at every
+    # scale factor (the event grid is only nrows*25 m tall at small SFs)
+    mcx = (row.cx % 2000.0) + 200.0
+    mcy = (row.cy % 100.0) + 60.0
+    mask_wkt = ("POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
+                "%.2f %.2f))" % (
+                    mcx - row.hw, mcy - row.hh, mcx + row.hw, mcy - row.hh,
+                    mcx + row.hw, mcy + row.hh, mcx - row.hw, mcy + row.hh,
+                    mcx - row.hw, mcy - row.hh))
+
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c",
+        "CAST(event_id % 97 AS DOUBLE) AS v")
+    nrows = ev.agg(F.max("r")).collect()[0][0] + 1
+
+    # build one tile row from the grid (applyInPandas single group)
+    from .schema import TILES
+
+    def to_tile(key, pdf: pd.DataFrame):
+        grid = np.full((nrows, _GRID_W), -99.0)
+        # row 0 = north edge: r ascending = southward
+        grid[pdf.r.values, pdf.c.values] = pdf.v.values
+        return pd.DataFrame([{
+            "media_ref": "grid/0/0", "layer": "val", "tile_x": 0,
+            "tile_y": 0, "x0": 0.0, "y0": 0.0, "pixel_m": 25.0,
+            "nrows": int(nrows), "ncols": _GRID_W,
+            "data": grid.astype(np.float32).ravel()}])
+
+    tile = ev.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        to_tile, schema=TILES)
+    masked = raster.extract_by_mask_tiles(tile, mask_wkt)
+    out_schema = StructType([
+        StructField("n_inside", LongType(), False),
+        StructField("sum_inside", DoubleType(), False)])
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = np.asarray(r.data, dtype=np.float64)
+                keep = arr[arr != -99.0]
+                rows.append({"n_inside": int(keep.size),
+                             "sum_inside": round(float(keep.sum()), 2)})
+            yield pd.DataFrame(rows, columns=["n_inside", "sum_inside"])
+
+    return masked.mapInPandas(agg, schema=out_schema)
+
+
+@q("v15_spatial_sort", f"""
+WITH {PREAMBLE}
+SELECT addr_id,
+       CAST(row_number() OVER (
+           ORDER BY CAST(floor(x / 400.0) AS BIGINT),
+                    CAST(floor(y / 400.0) AS BIGINT), addr_id)
+            AS BIGINT) AS spatial_rank
+FROM points""")
+def v15_spatial_sort(spark, sf_dir):
+    """V15 spatial-order sort: cluster rows by cell before downstream
+    passes — the engine's CLUSTER-ON-GiST / centroid-sort analogue
+    (reference: 04_merge_geometries.py:214-221, 03_explode...sql:31).
+    repartitionByRange(cell) + global rank over (cell_x, cell_y, id)."""
+    p = derived_points(spark, sf_dir)
+    p = p.withColumn("cx", F.floor(F.col("x") / 400.0).cast("long")) \
+         .withColumn("cy", F.floor(F.col("y") / 400.0).cast("long"))
+    p = p.repartitionByRange(8, "cx", "cy")
+    w = Window.orderBy("cx", "cy", "addr_id")
+    return p.select("addr_id",
+                    F.row_number().over(w).cast("long")
+                    .alias("spatial_rank"))
+
+
+@q("r2_clip_window", f"""
+WITH grid AS (
+  SELECT event_id, event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c
+  FROM events)
+SELECT event_id, r - 20 AS rr, c - 30 AS cc
+FROM grid WHERE r >= 20 AND r < 60 AND c >= 30 AND c < 80""")
+def r2_clip_window(spark, sf_dir):
+    """R2 clip_array: at plan level an extent clip is a tile/row range
+    predicate — rows of the event grid inside a sub-window, re-origined
+    (reference: sa_tools.py:20-45; grid arithmetic identical to
+    clip_array's x_start/y_start derivation)."""
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c")
+    return (ev.filter((F.col("r") >= 20) & (F.col("r") < 60)
+                      & (F.col("c") >= 30) & (F.col("c") < 80))
+            .select("event_id", (F.col("r") - 20).alias("rr"),
+                    (F.col("c") - 30).alias("cc")))
+
+
+@q("v14_local_project", f"""
+WITH {PREAMBLE},
+ll AS (
+  SELECT addr_id, 140.0 + x / 10000.0 AS lon, -35.0 + y / 10000.0 AS lat
+  FROM points)
+SELECT addr_id,
+       CAST(round(radians(lon - 140.0) * cos(radians(-35.0)) * 6371008.8, 3)
+            AS DOUBLE) AS px,
+       CAST(round(radians(lat - (-35.0)) * 6371008.8, 3) AS DOUBLE) AS py
+FROM ll""")
+def v14_local_project(spark, sf_dir):
+    """V14 CRS transform: lon/lat -> local tangent-plane metres via the
+    engine's geodesy module inside a pandas UDF (reference normalizes all
+    layers to one CRS at ingest, reference:
+    data_prep/images/ga_5m/01_mosaic...py:252; pyproj per-feature
+    transforms in xx_fiona_testing.py:80-85)."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    from . import geodesy
+    p = derived_points(spark, sf_dir).selectExpr(
+        "addr_id", "140.0 + x / 10000.0 AS lon", "-35.0 + y / 10000.0 AS lat")
+    schema = StructType([StructField("addr_id", LongType(), False),
+                         StructField("px", DoubleType(), False),
+                         StructField("py", DoubleType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            x, y = geodesy.local_tangent_xy(pdf.lon.values, pdf.lat.values,
+                                            140.0, -35.0)
+            yield pd.DataFrame({"addr_id": pdf.addr_id.values,
+                                "px": np.round(x, 3),
+                                "py": np.round(y, 3)})
+
+    return p.mapInPandas(gen, schema=schema)
+
+
 @q("text_quality", """
 WITH n AS (
   SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm

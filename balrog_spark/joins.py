@@ -95,6 +95,14 @@ def _refine_schema(extra_cols):
     return StructType(fields)
 
 
+def _spread(df: DataFrame, key: str = "addr_id") -> DataFrame:
+    """Repartition the (large) probe side across the cluster. Broadcast
+    joins preserve the probe side's partitioning, so a single-file parquet
+    scan would otherwise serialize every downstream refine UDF."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def pip_join(points: DataFrame, polys: DataFrame,
              cell_m: float = cells.DEFAULT_CELL_M,
              broadcast_cover: bool = True) -> DataFrame:
@@ -103,7 +111,7 @@ def pip_join(points: DataFrame, polys: DataFrame,
     cover = polygon_cover(polys, cell_m)
     if broadcast_cover:
         cover = F.broadcast(cover)
-    pts = with_cell(points, cell_m)
+    pts = _spread(with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")
 
     def refine(batches):
@@ -134,7 +142,7 @@ def dwithin_join(points: DataFrame, polys: DataFrame, radius_m: float,
     <= radius (0 inside). Cover is padded by the radius so one equi-join
     suffices."""
     cover = F.broadcast(polygon_cover(polys, cell_m, pad_m=radius_m))
-    pts = with_cell(points, cell_m)
+    pts = _spread(with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")
 
     def refine(batches):
@@ -182,7 +190,8 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     spark = points.sparkSession
     cover = polygon_cover(polys, cell_m).cache()
     cover_b = F.broadcast(cover)
-    pts = with_cell(points, cell_m).select("addr_id", "x", "y", "cell_id")
+    pts = _spread(with_cell(points, cell_m)
+                  .select("addr_id", "x", "y", "cell_id"))
 
     out_schema = StructType([
         StructField("addr_id", StringType(), False),
@@ -222,16 +231,11 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
 
         return cand.mapInPandas(refine, schema=out_schema)
 
-    # geometric ring batches: each round probes the annulus (prev, r] so the
-    # driver loop is O(log max_ring) Spark jobs; localCheckpoint truncates
-    # lineage so the iterative plan can't blow up
-    rounds = []
-    r = 0
-    while r <= max_ring:
-        rounds.append(r)
-        r = 1 if r == 0 else r * 2
-    if rounds[-1] != max_ring:
-        rounds.append(max_ring)
+    # batched ring schedule: the first round probes the whole disk out to
+    # ring 2 (resolves the typical point in one job), later rounds probe
+    # widening annuli; localCheckpoint truncates lineage so the iterative
+    # plan can't blow up
+    rounds = sorted({min(r, max_ring) for r in (2, 8, max_ring)})
 
     resolved_parts = []
     unresolved = pts
@@ -241,8 +245,6 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         offs = [(dx, dy) for dx in range(-r, r + 1)
                 for dy in range(-r, r + 1)
                 if prev < max(abs(dx), abs(dy)) <= r]
-        if r == 0:
-            offs = [(0, 0)]
         offs_col = F.array(*[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
             for dx, dy in offs])

@@ -77,6 +77,18 @@ def shift_fill(arr, dr: int, dc: int, fill):
     return out
 
 
+def shift_fill32(arr, dr: int, dc: int, fill):
+    """float32 variant of :func:`shift_fill` (no dtype promotion)."""
+    out = np.full(arr.shape, fill, dtype=np.float32)
+    rows, cols = arr.shape
+    src_r = slice(max(dr, 0), rows + min(dr, 0))
+    src_c = slice(max(dc, 0), cols + min(dc, 0))
+    dst_r = slice(max(-dr, 0), rows + min(-dr, 0))
+    dst_c = slice(max(-dc, 0), cols + min(-dc, 0))
+    out[dst_r, dst_c] = arr[src_r, src_c]
+    return out
+
+
 def convo_vec(direction: str, veg_data, slope_data, aspect_data,
               pixel_width: float, fdi: int, present=None):
     """Directional neighbour scan, vectorized
@@ -100,16 +112,30 @@ def convo_vec(direction: str, veg_data, slope_data, aspect_data,
 
     sia = slope_in_aspect_vec(slope_data, aspect_data, aspect_value)
 
-    best = np.full(veg_data.shape, _NEG_INF, dtype=np.float64)
+    # per-(direction, m) the distance is a scalar, so bal_esti collapses to
+    # an (8 slope-codes x 8 veg-codes) table; the whole-array evaluation is
+    # then one uint8 double-gather per m — float32 throughout, which keeps
+    # the scan memory-bandwidth-friendly (it is the engine's hottest loop)
+    from .constants import SLOPE_CODES, VEG_CODES
+    si = SLOPE_INDEX_MAP[sia.astype(np.int64) + 99].astype(np.uint8)
+    vi = VEG_INDEX_MAP[np.asarray(veg_data).astype(np.int64) + 99] \
+        .astype(np.uint8)
+    scode_grid, vcode_grid = np.meshgrid(
+        np.array(SLOPE_CODES, dtype=np.float64),
+        np.array(VEG_CODES, dtype=np.float64), indexing="ij")
+
+    best = np.full(veg_data.shape, _NEG_INF, dtype=np.float32)
+    neg_inf32 = np.float32(_NEG_INF)
     for m in range(1, filter_width + 1):
         dist_m = (m - 1) * dire_width + 0.5 * dire_width
-        bal_m = bal_esti_vec(veg_data, dist_m, sia, fdi)
+        table = bal_esti_vec(vcode_grid, np.full_like(scode_grid, dist_m),
+                             scode_grid, fdi).astype(np.float32)
+        bal_m = table[si, vi]
         if present is not None:
-            bal_m = np.where(present, bal_m, _NEG_INF)
-        np.maximum(best, shift_fill(bal_m, m * dr, m * dc, _NEG_INF),
+            bal_m = np.where(present, bal_m, neg_inf32)
+        np.maximum(best, shift_fill32(bal_m, m * dr, m * dc, neg_inf32),
                    out=best)
-    out = np.where(np.isneginf(best), NODATA, best).astype(np.float32)
-    return out
+    return np.where(np.isneginf(best), np.float32(NODATA), best)
 
 
 def bal_all_directions(veg_data, slope_data, aspect_data, pixel_width, fdi,

@@ -170,18 +170,16 @@ def address_bal_factors(spark: SparkSession, documents: DataFrame,
     knn = joins.knn_join(addrs.select("addr_id", "x", "y"), vegs,
                          max_ring=max_ring)
 
-    sa = raster.slope_aspect_tiles(tiles, classify=False).cache()
-    slope_tiles = sa.filter(F.col("layer") == "slope")
-    aspect_tiles = sa.filter(F.col("layer") == "aspect")
+    sa = raster.slope_aspect_tiles(tiles, classify=False)
     pts = addrs.select("addr_id", "x", "y")
-    zs = zonal.zonal_stats(pts, slope_tiles, buffer_m) \
-        .select("addr_id", F.col("stat_med").alias("slope_med_deg"))
-    za = zonal.zonal_stats(pts, aspect_tiles, buffer_m, circular=True) \
-        .select("addr_id", F.col("stat_med").alias("aspect_med_deg"))
+    z = zonal.zonal_stats_multi(
+        pts, sa, buffer_m,
+        {"slope": {"circular": False}, "aspect": {"circular": True}}) \
+        .select("addr_id",
+                F.col("slope_med").alias("slope_med_deg"),
+                F.col("aspect_med").alias("aspect_med_deg"))
 
-    f = (addrs.join(knn, "addr_id")
-         .join(zs, "addr_id", "left")
-         .join(za, "addr_id", "left"))
+    f = addrs.join(knn, "addr_id").join(z, "addr_id", "left")
 
     slope_cls = remap_column(F.col("slope_med_deg").cast("double"),
                              slope_remap(90.0))

@@ -5,15 +5,16 @@ BAL scan over a single in-memory AOI raster (reference: bal.py:202-230,
 calculate_bal.py:21-101). Here the AOI is a set of fixed-size tiles in a
 DataFrame; cross-tile dependencies are satisfied by a *border-strip fan-out*:
 
-    tiles --mapInPandas--> 9 contribution rows each (self + 8 border strips,
-                           only the <=halo-wide slices a neighbour needs)
-          --groupBy(tile)--> applyInPandas: assemble padded array, run the
-                           vectorized kernel chain, emit core results
+    tiles --mapInArrow--> 9 contribution rows each (self + 8 border strips,
+                          only the <=halo-wide slices a neighbour needs)
+         --groupBy(tile)--> applyInArrow: assemble padded array, run the
+                          vectorized kernel chain, emit core results
 
-One shuffle total, inflated only by ~(1 + 4*halo/tile_n) (~1.4x at halo 13 /
-tile 64; ~1.1x at the 256-px production tile size). This is the scale story:
-no global array ever exists, every group is O(tile^2), and the shuffle key
-(tile_x, tile_y) is uniform by construction so no salting is needed here.
+One shuffle total, inflated only by ~(1 + 4*halo/tile_n) (~1.1x at the
+256-px production tile size). The data plane is Arrow-native end to end:
+list-array value buffers are sliced as numpy views (no per-row pandas
+objects), which is what keeps the scan memory-bandwidth-bound on the kernel
+rather than on serialization.
 
 Exactness contract: a core cell's BAL matches the reference's whole-AOI
 computation whenever halo >= scan_width + 1 + (longest nodata run near a
@@ -26,94 +27,151 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import FloatType, StructField, StructType
 
 from . import kernels
 from .constants import ASPECT_REMAP, NODATA, slope_remap
 from .corpus import VEG_REMAP
-from .schema import BAL_TILES
+from .schema import BAL_TILES, TILES
 
 # default halo: scan width 4 (ceil(100/25)) + 1 gradient px + 8 px worst-case
 # nodata run in the synthetic corpus
 DEFAULT_HALO = 13
 
-_CONTRIB = StructType([
-    StructField("tile_x", IntegerType(), False),
-    StructField("tile_y", IntegerType(), False),
-    StructField("ox", IntegerType(), False),
-    StructField("oy", IntegerType(), False),
-    StructField("layer", StringType(), False),
-    StructField("x0", LongType(), False),   # millimetre-quantized, exact
-    StructField("y0", LongType(), False),
-    StructField("pixel_mm", LongType(), False),
-    StructField("nrows", IntegerType(), False),
-    StructField("ncols", IntegerType(), False),
-    StructField("srows", IntegerType(), False),
-    StructField("scols", IntegerType(), False),
-    StructField("data", ArrayType(FloatType()), False),
+_CONTRIB_DDL = ("tile_x INT, tile_y INT, ox INT, oy INT, layer STRING, "
+                "x0 BIGINT, y0 BIGINT, pixel_mm BIGINT, nrows INT, "
+                "ncols INT, srows INT, scols INT, data ARRAY<FLOAT>")
+
+_PA_CONTRIB = pa.schema([
+    ("tile_x", pa.int32()), ("tile_y", pa.int32()),
+    ("ox", pa.int32()), ("oy", pa.int32()), ("layer", pa.string()),
+    ("x0", pa.int64()), ("y0", pa.int64()), ("pixel_mm", pa.int64()),
+    ("nrows", pa.int32()), ("ncols", pa.int32()),
+    ("srows", pa.int32()), ("scols", pa.int32()),
+    ("data", pa.list_(pa.float32())),
 ])
+
+
+def _list_views(batch_or_table, name: str):
+    """(values_np_float32, offsets_np) zero-copy views of a list<float32>
+    column."""
+    col = batch_or_table.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy()
+    return values, offsets
+
+
+def _float_list_array(arrays):
+    """pa list<float32> column from a list of float32 numpy arrays."""
+    if arrays:
+        flat = np.concatenate([a.ravel() for a in arrays])
+    else:
+        flat = np.array([], dtype=np.float32)
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
+    if arrays:
+        np.cumsum([a.size for a in arrays], out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(flat, type=pa.float32()))
 
 
 def emit_border_strips(tiles: DataFrame, halo: int = DEFAULT_HALO
                        ) -> DataFrame:
     """Fan each tile out to itself + 8 neighbours, shipping only the border
-    slice the neighbour's halo needs."""
+    slice the neighbour's halo needs. Arrow-native: list-value buffers are
+    sliced as numpy views, one output record batch per input batch."""
 
     def gen(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                n, m = int(r.nrows), int(r.ncols)
+        for b in batches:
+            nr = b.column("nrows").to_numpy()
+            nc = b.column("ncols").to_numpy()
+            txs = b.column("tile_x").to_numpy()
+            tys = b.column("tile_y").to_numpy()
+            x0s = b.column("x0").to_numpy()
+            y0s = b.column("y0").to_numpy()
+            pxs = b.column("pixel_m").to_numpy()
+            layers = b.column("layer").to_pylist()
+            values, offsets = _list_views(b, "data")
+
+            o_tx, o_ty, o_ox, o_oy, o_layer = [], [], [], [], []
+            o_x0, o_y0, o_pmm = [], [], []
+            o_nr, o_nc, o_sr, o_sc, o_data = [], [], [], [], []
+            for i in range(b.num_rows):
+                n, m = int(nr[i]), int(nc[i])
                 h = min(halo, n, m)
-                arr = np.asarray(r.data, dtype=np.float32).reshape(n, m)
+                arr = values[offsets[i]:offsets[i + 1]].reshape(n, m)
                 for ox in (-1, 0, 1):
+                    rs = slice(None) if ox == 0 else (
+                        slice(m - h, m) if ox == -1 else slice(0, h))
                     for oy in (-1, 0, 1):
-                        # this tile serves as neighbour (ox, oy) of target
-                        rs = slice(None) if oy == 0 else (
+                        cs = slice(None) if oy == 0 else (
                             slice(n - h, n) if oy == 1 else slice(0, h))
-                        cs = slice(None) if ox == 0 else (
-                            slice(m - h, m) if ox == -1 else slice(0, h))
-                        strip = arr[rs, cs]
-                        out.append({
-                            "tile_x": int(r.tile_x) - ox,
-                            "tile_y": int(r.tile_y) - oy,
-                            "ox": ox, "oy": oy, "layer": r.layer,
-                            "x0": int(round(r.x0 * 1000)),
-                            "y0": int(round(r.y0 * 1000)),
-                            "pixel_mm": int(round(r.pixel_m * 1000)),
-                            "nrows": n, "ncols": m,
-                            "srows": strip.shape[0],
-                            "scols": strip.shape[1],
-                            "data": strip.ravel(),
-                        })
-            yield pd.DataFrame(out, columns=[f.name for f in _CONTRIB])
+                        strip = arr[cs, rs]
+                        o_tx.append(int(txs[i]) - ox)
+                        o_ty.append(int(tys[i]) - oy)
+                        o_ox.append(ox)
+                        o_oy.append(oy)
+                        o_layer.append(layers[i])
+                        o_x0.append(int(round(x0s[i] * 1000)))
+                        o_y0.append(int(round(y0s[i] * 1000)))
+                        o_pmm.append(int(round(pxs[i] * 1000)))
+                        o_nr.append(n)
+                        o_nc.append(m)
+                        o_sr.append(strip.shape[0])
+                        o_sc.append(strip.shape[1])
+                        o_data.append(np.ascontiguousarray(strip))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(o_tx, pa.int32()), pa.array(o_ty, pa.int32()),
+                pa.array(o_ox, pa.int32()), pa.array(o_oy, pa.int32()),
+                pa.array(o_layer, pa.string()),
+                pa.array(o_x0, pa.int64()), pa.array(o_y0, pa.int64()),
+                pa.array(o_pmm, pa.int64()),
+                pa.array(o_nr, pa.int32()), pa.array(o_nc, pa.int32()),
+                pa.array(o_sr, pa.int32()), pa.array(o_sc, pa.int32()),
+                _float_list_array(o_data),
+            ], schema=_PA_CONTRIB)
 
-    return tiles.mapInPandas(gen, schema=_CONTRIB)
+    return tiles.mapInArrow(gen, schema=_CONTRIB_DDL)
 
 
-def _assemble(group: pd.DataFrame, layer: str, halo: int):
-    """Rebuild (padded_array, present_mask, meta) for one tile group; absent
-    cells are filled with nodata (-99) and marked not-present."""
-    g = group[group.layer == layer]
-    self_rows = g[(g.ox == 0) & (g.oy == 0)]
-    if len(self_rows) == 0:
+def _assemble_arrow(tbl: pa.Table, layer: str, halo: int):
+    """Rebuild (padded_array, present_mask, meta) for one tile group from
+    its Arrow strips; absent cells are nodata (-99) and not-present."""
+    layers = tbl.column("layer").to_pylist()
+    idx = [i for i, l in enumerate(layers) if l == layer]
+    if not idx:
         return None
-    s = self_rows.iloc[0]
-    n, m = int(s.nrows), int(s.ncols)
+    oxs = tbl.column("ox").to_numpy()
+    oys = tbl.column("oy").to_numpy()
+    nrs = tbl.column("nrows").to_numpy()
+    ncs = tbl.column("ncols").to_numpy()
+    srs = tbl.column("srows").to_numpy()
+    scs = tbl.column("scols").to_numpy()
+    values, offsets = _list_views(tbl, "data")
+
+    self_i = next((i for i in idx if oxs[i] == 0 and oys[i] == 0), None)
+    if self_i is None:
+        return None
+    n, m = int(nrs[self_i]), int(ncs[self_i])
     h = min(halo, n, m)
     pad = np.full((n + 2 * h, m + 2 * h), NODATA, dtype=np.float64)
     present = np.zeros_like(pad, dtype=bool)
-    for r in g.itertuples():
-        rows0 = 0 if r.oy == 1 else (h if r.oy == 0 else h + n)
-        cols0 = 0 if r.ox == -1 else (h if r.ox == 0 else h + m)
-        block = np.asarray(r.data, dtype=np.float64).reshape(r.srows, r.scols)
-        pad[rows0:rows0 + r.srows, cols0:cols0 + r.scols] = block
-        present[rows0:rows0 + r.srows, cols0:cols0 + r.scols] = True
+    for i in idx:
+        block = values[offsets[i]:offsets[i + 1]] \
+            .reshape(int(srs[i]), int(scs[i]))
+        rows0 = 0 if oys[i] == 1 else (h if oys[i] == 0 else h + n)
+        cols0 = 0 if oxs[i] == -1 else (h if oxs[i] == 0 else h + m)
+        pad[rows0:rows0 + block.shape[0],
+            cols0:cols0 + block.shape[1]] = block
+        present[rows0:rows0 + block.shape[0],
+                cols0:cols0 + block.shape[1]] = True
     meta = {"nrows": n, "ncols": m, "halo": h,
-            "x0": s.x0 / 1000.0, "y0": s.y0 / 1000.0,
-            "pixel_m": s.pixel_mm / 1000.0}
+            "x0": int(tbl.column("x0")[self_i].as_py()) / 1000.0,
+            "y0": int(tbl.column("y0")[self_i].as_py()) / 1000.0,
+            "pixel_m": int(tbl.column("pixel_mm")[self_i].as_py()) / 1000.0}
     return pad, present, meta
 
 
@@ -128,6 +186,54 @@ def _crop_absent_sides(arrays, present, h, n, m):
         else present.shape[1] - h
     sl = (slice(top, bot), slice(left, right))
     return [a[sl] for a in arrays], present[sl], h - top, h - left
+
+
+
+SUPERTILE = 4  # tiles per group side: batches ~16 tiles per Arrow group to
+               # amortize per-group UDF overhead (5k+ tiny groups otherwise)
+
+
+def _per_tile_apply(contribs: DataFrame, per_tile_fn, ddl: str,
+                    pa_schema: pa.Schema,
+                    supertile: int = SUPERTILE) -> DataFrame:
+    """groupBy supertile -> applyInArrow -> per-tile sub-tables.
+
+    The shuffle key is the supertile (floor(tile/supertile)); inside the UDF
+    the group is split back into per-tile tables with numpy masks + take.
+    Neighbour halos still work because emit targets carry the final tile id.
+    """
+
+    def compute(key: tuple, tbl: pa.Table) -> pa.Table:
+        txs = tbl.column("tile_x").to_numpy()
+        tys = tbl.column("tile_y").to_numpy()
+        keys = (txs.astype(np.int64) << 32) ^ (tys.astype(np.int64)
+                                               & 0xFFFFFFFF)
+        out = []
+        for k in np.unique(keys):
+            idx = np.nonzero(keys == k)[0]
+            sub = tbl.take(pa.array(idx))
+            t = per_tile_fn(int(txs[idx[0]]), int(tys[idx[0]]), sub)
+            if t is not None:
+                out.append(t)
+        if out:
+            return pa.concat_tables(out)
+        return pa.Table.from_arrays(
+            [pa.array([], t) for t in pa_schema.types], schema=pa_schema)
+
+    st = F.lit(int(supertile))
+    grouped = contribs.groupBy(
+        F.floor(F.col("tile_x") / st).alias("_gx"),
+        F.floor(F.col("tile_y") / st).alias("_gy"))
+    return grouped.applyInArrow(compute, schema=ddl)
+
+
+_PA_BAL = pa.schema(
+    [("tile_x", pa.int32()), ("tile_y", pa.int32()),
+     ("x0", pa.float64()), ("y0", pa.float64()),
+     ("pixel_m", pa.float64()), ("nrows", pa.int32()),
+     ("ncols", pa.int32())]
+    + [(f"bal_{d}", pa.list_(pa.float32()))
+       for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max")])
 
 
 def bal_tiles(tiles: DataFrame, fdi: int, halo: int = DEFAULT_HALO,
@@ -148,11 +254,11 @@ def bal_tiles(tiles: DataFrame, fdi: int, halo: int = DEFAULT_HALO,
     aspect_remap_s = ASPECT_REMAP
     slope_remap_s = slope_remap(slope_max)
 
-    def compute(key, group: pd.DataFrame):
-        dem = _assemble(group, "dem", halo)
-        veg = _assemble(group, "veg", halo)
+    def per_tile(tx: int, ty: int, tbl: pa.Table):
+        dem = _assemble_arrow(tbl, "dem", halo)
+        veg = _assemble_arrow(tbl, "veg", halo)
         if dem is None or veg is None:
-            return pd.DataFrame(columns=[f.name for f in BAL_TILES])
+            return None
         dem_pad, present, meta = dem
         veg_pad, _, _ = veg
         n, m, h = meta["nrows"], meta["ncols"], meta["halo"]
@@ -170,15 +276,86 @@ def bal_tiles(tiles: DataFrame, fdi: int, halo: int = DEFAULT_HALO,
             aspect_r.astype(np.float64), meta["pixel_m"], fdi,
             present=present_c)
         sl = (slice(core_r, core_r + n), slice(core_c, core_c + m))
-        row = {"tile_x": int(key[0]), "tile_y": int(key[1]),
-               "x0": meta["x0"], "y0": meta["y0"],
-               "pixel_m": meta["pixel_m"], "nrows": n, "ncols": m}
+        cols = [pa.array([tx], pa.int32()), pa.array([ty], pa.int32()),
+                pa.array([meta["x0"]], pa.float64()),
+                pa.array([meta["y0"]], pa.float64()),
+                pa.array([meta["pixel_m"]], pa.float64()),
+                pa.array([n], pa.int32()), pa.array([m], pa.int32())]
         for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max"):
-            row[f"bal_{d}"] = outs[d][sl].astype(np.float32).ravel()
-        return pd.DataFrame([row])
+            cols.append(_float_list_array(
+                [outs[d][sl].astype(np.float32)]))
+        return pa.Table.from_arrays(cols, schema=_PA_BAL)
 
-    return contribs.groupBy("tile_x", "tile_y").applyInPandas(
-        compute, schema=BAL_TILES)
+    ddl = ("tile_x INT, tile_y INT, x0 DOUBLE, y0 DOUBLE, pixel_m DOUBLE, "
+           "nrows INT, ncols INT, " + ", ".join(
+               f"bal_{d} ARRAY<FLOAT>"
+               for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw",
+                         "max")))
+    return _per_tile_apply(contribs, per_tile, ddl, _PA_BAL)
+
+
+_PA_BAL_MAX = pa.schema([
+    ("tile_x", pa.int32()), ("tile_y", pa.int32()), ("fdi", pa.int32()),
+    ("x0", pa.float64()), ("y0", pa.float64()), ("pixel_m", pa.float64()),
+    ("nrows", pa.int32()), ("ncols", pa.int32()),
+    ("bal_max", pa.list_(pa.float32()))])
+
+_BAL_MAX_DDL = ("tile_x INT, tile_y INT, fdi INT, x0 DOUBLE, y0 DOUBLE, "
+                "pixel_m DOUBLE, nrows INT, ncols INT, "
+                "bal_max ARRAY<FLOAT>")
+
+
+def bal_max_tiles(tiles: DataFrame, fdis=(100, 80, 50, 40),
+                  halo: int = DEFAULT_HALO, veg_remap: str = VEG_REMAP,
+                  slope_max: float = 90.0) -> DataFrame:
+    """Multi-FDI serving variant: one bal_max layer per FDI per tile, all
+    four AS 3959 FDI values computed in a single pass (slope/aspect and
+    reclassification amortized across FDIs). This is the precompute that
+    lets per-address queries with heterogeneous FDIs read a raster answer
+    directly; the reference runs its whole pipeline once per FDI input
+    (reference: bal.py:345-350)."""
+    contribs = emit_border_strips(tiles, halo)
+    aspect_remap_s = ASPECT_REMAP
+    slope_remap_s = slope_remap(slope_max)
+    fdis = tuple(int(f) for f in fdis)
+
+    def per_tile(tx: int, ty: int, tbl: pa.Table):
+        dem = _assemble_arrow(tbl, "dem", halo)
+        veg = _assemble_arrow(tbl, "veg", halo)
+        if dem is None or veg is None:
+            return None
+        dem_pad, present, meta = dem
+        veg_pad, _, _ = veg
+        n, m, h = meta["nrows"], meta["ncols"], meta["halo"]
+        (dem_c, veg_c), present_c, core_r, core_c = _crop_absent_sides(
+            [dem_pad, veg_pad], present, h, n, m)
+        slope_deg, aspect_deg = kernels.cal_slope_aspect_vec(
+            dem_c, meta["pixel_m"], meta["pixel_m"])
+        veg_r = kernels.reclassify_vec(veg_c, veg_remap).astype(np.float64)
+        aspect_r = kernels.reclassify_vec(aspect_deg, aspect_remap_s) \
+            .astype(np.float64)
+        slope_r = kernels.reclassify_vec(slope_deg, slope_remap_s) \
+            .astype(np.float64)
+        sl = (slice(core_r, core_r + n), slice(core_c, core_c + m))
+        maxes = []
+        for fdi in fdis:
+            outs = kernels.bal_all_directions(
+                veg_r, slope_r, aspect_r, meta["pixel_m"], fdi,
+                present=present_c)
+            maxes.append(outs["max"][sl].astype(np.float32))
+        k = len(fdis)
+        return pa.Table.from_arrays([
+            pa.array([tx] * k, pa.int32()),
+            pa.array([ty] * k, pa.int32()),
+            pa.array(list(fdis), pa.int32()),
+            pa.array([meta["x0"]] * k, pa.float64()),
+            pa.array([meta["y0"]] * k, pa.float64()),
+            pa.array([meta["pixel_m"]] * k, pa.float64()),
+            pa.array([n] * k, pa.int32()), pa.array([m] * k, pa.int32()),
+            _float_list_array(maxes),
+        ], schema=_PA_BAL_MAX)
+
+    return _per_tile_apply(contribs, per_tile, _BAL_MAX_DDL, _PA_BAL_MAX)
 
 
 def slope_aspect_tiles(tiles: DataFrame, halo: int = DEFAULT_HALO,
@@ -187,20 +364,23 @@ def slope_aspect_tiles(tiles: DataFrame, halo: int = DEFAULT_HALO,
     """Derive slope/aspect tile layers from DEM tiles (R4 + R5/R6), halo-
     exact like :func:`bal_tiles`. Emits two rows per tile with
     layer 'slope_r'/'aspect_r' (classified) or 'slope'/'aspect' (degrees),
-    same TILES schema, so downstream zonal stats and the per-address BAL
-    pipeline consume them like any raster layer
-    (reference: bal.py:76-143 get_slope_aspect)."""
-    from .schema import TILES
-
+    same TILES schema (reference: bal.py:76-143 get_slope_aspect)."""
     dem = tiles.filter(F.col("layer") == "dem")
     contribs = emit_border_strips(dem, halo)
     aspect_remap_s = ASPECT_REMAP
     slope_remap_s = slope_remap(slope_max)
 
-    def compute(key, group: pd.DataFrame):
-        got = _assemble(group, "dem", halo)
+    pa_tiles = pa.schema([
+        ("media_ref", pa.string()), ("layer", pa.string()),
+        ("tile_x", pa.int32()), ("tile_y", pa.int32()),
+        ("x0", pa.float64()), ("y0", pa.float64()),
+        ("pixel_m", pa.float64()), ("nrows", pa.int32()),
+        ("ncols", pa.int32()), ("data", pa.list_(pa.float32()))])
+
+    def per_tile(tx: int, ty: int, tbl: pa.Table):
+        got = _assemble_arrow(tbl, "dem", halo)
         if got is None:
-            return pd.DataFrame(columns=[f.name for f in TILES])
+            return None
         dem_pad, present, meta = got
         n, m, h = meta["nrows"], meta["ncols"], meta["halo"]
         (dem_c,), present_c, core_r, core_c = _crop_absent_sides(
@@ -208,40 +388,35 @@ def slope_aspect_tiles(tiles: DataFrame, halo: int = DEFAULT_HALO,
         slope_deg, aspect_deg = kernels.cal_slope_aspect_vec(
             dem_c, meta["pixel_m"], meta["pixel_m"])
         if classify:
-            slope_out = kernels.reclassify_vec(slope_deg, slope_remap_s) \
-                .astype(np.float32)
-            aspect_out = kernels.reclassify_vec(aspect_deg, aspect_remap_s) \
-                .astype(np.float32)
+            slope_out = kernels.reclassify_vec(slope_deg, slope_remap_s)
+            aspect_out = kernels.reclassify_vec(aspect_deg, aspect_remap_s)
             names = ("slope_r", "aspect_r")
         else:
-            slope_out = slope_deg.astype(np.float32)
-            aspect_out = aspect_deg.astype(np.float32)
+            slope_out, aspect_out = slope_deg, aspect_deg
             names = ("slope", "aspect")
         sl = (slice(core_r, core_r + n), slice(core_c, core_c + m))
-        tx, ty = int(key[0]), int(key[1])
-        rows = []
-        for name, arr in zip(names, (slope_out, aspect_out)):
-            rows.append({
-                "media_ref": f"{name}/{tx}/{ty}", "layer": name,
-                "tile_x": tx, "tile_y": ty,
-                "x0": meta["x0"], "y0": meta["y0"],
-                "pixel_m": meta["pixel_m"], "nrows": n, "ncols": m,
-                "data": arr[sl].ravel(),
-            })
-        return pd.DataFrame(rows, columns=[f.name for f in TILES])
+        return pa.Table.from_arrays([
+            pa.array([f"{names[0]}/{tx}/{ty}", f"{names[1]}/{tx}/{ty}"]),
+            pa.array(list(names)),
+            pa.array([tx, tx], pa.int32()), pa.array([ty, ty], pa.int32()),
+            pa.array([meta["x0"]] * 2, pa.float64()),
+            pa.array([meta["y0"]] * 2, pa.float64()),
+            pa.array([meta["pixel_m"]] * 2, pa.float64()),
+            pa.array([n, n], pa.int32()), pa.array([m, m], pa.int32()),
+            _float_list_array([slope_out[sl].astype(np.float32),
+                               aspect_out[sl].astype(np.float32)]),
+        ], schema=pa_tiles)
 
-    return contribs.groupBy("tile_x", "tile_y").applyInPandas(
-        compute, schema=TILES)
+    ddl = ("media_ref STRING, layer STRING, tile_x INT, tile_y INT, "
+           "x0 DOUBLE, y0 DOUBLE, pixel_m DOUBLE, nrows INT, ncols INT, "
+           "data ARRAY<FLOAT>")
+    return _per_tile_apply(contribs, per_tile, ddl, pa_tiles)
 
 
 def dynamic_slope_max(tiles: DataFrame) -> float:
     """The reference's two-job dynamic remap bound: global max slope, then
-    remap (reference: bal.py:110-120). One cheap columnar pass (higher-order
-    array max, no UDF, no shuffle beyond the final agg)."""
+    remap (reference: bal.py:110-120)."""
     dem = tiles.filter(F.col("layer") == "dem")
-    # max finite DEM gradient bound: cheap per-tile slope max via UDF-free
-    # approximation is not possible (gradient), so compute per-tile slope max
-    # in a slim pandas UDF and agg
     out_schema = StructType([StructField("mx", FloatType(), True)])
 
     def tile_max(batches):
@@ -280,6 +455,85 @@ def reclassify_tiles(tiles: DataFrame, remap: str,
                     "data": kernels.reclassify_vec(arr, remap)
                     .astype(np.float32),
                 })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return tiles.mapInPandas(gen, schema=out_schema)
+
+
+def extract_by_mask_tiles(tiles: DataFrame, mask_wkt: str,
+                          layer: str | None = None) -> DataFrame:
+    """R3 extract_by_mask: rasterize a polygon mask at each tile's grid and
+    nodata-out cells outside it (reference: sa_tools.py:48-136). The
+    pixel-inclusion rule is pixel-centre-in-polygon (the engine's
+    rasterization contract); tiles whose bbox misses the mask are pruned
+    JVM-side before any UDF runs (partition-pruning analogue of the
+    reference's effective-extent clamp, sa_tools.py:86-108)."""
+    from . import geometry
+    ring = geometry.parse_wkt(mask_wkt)[0]
+    xmin, ymin, xmax, ymax = geometry.bbox(ring)
+
+    src = tiles if layer is None else tiles.filter(F.col("layer") == layer)
+    # bbox prune: tile extent [x0, x0 + ncols*px) x [y0, y0 + nrows*px)
+    src = src.filter(
+        (F.col("x0") < xmax)
+        & (F.col("x0") + F.col("ncols") * F.col("pixel_m") > xmin)
+        & (F.col("y0") < ymax)
+        & (F.col("y0") + F.col("nrows") * F.col("pixel_m") > ymin))
+    out_schema = src.schema
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                n, m = int(r.nrows), int(r.ncols)
+                arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
+                px = float(r.pixel_m)
+                xs = r.x0 + (np.arange(m) + 0.5) * px
+                ys = r.y0 + (n - np.arange(n) - 0.5) * px
+                xg, yg = np.meshgrid(xs, ys)
+                inside = geometry.points_in_ring(
+                    xg.ravel(), yg.ravel(), ring).reshape(n, m)
+                rows.append({
+                    "media_ref": r.media_ref, "layer": r.layer,
+                    "tile_x": r.tile_x, "tile_y": r.tile_y,
+                    "x0": r.x0, "y0": r.y0, "pixel_m": r.pixel_m,
+                    "nrows": n, "ncols": m,
+                    "data": np.where(inside, arr, NODATA)
+                    .astype(np.float32).ravel()})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return src.mapInPandas(gen, schema=out_schema)
+
+
+def regrid_tiles(tiles: DataFrame, factor: int = 2) -> DataFrame:
+    """S10 re-grid: resample each tile to a coarser grid by block-mean
+    (nodata-aware) — the mosaic/warp analogue done per tile, no global
+    raster (reference: data_prep/images/ga_5m/01_mosaic...py:245-266).
+    Output tiles keep their origin with pixel_m * factor."""
+    out_schema = tiles.schema
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                n, m = int(r.nrows), int(r.ncols)
+                f2 = factor
+                nn, mm = n // f2, m // f2
+                arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
+                blocks = arr[:nn * f2, :mm * f2] \
+                    .reshape(nn, f2, mm, f2).transpose(0, 2, 1, 3) \
+                    .reshape(nn, mm, f2 * f2)
+                valid = blocks != NODATA
+                cnt = valid.sum(axis=2)
+                s = np.where(valid, blocks, 0.0).sum(axis=2)
+                out = np.where(cnt > 0, s / np.maximum(cnt, 1), NODATA)
+                rows.append({
+                    "media_ref": r.media_ref, "layer": r.layer,
+                    "tile_x": r.tile_x, "tile_y": r.tile_y,
+                    "x0": r.x0, "y0": r.y0,
+                    "pixel_m": r.pixel_m * f2,
+                    "nrows": nn, "ncols": mm,
+                    "data": out.astype(np.float32).ravel()})
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return tiles.mapInPandas(gen, schema=out_schema)

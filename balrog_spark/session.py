@@ -39,4 +39,13 @@ def get_spark(app: str = "balrog_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle to tmpfs when available: local-mode shuffles are tiny vs RAM
+    # and disk-backed /tmp serializes the reduce side at high parallelism
+    # (on a real cluster this maps to NVMe-backed spark.local.dir)
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = (builder
+                   .config("spark.local.dir", f"{shm}/spark-local")
+                   .config("spark.shuffle.compress", "false")
+                   .config("spark.shuffle.spill.compress", "false"))
     return builder.getOrCreate()

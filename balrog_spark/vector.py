@@ -1,0 +1,193 @@
+"""Vector operators (Gen-2 surface): buffer, explode, validity, subdivide,
+dissolve.
+
+All operators take/return WKT string columns (the reference's interchange
+format, reference: data_prep/vegetation/04_merge_geometries.py:149,217) and
+run batched numpy geometry inside mapInPandas/applyInPandas — no per-row
+Python outside the Arrow batches, no GEOS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from . import cells, geometry
+
+
+def buffer_points(points: DataFrame, radius_m: float, quad_segs: int = 4,
+                  id_col: str = "addr_id") -> DataFrame:
+    """V1 point buffers: (id, wkt) circular polygons, quad_segs per quadrant
+    (reference: data_prep/gnaf/create_buffered_points.sql:10)."""
+    schema = StructType([StructField("addr_id", StringType(), False),
+                         StructField("wkt", StringType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=["addr_id", "wkt"])
+                continue
+            rings = geometry.buffer_points_vec(pdf.x.values, pdf.y.values,
+                                               radius_m, quad_segs)
+            yield pd.DataFrame({
+                "addr_id": pdf[id_col].astype(str).values,
+                "wkt": [geometry.polygon_wkt(r) for r in rings]})
+
+    return points.mapInPandas(gen, schema=schema)
+
+
+def explode_multipolygon(polys: DataFrame, id_col: str = "veg_id",
+                         wkt_col: str = "wkt") -> DataFrame:
+    """V2 multipolygon explode + V7 per-part area (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:5-9)."""
+    schema = StructType([
+        StructField("veg_id", StringType(), False),
+        StructField("part_idx", IntegerType(), False),
+        StructField("part_wkt", StringType(), False),
+        StructField("area_m2", DoubleType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                for i, ring in enumerate(
+                        geometry.parse_wkt(getattr(r, wkt_col))):
+                    rows.append({
+                        "veg_id": str(getattr(r, id_col)), "part_idx": i,
+                        "part_wkt": geometry.polygon_wkt(ring),
+                        "area_m2": geometry.ring_area(ring)})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return polys.mapInPandas(gen, schema=schema)
+
+
+def validity_flags(polys: DataFrame, id_col: str = "veg_id",
+                   wkt_col: str = "wkt") -> DataFrame:
+    """V3 validity check (>=3 distinct vertices, non-zero area — the
+    engine's st_isvalid stand-in, reference: 03_explode...sql:17-18)."""
+    schema = StructType([StructField("veg_id", StringType(), False),
+                         StructField("is_valid", IntegerType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [{"veg_id": str(getattr(r, id_col)),
+                     "is_valid": int(all(
+                         geometry.ring_is_valid(g) for g in
+                         geometry.parse_wkt(getattr(r, wkt_col))))}
+                    for r in pdf.itertuples()]
+            yield pd.DataFrame(rows, columns=["veg_id", "is_valid"])
+
+    return polys.mapInPandas(gen, schema=schema)
+
+
+def subdivide(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
+              id_col: str = "veg_id", wkt_col: str = "wkt") -> DataFrame:
+    """V8 polygon subdivision along grid-cell boundaries — bounds per-row
+    UDF cost and kills polygon-size skew (the engine's st_subdivide,
+    reference: 03_explode...sql:66-75)."""
+    schema = StructType([
+        StructField("veg_id", StringType(), False),
+        StructField("cell_id", LongType(), False),
+        StructField("piece_wkt", StringType(), False),
+        StructField("piece_area", DoubleType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                for ring in geometry.parse_wkt(getattr(r, wkt_col)):
+                    xmin, ymin, xmax, ymax = geometry.bbox(ring)
+                    gx0 = int(np.floor(xmin / cell_m))
+                    gx1 = int(np.floor(xmax / cell_m))
+                    gy0 = int(np.floor(ymin / cell_m))
+                    gy1 = int(np.floor(ymax / cell_m))
+                    for gx in range(gx0, gx1 + 1):
+                        for gy in range(gy0, gy1 + 1):
+                            piece = geometry.clip_ring_to_box(
+                                ring, gx * cell_m, gy * cell_m,
+                                (gx + 1) * cell_m, (gy + 1) * cell_m)
+                            if len(piece) >= 3:
+                                a = geometry.ring_area(piece)
+                                if a > 0:
+                                    rows.append({
+                                        "veg_id": str(getattr(r, id_col)),
+                                        "cell_id": int(cells.pack(
+                                            np.array([gx]),
+                                            np.array([gy]))[0]),
+                                        "piece_wkt":
+                                            geometry.polygon_wkt(piece),
+                                        "piece_area": a})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return polys.mapInPandas(gen, schema=schema)
+
+
+def dissolve(polys: DataFrame, class_col: str = "bal_number",
+             cell_m: float = 1600.0, wkt_col: str = "wkt",
+             max_parts_wkt: int = 10000) -> DataFrame:
+    """V6 groupwise dissolve with the partial/final aggregate shape
+    (reference: 03_explode...sql:36-58, 04_merge_geometries.py:129-205):
+    per-(class, cell) partials, then per-class merge.
+
+    Contract: inputs are non-overlapping parts (exploded pieces of a
+    classification layer — the reference's dissolve input is exactly that),
+    so the union is the multipart collection and union area is the sum.
+    Output: (class, n_parts, area_m2, wkt) where wkt is the assembled
+    MULTIPOLYGON (NULL when a class exceeds ``max_parts_wkt`` parts — at
+    continental scale you keep the parts table, not one giant geometry).
+    """
+    part_schema = StructType([
+        StructField("cls", LongType(), False),
+        StructField("cell", LongType(), False),
+        StructField("pn", LongType(), False),
+        StructField("pa", DoubleType(), False),
+        StructField("pw", StringType(), True)])
+
+    cls = F.col(class_col).cast("long")
+    with_cell = polys.select(
+        cls.alias("cls"), F.col(wkt_col).alias("wkt"))
+
+    def partial(key, pdf: pd.DataFrame):
+        rings = []
+        for w in pdf.wkt.values:
+            rings.extend(geometry.parse_wkt(w))
+        area = float(sum(geometry.ring_area(r) for r in rings))
+        wkt = geometry.multipolygon_wkt(rings) if rings else None
+        return pd.DataFrame([{
+            "cls": int(key[0]), "cell": int(key[1]),
+            "pn": len(rings), "pa": area, "pw": wkt}])
+
+    # partial: cell-local unions (cheap, bounded groups; hot classes are
+    # split across cells — the salting analogue for geometric aggregation)
+    # spatial partial-grouping key: the polygon's first x coordinate
+    # (any deterministic spatial proxy works for the partial stage)
+    centroid_cell = F.floor(
+        F.regexp_extract("wkt", r"(-?\d+\.?\d*)", 1).cast("double")
+        / F.lit(cell_m)).cast("long")
+    staged = with_cell.withColumn("cell", centroid_cell)
+    partials = staged.groupBy("cls", "cell").applyInPandas(
+        partial, schema=part_schema)
+
+    final_schema = StructType([
+        StructField("bal_number", LongType(), False),
+        StructField("n_parts", LongType(), False),
+        StructField("area_m2", DoubleType(), False),
+        StructField("wkt", StringType(), True)])
+
+    def final(key, pdf: pd.DataFrame):
+        n = int(pdf.pn.sum())
+        area = float(pdf.pa.sum())
+        wkt = None
+        if n <= max_parts_wkt:
+            rings = []
+            for w in pdf.pw.dropna().values:
+                rings.extend(geometry.parse_wkt(w))
+            wkt = geometry.multipolygon_wkt(rings) if rings else None
+        return pd.DataFrame([{
+            "bal_number": int(key[0]), "n_parts": n, "area_m2": area,
+            "wkt": wkt}])
+
+    return partials.groupBy("cls").applyInPandas(final, schema=final_schema)

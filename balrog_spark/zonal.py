@@ -56,7 +56,9 @@ def tiles_for_buffers(points: DataFrame, tiles: DataFrame,
         "addr_id", "x", "y",
         F.col("tx").cast("int").alias("tile_x"),
         F.col("ty").cast("int").alias("tile_y"))
-    return pts.join(tiles, ["tile_x", "tile_y"])
+    n = pts.sparkSession.sparkContext.defaultParallelism
+    # spread the probe side: broadcast tile joins keep its partitioning
+    return pts.repartition(n, "addr_id").join(tiles, ["tile_x", "tile_y"])
 
 
 def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
@@ -94,3 +96,54 @@ def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
         }])
 
     return joined.groupBy("addr_id").applyInPandas(stats, schema=ZONAL_OUT)
+
+
+def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
+                      layer_specs: dict,
+                      sentinel: float = -9999.0,
+                      nodata: float = -99.0) -> DataFrame:
+    """Multi-layer zonal stats in ONE shuffle: ``layer_specs`` maps layer
+    name -> {"circular": bool}; output has one column group per layer
+    (<layer>_min .. <layer>_pixel_count). Halves the join/groupBy cost of
+    running slope and aspect separately — the dominant fixed cost of the
+    per-address pipeline."""
+    from pyspark.sql.types import IntegerType
+
+    layers = sorted(layer_specs)
+    joined = tiles_for_buffers(points, tiles, radius_m)
+
+    fields = [StructField("addr_id", StringType(), False),
+              StructField("buffer_size_m", DoubleType(), False)]
+    for lay in layers:
+        for stat in ("min", "max", "avg", "std", "med", "pixel_count"):
+            fields.append(StructField(f"{lay}_{stat}", IntegerType(),
+                                      False))
+    out_schema = StructType(fields)
+
+    def stats(key, group: pd.DataFrame):
+        addr_id = key[0]
+        x = float(group.x.iloc[0])
+        y = float(group.y.iloc[0])
+        row = {"addr_id": addr_id, "buffer_size_m": float(radius_m)}
+        for lay in layers:
+            sub = group[group.layer == lay]
+            vals = []
+            for r in sub.itertuples():
+                n, m = int(r.nrows), int(r.ncols)
+                arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
+                px = float(r.pixel_m)
+                xs = r.x0 + (np.arange(m) + 0.5) * px
+                ys = r.y0 + (n - np.arange(n) - 0.5) * px
+                mask = ((xs[None, :] - x) ** 2
+                        + (ys[:, None] - y) ** 2) <= radius_m ** 2
+                v = arr[mask]
+                vals.append(v[v != nodata])
+            flat = np.concatenate(vals) if vals else np.array([])
+            s = kernels.zonal_stats_1d(
+                flat, circular=layer_specs[lay].get("circular", False),
+                sentinel=sentinel)
+            for stat in ("min", "max", "avg", "std", "med", "pixel_count"):
+                row[f"{lay}_{stat}"] = s[stat]
+        return pd.DataFrame([row])
+
+    return joined.groupBy("addr_id").applyInPandas(stats, schema=out_schema)

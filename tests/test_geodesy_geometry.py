@@ -1,0 +1,86 @@
+"""Geodesy + geometry unit tests (numpy only, no Spark)."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+from balrog_spark import geodesy, geometry
+
+
+def test_haversine_known_values():
+    # one degree of latitude ~ 111.19 km on the mean sphere
+    d = geodesy.haversine_m(0.0, 0.0, 0.0, 1.0)
+    assert_allclose(d, 111194.93, rtol=1e-4)
+    # equatorial degree of longitude equals a degree of latitude
+    d2 = geodesy.haversine_m(0.0, 0.0, 1.0, 0.0)
+    assert_allclose(d, d2, rtol=1e-12)
+    assert geodesy.haversine_m(10.0, 20.0, 10.0, 20.0) == 0.0
+
+
+def test_forward_azimuth_cardinals():
+    assert_allclose(geodesy.forward_azimuth_deg(0, 0, 0, 1), 0.0,
+                    atol=1e-9)   # north
+    assert_allclose(geodesy.forward_azimuth_deg(0, 0, 1, 0), 90.0,
+                    atol=1e-9)   # east
+    assert_allclose(geodesy.forward_azimuth_deg(0, 1, 0, 0), 180.0,
+                    atol=1e-9)   # south
+    assert_allclose(geodesy.forward_azimuth_deg(1, 0, 0, 0), -90.0,
+                    atol=1e-9)   # west
+
+
+def test_local_tangent_roundtrip_distance():
+    lon0, lat0 = 151.2, -33.8
+    lon = np.array([151.201, 151.21])
+    lat = np.array([-33.801, -33.79])
+    x, y = geodesy.local_tangent_xy(lon, lat, lon0, lat0)
+    d_planar = np.hypot(x, y)
+    d_geo = geodesy.haversine_m(lon0, lat0, lon, lat)
+    assert_allclose(d_planar, d_geo, rtol=1e-4)
+
+
+def test_spherical_area_small_square_matches_planar():
+    # 0.01-degree square near the equator: spherical ~ planar
+    lon = [0.0, 0.01, 0.01, 0.0]
+    lat = [0.0, 0.0, 0.01, 0.01]
+    a = geodesy.spherical_ring_area_m2(lon, lat)
+    side = geodesy.haversine_m(0, 0, 0.01, 0)
+    assert_allclose(a, side * side, rtol=1e-3)
+
+
+def test_parse_wkt_multipolygon_parts():
+    wkt = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+           "((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    rings = geometry.parse_wkt(wkt)
+    assert len(rings) == 2
+    assert_allclose(geometry.ring_area(rings[0]), 1.0)
+    assert_allclose(geometry.ring_area(rings[1]), 1.0)
+
+
+def test_parse_wkt_polygon_with_hole_keeps_exterior():
+    wkt = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+           "(4 4, 6 4, 6 6, 4 6, 4 4))")
+    rings = geometry.parse_wkt(wkt)
+    assert len(rings) == 1
+    assert_allclose(geometry.ring_area(rings[0]), 100.0)
+
+
+def test_clip_ring_to_box_partial_overlap():
+    ring = np.array([[0., 0.], [4., 0.], [4., 4.], [0., 4.]])
+    piece = geometry.clip_ring_to_box(ring, 2.0, 2.0, 6.0, 6.0)
+    assert_allclose(geometry.ring_area(piece), 4.0)
+    empty = geometry.clip_ring_to_box(ring, 10.0, 10.0, 12.0, 12.0)
+    assert len(empty) == 0
+
+
+def test_ring_centroid_and_bbox():
+    ring = np.array([[0., 0.], [2., 0.], [2., 2.], [0., 2.]])
+    cx, cy = geometry.ring_centroid(ring)
+    assert_allclose([cx, cy], [1.0, 1.0])
+    assert geometry.bbox(ring) == (0.0, 0.0, 2.0, 2.0)
+
+
+def test_buffer_points_vec_shape_and_radius():
+    rings = geometry.buffer_points_vec([10.0, 20.0], [5.0, 5.0], 3.0,
+                                       quad_segs=4)
+    assert rings.shape == (2, 16, 2)
+    r = np.hypot(rings[0, :, 0] - 10.0, rings[0, :, 1] - 5.0)
+    assert_allclose(r, 3.0)

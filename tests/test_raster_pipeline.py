@@ -86,6 +86,23 @@ def test_dynamic_slope_max_matches_global(spark):
     assert abs(got - smax) < 2.0
 
 
+def test_bal_max_tiles_matches_per_fdi_global(spark):
+    tiles = corpus.spark_tiles(spark, 2, 2)
+    out = raster.bal_max_tiles(tiles, fdis=(100, 50)).collect()
+    assert len(out) == 2 * 2 * 2
+    n = corpus.TILE_N
+    for fdi in (100, 50):
+        exp = global_bal(2, 2, fdi=fdi)["max"].astype(np.float32)
+        for r in out:
+            if r.fdi != fdi:
+                continue
+            r0 = (2 - 1 - r.tile_y) * n
+            got = np.asarray(r.bal_max, dtype=np.float32).reshape(n, n)
+            assert_array_equal(
+                got, exp[r0:r0 + n, r.tile_x * n:(r.tile_x + 1) * n],
+                err_msg=f"tile ({r.tile_x},{r.tile_y}) fdi {fdi}")
+
+
 def test_reclassify_tiles_roundtrip(spark):
     tiles = corpus.spark_tiles(spark, 1, 1)
     out = raster.reclassify_tiles(tiles, corpus.VEG_REMAP, layer="veg") \
