@@ -134,6 +134,41 @@ def composed_remap_intervals(remap: str):
     return pieces
 
 
+def address_bal_from_rasters(addresses: DataFrame,
+                             bal_max: DataFrame) -> DataFrame:
+    """Serve per-address BAL from precomputed multi-FDI bal_max tiles
+    (raster.bal_max_tiles): address -> tile assignment -> pixel lookup, all
+    pure column math + one equi-join on (tile, fdi). This is the
+    'tile assignment + BAL match' surface of the north rule: the raster
+    answer each address reads (reference reads bal_max.img at the address
+    pixel, calculate_bal.py:84-87).
+
+    Output: (addr_id, fdi, tile_x, tile_y, pix_row, pix_col, bal).
+    """
+    t = bal_max.select(
+        "tile_x", "tile_y", "fdi", "x0", "y0", "pixel_m", "nrows", "ncols",
+        "bal_max")
+    tile_w = F.col("ncols") * F.col("pixel_m")
+    a = addresses.select("addr_id", "x", "y", F.col("fdi").alias("a_fdi"))
+    j = a.join(t, (F.col("a_fdi") == F.col("fdi"))
+               & (F.col("x") >= F.col("x0"))
+               & (F.col("x") < F.col("x0") + tile_w)
+               & (F.col("y") >= F.col("y0"))
+               & (F.col("y") < F.col("y0")
+                  + F.col("nrows") * F.col("pixel_m")))
+    col_i = F.floor((F.col("x") - F.col("x0")) / F.col("pixel_m")) \
+        .cast("int")
+    row_i = (F.col("nrows") - 1
+             - F.floor((F.col("y") - F.col("y0")) / F.col("pixel_m"))
+             ).cast("int")
+    return j.select(
+        "addr_id", "fdi", "tile_x", "tile_y",
+        row_i.alias("pix_row"), col_i.alias("pix_col"),
+        F.element_at("bal_max",
+                     (row_i * F.col("ncols") + col_i + 1).cast("int"))
+        .cast("double").alias("bal"))
+
+
 def remap_column(col, remap: str):
     """Scalar-column twin of the reclassify DSL (R1), value-identical to the
     array kernel: flat when-chain over the composed piecewise map, identity

@@ -113,3 +113,34 @@ def test_reclassify_tiles_roundtrip(spark):
     _, veg_raw = corpus.tile_arrays(0, 0)
     exp = kernels.reclassify_vec(veg_raw, corpus.VEG_REMAP)
     assert_array_equal(got, exp.astype(np.float64))
+
+
+def test_address_bal_raster_serving_exact_match(spark):
+    """The north-rule match metric: every address's tile assignment and
+    served BAL equals the reference (global-array) computation — 100%."""
+    from balrog_spark import docparse, pipeline
+
+    nx = ny = 2
+    docs = corpus.spark_documents(spark, nx, ny)
+    tiles = corpus.spark_tiles(spark, nx, ny)
+    bal_max = raster.bal_max_tiles(tiles, fdis=(100, 80, 50, 40))
+    addrs = docparse.addresses_from_documents(docs)
+    served = pipeline.address_bal_from_rasters(addrs, bal_max).toPandas()
+    assert len(served) == nx * ny * 5
+
+    n = corpus.TILE_N
+    expected = {fdi: global_bal(nx, ny, fdi=fdi)["max"]
+                for fdi in (100, 80, 50, 40)}
+    apdf = addrs.toPandas().set_index("addr_id")
+    matches = 0
+    for r in served.itertuples():
+        a = apdf.loc[r.addr_id]
+        tx = int(a.x // corpus.TILE_M)
+        ty = int(a.y // corpus.TILE_M)
+        assert (r.tile_x, r.tile_y) == (tx, ty), "tile assignment"
+        gcol = tx * n + r.pix_col
+        grow = (ny - 1 - ty) * n + r.pix_row
+        exp = np.float32(expected[int(a.fdi)][grow, gcol])
+        assert np.float32(r.bal) == exp, (r.addr_id, r.bal, float(exp))
+        matches += 1
+    assert matches == len(served)  # 100% BAL + tile-assignment match rate
