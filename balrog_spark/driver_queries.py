@@ -1304,6 +1304,91 @@ def ann_lsh_neardup(spark, sf_dir):
     return annops.lsh_neardup_pairs(e, threshold=0.30, n_planes=6)
 
 
+# --- holed polygons (interior rings) -----------------------------------------
+# exterior = the box, hole = a centred box with half-extents hw/2 - 1/16,
+# hh/2 - 1/16 (the 1/16 keeps hole edges off every point fraction so both
+# engines' open/closed conventions agree; all values are exact binary
+# fractions). Real NVIS vegetation polygons are holed (reference:
+# data_prep/vegetation/03_explode_multipolygons_and_classify.sql:5-9).
+
+def holed_boxes_wkt(spark, sf_dir) -> DataFrame:
+    b = derived_boxes(spark, sf_dir)
+    hx = F.col("hw") / 2 - 0.0625
+    hy = F.col("hh") / 2 - 0.0625
+    return b.withColumn(
+        "wkt",
+        F.format_string(
+            "POLYGON ((%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, "
+            "%.4f %.4f), (%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, "
+            "%.4f %.4f))",
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") - hx, F.col("cy") - hy,
+            F.col("cx") + hx, F.col("cy") - hy,
+            F.col("cx") + hx, F.col("cy") + hy,
+            F.col("cx") - hx, F.col("cy") + hy,
+            F.col("cx") - hx, F.col("cy") - hy))
+
+
+_HOLE = ("p.x > b.cx - (b.hw/2 - 0.0625) AND p.x < b.cx + (b.hw/2 - 0.0625) "
+         "AND p.y > b.cy - (b.hh/2 - 0.0625) "
+         "AND p.y < b.cy + (b.hh/2 - 0.0625)")
+
+_EXT = ("p.x > b.cx - b.hw AND p.x < b.cx + b.hw "
+        "AND p.y > b.cy - b.hh AND p.y < b.cy + b.hh")
+
+# distance to a holed box: outside ext -> box boundary distance; inside the
+# hole -> distance to the hole ring (rect-interior boundary distance);
+# between -> 0
+_HOLED_DIST = f"""
+CASE WHEN NOT ({_EXT}) THEN {_BOX_DIST}
+     WHEN {_HOLE}
+     THEN least((b.hw/2 - 0.0625) - abs(p.x - b.cx),
+                (b.hh/2 - 0.0625) - abs(p.y - b.cy))
+     ELSE 0.0 END"""
+
+
+@q("v9_pip_holes", f"""
+WITH {PREAMBLE}
+SELECT p.addr_id, b.veg_id, b.bal_number
+FROM points p JOIN boxes b
+  ON {_EXT} AND NOT ({_HOLE})""")
+def v9_pip_holes(spark, sf_dir):
+    """PIP join against HOLED polygons: a point inside the interior ring is
+    outside the polygon (even-odd over all rings)."""
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    b = holed_boxes_wkt(spark, sf_dir).select(
+        F.col("veg_id").cast("string").alias("veg_id"), "bal_number", "wkt")
+    out = joins.pip_join(p, b)
+    return out.select(F.col("addr_id").cast("long").alias("addr_id"),
+                      F.col("veg_id").cast("long").alias("veg_id"),
+                      F.col("bal_number").cast("long").alias("bal_number"))
+
+
+@q("v10_dwithin_holes", f"""
+WITH {PREAMBLE}
+SELECT p.addr_id, b.veg_id,
+       CAST(round({_HOLED_DIST}, 4) AS DOUBLE) AS distance_m
+FROM points p JOIN boxes b ON {_HOLED_DIST} <= 150.0""")
+def v10_dwithin_holes(spark, sf_dir):
+    """dwithin join against HOLED polygons: distances measure to the nearest
+    boundary INCLUDING hole rings (a point inside a hole is outside the
+    polygon and gets its distance to the hole ring)."""
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    b = holed_boxes_wkt(spark, sf_dir).select(
+        F.col("veg_id").cast("string").alias("veg_id"), "bal_number", "wkt")
+    out = joins.dwithin_join(p, b, 150.0)
+    return out.select(F.col("addr_id").cast("long").alias("addr_id"),
+                      F.col("veg_id").cast("long").alias("veg_id"),
+                      F.round("distance_m", 4).cast("double")
+                      .alias("distance_m"))
+
+
 def all_queries():
     return dict(QUERIES)
 

@@ -19,52 +19,54 @@ import numpy as np
 
 # --- WKT ---------------------------------------------------------------------
 
-def parse_wkt(wkt: str):
-    """Parse POLYGON/MULTIPOLYGON WKT -> list of rings, each an (N, 2) array.
+def parse_wkt_polys(wkt: str):
+    """Parse POLYGON/MULTIPOLYGON WKT -> list of polygons, each a list of
+    rings [exterior, hole, ...], every ring an (N, 2) float array.
 
-    Only exterior rings are returned (the synthetic corpus and the reference's
-    dissolved vegetation layer carry hole-free parts). POINT is returned as a
-    single (1, 2) ring.
+    Interior rings (holes) are preserved — real NVIS vegetation multipolygons
+    are holed (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:5-9).
+    POINT parses as one hole-free polygon with a (1, 2) "ring".
     """
     s = wkt.strip()
     upper = s.upper()
     if upper.startswith("POINT"):
         body = s[s.index("(") + 1:s.rindex(")")]
         x, y = body.replace(",", " ").split()[:2]
-        return [np.array([[float(x), float(y)]])]
-    rings = []
+        return [[np.array([[float(x), float(y)]])]]
     depth = 0
     start = None
-    # ring = innermost parenthesised coordinate list; holes are dropped by
-    # keeping only the first ring of each polygon
     polys = []
     cur_poly_rings = []
+    is_multi = upper.startswith("MULTIPOLYGON")
+    ring_depth = 3 if is_multi else 2
+    poly_depth = 2 if is_multi else 1
     i = 0
     while i < len(s):
         ch = s[i]
         if ch == "(":
             depth += 1
-            if (upper.startswith("MULTIPOLYGON") and depth == 3) or \
-               (upper.startswith("POLYGON") and depth == 2):
+            if depth == ring_depth:
                 start = i + 1
         elif ch == ")":
-            if start is not None and (
-                    (upper.startswith("MULTIPOLYGON") and depth == 3)
-                    or (upper.startswith("POLYGON") and depth == 2)):
+            if start is not None and depth == ring_depth:
                 coords = s[start:i]
                 pts = np.array([[float(v) for v in pair.split()[:2]]
                                 for pair in coords.split(",")])
                 cur_poly_rings.append(pts)
                 start = None
-            if (upper.startswith("MULTIPOLYGON") and depth == 2) or \
-               (upper.startswith("POLYGON") and depth == 1):
-                if cur_poly_rings:
-                    polys.append(cur_poly_rings[0])  # exterior only
-                    cur_poly_rings = []
+            if depth == poly_depth and cur_poly_rings:
+                polys.append(cur_poly_rings)
+                cur_poly_rings = []
             depth -= 1
         i += 1
-    rings = polys
-    return rings
+    return polys
+
+
+def parse_wkt(wkt: str):
+    """Exterior rings only: list of (N, 2) arrays — for callers that only
+    need bboxes/footprints. Hole-aware callers use :func:`parse_wkt_polys`."""
+    return [p[0] for p in parse_wkt_polys(wkt)]
 
 
 def ring_wkt(ring: np.ndarray) -> str:
@@ -79,8 +81,30 @@ def polygon_wkt(ring: np.ndarray) -> str:
     return "POLYGON " + ring_wkt(ring)
 
 
+def _rings_wkt(rings) -> str:
+    """(ext), (hole), ... body of one polygon."""
+    body = []
+    for r in rings:
+        pts = r
+        if not np.array_equal(pts[0], pts[-1]):
+            pts = np.vstack([pts, pts[:1]])
+        body.append("(" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
+                    + ")")
+    return "(" + ", ".join(body) + ")"
+
+
+def polygon_wkt_rings(rings) -> str:
+    """POLYGON WKT from [exterior, hole, ...] rings."""
+    return "POLYGON " + _rings_wkt(rings)
+
+
 def multipolygon_wkt(rings) -> str:
     return "MULTIPOLYGON (" + ", ".join(ring_wkt(r) for r in rings) + ")"
+
+
+def multipolygon_wkt_polys(polys) -> str:
+    """MULTIPOLYGON WKT from a list of [ext, holes...] polygons."""
+    return "MULTIPOLYGON (" + ", ".join(_rings_wkt(p) for p in polys) + ")"
 
 
 def _closed(ring: np.ndarray) -> np.ndarray:
@@ -107,6 +131,24 @@ def points_in_ring(px, py, ring) -> np.ndarray:
         xint = (x2[k] - x1[k]) * (py - y1[k]) / (y2[k] - y1[k]) + x1[k]
         inside ^= cond & (px < xint)
     return inside
+
+
+def points_in_polygon(px, py, rings) -> np.ndarray:
+    """Even-odd point-in-polygon over exterior + interior rings: a point
+    inside a hole is OUTSIDE the polygon (XOR of per-ring crossings —
+    the st_contains semantics the reference's PIP joins rely on)."""
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside ^= points_in_ring(px, py, hole)
+    return inside
+
+
+def polygon_area(rings) -> float:
+    """Area of a holed polygon: exterior shoelace minus hole shoelaces."""
+    a = ring_area(rings[0])
+    for hole in rings[1:]:
+        a -= ring_area(hole)
+    return a
 
 
 def ring_area(ring) -> float:
@@ -163,6 +205,44 @@ def points_to_ring_distance(px, py, ring):
     n = np.arange(len(p))
     nearest = proj[n, k]
     return np.sqrt(d2[n, k]), nearest[:, 0], nearest[:, 1]
+
+
+def points_in_geom(px, py, polys) -> np.ndarray:
+    """Point-in-geometry over a (multi)polygon: union of parts, each part
+    even-odd over its rings."""
+    inside = points_in_polygon(px, py, polys[0])
+    for rings in polys[1:]:
+        inside |= points_in_polygon(px, py, rings)
+    return inside
+
+
+def points_to_geom_distance(px, py, polys):
+    """Min boundary distance over every part's every ring, with nearest
+    boundary point."""
+    d, nx, ny = points_to_polygon_distance(px, py, polys[0])
+    for rings in polys[1:]:
+        dp, nxp, nyp = points_to_polygon_distance(px, py, rings)
+        closer = dp < d
+        d = np.where(closer, dp, d)
+        nx = np.where(closer, nxp, nx)
+        ny = np.where(closer, nyp, ny)
+    return d, nx, ny
+
+
+def points_to_polygon_distance(px, py, rings):
+    """Min distance from each point to the polygon BOUNDARY (exterior or any
+    hole ring), with the nearest boundary point. A point inside a hole gets
+    its distance to the hole ring — exactly the nearest-boundary semantics of
+    shapely's ``nearest_points`` the reference kNN uses (reference:
+    data_prep/vegetation/xx_fiona_testing.py:203-217)."""
+    d, nx, ny = points_to_ring_distance(px, py, rings[0])
+    for hole in rings[1:]:
+        dh, nxh, nyh = points_to_ring_distance(px, py, hole)
+        closer = dh < d
+        d = np.where(closer, dh, d)
+        nx = np.where(closer, nxh, nx)
+        ny = np.where(closer, nyh, ny)
+    return d, nx, ny
 
 
 def azimuth_deg(x0, y0, x1, y1):

@@ -29,19 +29,36 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
 
 from . import cells, geometry
 
-# worker-global parsed-ring cache: candidate batches repeat the same WKT
+# worker-global parsed-polygon cache: candidate batches repeat the same WKT
 # strings across pandas groups, so parse each polygon once per executor
-_RING_CACHE: dict = {}
+_POLY_CACHE: dict = {}
 
 
-def _ring_of(wkt: str):
-    ring = _RING_CACHE.get(wkt)
-    if ring is None:
-        if len(_RING_CACHE) > 50000:
-            _RING_CACHE.clear()
-        ring = geometry.parse_wkt(wkt)[0]
-        _RING_CACHE[wkt] = ring
-    return ring
+def _geom_of(wkt: str):
+    """WKT -> list of polygons, each [exterior, hole, ...] rings."""
+    polys = _POLY_CACHE.get(wkt)
+    if polys is None:
+        if len(_POLY_CACHE) > 50000:
+            _POLY_CACHE.clear()
+        polys = geometry.parse_wkt_polys(wkt)
+        _POLY_CACHE[wkt] = polys
+    return polys
+
+
+# auto broadcast threshold: above this many cover ROWS the full-WKT cover is
+# too big to ship to every executor (reference scale: 9.4M NVIS polygons);
+# the join falls back to a shuffle hash/SMJ on cell_id, which distributes
+# the cover bytes instead of replicating them per executor
+AUTO_BROADCAST_MAX_COVER_ROWS = 300_000
+
+
+def _maybe_broadcast(cover: DataFrame, broadcast_cover):
+    """broadcast_cover True/False forces the strategy; None = auto by a
+    cheap cover-row count (one lightweight job over the tiny polygon side)."""
+    if broadcast_cover is None:
+        broadcast_cover = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
+                           .count() <= AUTO_BROADCAST_MAX_COVER_ROWS)
+    return F.broadcast(cover) if broadcast_cover else cover
 
 
 _COVER = StructType([
@@ -64,23 +81,65 @@ def with_cell(points: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
 
 
 def polygon_cover(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
-                  pad_m: float = 0.0) -> DataFrame:
-    """Explode polygons to (cell_id, veg_id, bal_number, wkt) cover rows via
-    bbox cover (+ optional pad for distance joins)."""
+                  pad_m: float = 0.0, clip: bool = False) -> DataFrame:
+    """Explode polygons to (cell_id, veg_id, bal_number, wkt) cover rows —
+    one row per covered cell per polygon PART, bbox cover (+ optional pad
+    for distance joins).
+
+    ``clip=True`` emits the polygon CLIPPED to each cell instead of the full
+    WKT (the V8-subdivide trick): per-cell bytes stay bounded no matter how
+    large the source polygon, which is what makes the non-broadcast shuffle
+    path affordable at 9.4M-polygon scale. Valid for PIP only (clipping
+    changes boundary distances), so the distance joins keep the full WKT.
+    Holes are clipped alongside the exterior — even-odd semantics survive
+    intersection with a box.
+    """
 
     def gen(batches):
         for pdf in batches:
             out = {"cell_id": [], "veg_id": [], "bal_number": [], "wkt": []}
             for r in pdf.itertuples():
-                ring = geometry.parse_wkt(r.wkt)[0]
-                xmin, ymin, xmax, ymax = geometry.bbox(ring)
-                ids = cells.cover_bbox(xmin - pad_m, ymin - pad_m,
-                                       xmax + pad_m, ymax + pad_m, cell_m)
-                out["cell_id"].extend(int(i) for i in ids)
-                out["veg_id"].extend([r.veg_id] * len(ids))
+                parts = geometry.parse_wkt_polys(r.wkt)
+                cell_parts: dict = {}
+                for pi, rings in enumerate(parts):
+                    xmin, ymin, xmax, ymax = geometry.bbox(rings[0])
+                    for cid in cells.cover_bbox(
+                            xmin - pad_m, ymin - pad_m,
+                            xmax + pad_m, ymax + pad_m, cell_m):
+                        cell_parts.setdefault(int(cid), []).append(pi)
+                kept_ids, wkts = [], []
+                for cid, pis in cell_parts.items():
+                    if not clip:
+                        kept_ids.append(cid)
+                        # original WKT verbatim: re-serialization would
+                        # round coordinates and perturb oracle distances
+                        wkts.append(r.wkt)
+                        continue
+                    gx, gy = cells.unpack(np.array([cid]))
+                    bx0 = float(gx[0]) * cell_m
+                    by0 = float(gy[0]) * cell_m
+                    pieces = []
+                    for pi in pis:
+                        rings = parts[pi]
+                        ext = geometry.clip_ring_to_box(
+                            rings[0], bx0, by0, bx0 + cell_m, by0 + cell_m)
+                        if len(ext) < 3 or geometry.ring_area(ext) <= 0:
+                            continue
+                        piece = [ext]
+                        for hole in rings[1:]:
+                            hp = geometry.clip_ring_to_box(
+                                hole, bx0, by0, bx0 + cell_m, by0 + cell_m)
+                            if len(hp) >= 3 and geometry.ring_area(hp) > 0:
+                                piece.append(hp)
+                        pieces.append(piece)
+                    if pieces:
+                        kept_ids.append(cid)
+                        wkts.append(geometry.multipolygon_wkt_polys(pieces))
+                out["cell_id"].extend(kept_ids)
+                out["veg_id"].extend([r.veg_id] * len(kept_ids))
                 out["bal_number"].extend(
-                    [int(getattr(r, "bal_number", 0))] * len(ids))
-                out["wkt"].extend([r.wkt] * len(ids))
+                    [int(getattr(r, "bal_number", 0))] * len(kept_ids))
+                out["wkt"].extend(wkts)
             yield pd.DataFrame(out)
 
     return polys.mapInPandas(gen, schema=_COVER)
@@ -105,10 +164,19 @@ def _spread(df: DataFrame, key: str = "addr_id") -> DataFrame:
 
 def pip_join(points: DataFrame, polys: DataFrame,
              cell_m: float = cells.DEFAULT_CELL_M,
-             broadcast_cover: bool = True) -> DataFrame:
+             broadcast_cover: bool | None = None) -> DataFrame:
     """Point-in-polygon join (V9/J2): returns (addr_id, veg_id, bal_number)
-    for every point strictly inside a polygon."""
-    cover = polygon_cover(polys, cell_m)
+    for every point strictly inside a polygon (holes excluded, even-odd).
+
+    ``broadcast_cover``: True broadcasts the full-WKT cover (small layers);
+    False shuffle-joins a cell-CLIPPED cover (bounded per-cell bytes — the
+    9.4M-polygon path); None auto-selects by cover row count."""
+    if broadcast_cover is None:
+        broadcast_cover = (
+            polygon_cover(polys, cell_m)
+            .limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1).count()
+            <= AUTO_BROADCAST_MAX_COVER_ROWS)
+    cover = polygon_cover(polys, cell_m, clip=not broadcast_cover)
     if broadcast_cover:
         cover = F.broadcast(cover)
     pts = _spread(with_cell(points, cell_m))
@@ -118,9 +186,9 @@ def pip_join(points: DataFrame, polys: DataFrame,
         for pdf in batches:
             keep = []
             for wkt, grp in pdf.groupby("wkt", sort=False):
-                ring = _ring_of(wkt)
-                inside = geometry.points_in_ring(grp.x.values, grp.y.values,
-                                                 ring)
+                geom = _geom_of(wkt)
+                inside = geometry.points_in_geom(
+                    grp.x.values, grp.y.values, geom)
                 if inside.any():
                     sub = grp[inside]
                     keep.append(pd.DataFrame({
@@ -137,11 +205,16 @@ def pip_join(points: DataFrame, polys: DataFrame,
 
 
 def dwithin_join(points: DataFrame, polys: DataFrame, radius_m: float,
-                 cell_m: float = cells.DEFAULT_CELL_M) -> DataFrame:
+                 cell_m: float = cells.DEFAULT_CELL_M,
+                 broadcast_cover: bool | None = None) -> DataFrame:
     """Distance-within join (V10/J3): pairs with point-to-polygon distance
-    <= radius (0 inside). Cover is padded by the radius so one equi-join
-    suffices."""
-    cover = F.broadcast(polygon_cover(polys, cell_m, pad_m=radius_m))
+    <= radius (0 inside; hole boundaries count — a point inside a hole is
+    outside and measures to the hole ring). Cover is padded by the radius so
+    one equi-join suffices. Non-broadcast covers shuffle-join on cell_id
+    (distance needs the full WKT, so bytes shrink by distribution, not
+    clipping)."""
+    cover = _maybe_broadcast(polygon_cover(polys, cell_m, pad_m=radius_m),
+                             broadcast_cover)
     pts = _spread(with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")
 
@@ -149,11 +222,11 @@ def dwithin_join(points: DataFrame, polys: DataFrame, radius_m: float,
         for pdf in batches:
             keep = []
             for wkt, grp in pdf.groupby("wkt", sort=False):
-                ring = _ring_of(wkt)
-                d, _, _ = geometry.points_to_ring_distance(
-                    grp.x.values, grp.y.values, ring)
-                inside = geometry.points_in_ring(grp.x.values, grp.y.values,
-                                                 ring)
+                geom = _geom_of(wkt)
+                d, _, _ = geometry.points_to_geom_distance(
+                    grp.x.values, grp.y.values, geom)
+                inside = geometry.points_in_geom(
+                    grp.x.values, grp.y.values, geom)
                 d = np.where(inside, 0.0, d)
                 ok = d <= radius_m
                 if ok.any():
@@ -176,7 +249,8 @@ def dwithin_join(points: DataFrame, polys: DataFrame, radius_m: float,
 
 
 def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
-             cell_m: float = cells.DEFAULT_CELL_M) -> DataFrame:
+             cell_m: float = cells.DEFAULT_CELL_M,
+             broadcast_cover: bool | None = None) -> DataFrame:
     """Nearest-polygon (kNN k=1) join with bearing (V11): for each point the
     closest polygon, its exact distance (0 if inside), nearest boundary
     point, and forward azimuth — the reference's per-address
@@ -189,7 +263,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     """
     spark = points.sparkSession
     cover = polygon_cover(polys, cell_m).cache()
-    cover_b = F.broadcast(cover)
+    cover_b = _maybe_broadcast(cover, broadcast_cover)
     pts = _spread(with_cell(points, cell_m)
                   .select("addr_id", "x", "y", "cell_id"))
 
@@ -208,11 +282,11 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
             for pdf in batches:
                 keep = []
                 for wkt, grp in pdf.groupby("wkt", sort=False):
-                    ring = _ring_of(wkt)
-                    d, nx_, ny_ = geometry.points_to_ring_distance(
-                        grp.x.values, grp.y.values, ring)
-                    inside = geometry.points_in_ring(
-                        grp.x.values, grp.y.values, ring)
+                    geom = _geom_of(wkt)
+                    d, nx_, ny_ = geometry.points_to_geom_distance(
+                        grp.x.values, grp.y.values, geom)
+                    inside = geometry.points_in_geom(
+                        grp.x.values, grp.y.values, geom)
                     d = np.where(inside, 0.0, d)
                     az = geometry.azimuth_deg(grp.x.values, grp.y.values,
                                               nx_, ny_)

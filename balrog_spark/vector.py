@@ -53,12 +53,12 @@ def explode_multipolygon(polys: DataFrame, id_col: str = "veg_id",
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                for i, ring in enumerate(
-                        geometry.parse_wkt(getattr(r, wkt_col))):
+                for i, rings in enumerate(
+                        geometry.parse_wkt_polys(getattr(r, wkt_col))):
                     rows.append({
                         "veg_id": str(getattr(r, id_col)), "part_idx": i,
-                        "part_wkt": geometry.polygon_wkt(ring),
-                        "area_m2": geometry.ring_area(ring)})
+                        "part_wkt": geometry.polygon_wkt_rings(rings),
+                        "area_m2": geometry.polygon_area(rings)})
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return polys.mapInPandas(gen, schema=schema)
@@ -75,8 +75,10 @@ def validity_flags(polys: DataFrame, id_col: str = "veg_id",
         for pdf in batches:
             rows = [{"veg_id": str(getattr(r, id_col)),
                      "is_valid": int(all(
-                         geometry.ring_is_valid(g) for g in
-                         geometry.parse_wkt(getattr(r, wkt_col))))}
+                         geometry.ring_is_valid(g)
+                         for poly in
+                         geometry.parse_wkt_polys(getattr(r, wkt_col))
+                         for g in poly))}
                     for r in pdf.itertuples()]
             yield pd.DataFrame(rows, columns=["veg_id", "is_valid"])
 
@@ -98,28 +100,37 @@ def subdivide(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                for ring in geometry.parse_wkt(getattr(r, wkt_col)):
-                    xmin, ymin, xmax, ymax = geometry.bbox(ring)
+                for rings in geometry.parse_wkt_polys(getattr(r, wkt_col)):
+                    xmin, ymin, xmax, ymax = geometry.bbox(rings[0])
                     gx0 = int(np.floor(xmin / cell_m))
                     gx1 = int(np.floor(xmax / cell_m))
                     gy0 = int(np.floor(ymin / cell_m))
                     gy1 = int(np.floor(ymax / cell_m))
                     for gx in range(gx0, gx1 + 1):
                         for gy in range(gy0, gy1 + 1):
-                            piece = geometry.clip_ring_to_box(
-                                ring, gx * cell_m, gy * cell_m,
+                            ext = geometry.clip_ring_to_box(
+                                rings[0], gx * cell_m, gy * cell_m,
                                 (gx + 1) * cell_m, (gy + 1) * cell_m)
-                            if len(piece) >= 3:
-                                a = geometry.ring_area(piece)
-                                if a > 0:
-                                    rows.append({
-                                        "veg_id": str(getattr(r, id_col)),
-                                        "cell_id": int(cells.pack(
-                                            np.array([gx]),
-                                            np.array([gy]))[0]),
-                                        "piece_wkt":
-                                            geometry.polygon_wkt(piece),
-                                        "piece_area": a})
+                            if len(ext) < 3:
+                                continue
+                            piece = [ext]
+                            for hole in rings[1:]:
+                                hp = geometry.clip_ring_to_box(
+                                    hole, gx * cell_m, gy * cell_m,
+                                    (gx + 1) * cell_m, (gy + 1) * cell_m)
+                                if len(hp) >= 3 \
+                                        and geometry.ring_area(hp) > 0:
+                                    piece.append(hp)
+                            a = geometry.polygon_area(piece)
+                            if a > 0:
+                                rows.append({
+                                    "veg_id": str(getattr(r, id_col)),
+                                    "cell_id": int(cells.pack(
+                                        np.array([gx]),
+                                        np.array([gy]))[0]),
+                                    "piece_wkt":
+                                        geometry.polygon_wkt_rings(piece),
+                                    "piece_area": a})
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return polys.mapInPandas(gen, schema=schema)
