@@ -1304,6 +1304,81 @@ def ann_lsh_neardup(spark, sf_dir):
     return annops.lsh_neardup_pairs(e, threshold=0.30, n_planes=6)
 
 
+# --- true geometric dissolve (union of OVERLAPPING inputs) -------------------
+
+@q("v6_dissolve_union", f"""
+WITH {PREAMBLE},
+ob AS (
+  SELECT veg_id AS src_id, bal_number, cx - hw AS x1, cx + hw AS x2,
+         cy - hh AS y1, cy + hh AS y2 FROM boxes
+  UNION ALL
+  SELECT veg_id + 1000000 AS src_id, bal_number, cx AS x1, cx + 2*hw AS x2,
+         cy - hh AS y1, cy + hh AS y2 FROM boxes),
+xs AS (
+  SELECT DISTINCT bal_number, xb FROM (
+    SELECT bal_number, x1 AS xb FROM ob
+    UNION SELECT bal_number, x2 AS xb FROM ob)),
+slabs AS (
+  SELECT bal_number, xb AS sx0,
+         lead(xb) OVER (PARTITION BY bal_number ORDER BY xb) AS sx1
+  FROM xs),
+live AS (
+  SELECT s.bal_number, s.sx0, s.sx1, b.y1, b.y2
+  FROM slabs s JOIN ob b ON b.bal_number = s.bal_number
+   AND b.x1 <= s.sx0 AND b.x2 >= s.sx1
+  WHERE s.sx1 IS NOT NULL),
+marked AS (
+  SELECT bal_number, sx0, sx1, y1, y2,
+         max(y2) OVER (PARTITION BY bal_number, sx0 ORDER BY y1, y2
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS pm
+  FROM live),
+ua AS (
+  SELECT bal_number,
+         sum((sx1 - sx0) * greatest(y2 - greatest(y1, coalesce(pm, y1)), 0))
+             AS union_area
+  FROM marked GROUP BY bal_number),
+na AS (
+  SELECT bal_number, sum((x2 - x1) * (y2 - y1)) AS naive_area,
+         count(DISTINCT src_id) AS n_src
+  FROM ob GROUP BY bal_number)
+SELECT ua.bal_number, CAST(na.n_src AS BIGINT) AS n_src,
+       CAST(round(ua.union_area, 2) AS DOUBLE) AS union_area_m2,
+       CAST(round(na.naive_area, 2) AS DOUBLE) AS naive_area_m2
+FROM ua JOIN na USING (bal_number)""")
+def v6_dissolve_union(spark, sf_dir):
+    """TRUE geometric dissolve over OVERLAPPING inputs: each supplier box is
+    paired with a half-overlapping twin, so per-class union area < naive sum
+    (st_union semantics; the oracle is an independent SQL scanline —
+    x-slab decomposition + running-max y-interval union). Engine path:
+    vector.dissolve_union (cell-clipped slab sweep, partial/final agg)."""
+    from . import vector
+    b = derived_boxes(spark, sf_dir)
+
+    def box_wkt(x1, y1, x2, y2):
+        return F.format_string(
+            "POLYGON ((%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, "
+            "%.4f %.4f))", x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+
+    b1 = b.select(
+        F.col("veg_id").cast("string").alias("veg_id"), "bal_number",
+        box_wkt(F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+                F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"))
+        .alias("wkt"))
+    b2 = b.select(
+        (F.col("veg_id") + 1000000).cast("string").alias("veg_id"),
+        "bal_number",
+        box_wkt(F.col("cx"), F.col("cy") - F.col("hh"),
+                F.col("cx") + 2 * F.col("hw"), F.col("cy") + F.col("hh"))
+        .alias("wkt"))
+    out = vector.dissolve_union(b1.unionByName(b2), cell_m=1600.0)
+    return out.select(
+        F.col("bal_number").cast("long").alias("bal_number"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.round("union_area_m2", 2).cast("double").alias("union_area_m2"),
+        F.round("naive_area_m2", 2).cast("double").alias("naive_area_m2"))
+
+
 # --- holed polygons (interior rings) -----------------------------------------
 # exterior = the box, hole = a centred box with half-extents hw/2 - 1/16,
 # hh/2 - 1/16 (the 1/16 keeps hole edges off every point fraction so both

@@ -322,6 +322,88 @@ def clip_ring_to_box(ring, xmin, ymin, xmax, ymax):
     return np.array(poly) if poly else np.empty((0, 2))
 
 
+def union_area(polys) -> float:
+    """Exact area of the UNION of arbitrary (possibly overlapping, possibly
+    holed) polygons — the geometric core of st_union/dissolve (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:36-58).
+
+    Vertical slab sweep: cut the x-axis at every segment endpoint and every
+    pairwise segment-line crossing; within a slab no two segments cross and
+    no endpoint occurs, so each polygon's coverage intervals at the slab
+    midline vary linearly and never reorder — union length is linear in x
+    and the slab's union area is exactly width * length(midline). O(S^2) in
+    segment count, so callers bound S by grid-cell subdivision first.
+    """
+    # segments: (x1, y1, x2, y2, poly_idx)
+    segs = []
+    for pi, rings in enumerate(polys):
+        for ring in rings:
+            r = _closed(np.asarray(ring, dtype=np.float64))
+            a = r
+            b = np.roll(r, -1, axis=0)
+            for (x1, y1), (x2, y2) in zip(a, b):
+                segs.append((x1, y1, x2, y2, pi))
+    if not segs:
+        return 0.0
+    S = np.array([s[:4] for s in segs], dtype=np.float64)
+    pid = np.array([s[4] for s in segs], dtype=np.int64)
+
+    xs = set(S[:, 0].tolist()) | set(S[:, 2].tolist())
+    # pairwise line-crossing x's (vectorized): any candidate inside both
+    # segments' x-spans is a breakpoint (extra breakpoints are harmless)
+    x1, y1, x2, y2 = S[:, 0], S[:, 1], S[:, 2], S[:, 3]
+    nonvert = x1 != x2
+    idx = np.nonzero(nonvert)[0]
+    if len(idx):
+        sl = (y2[idx] - y1[idx]) / (x2[idx] - x1[idx])
+        ic = y1[idx] - sl * x1[idx]
+        ds = sl[:, None] - sl[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xc = (ic[None, :] - ic[:, None]) / ds
+        lo = np.minimum(x1[idx], x2[idx])
+        hi = np.maximum(x1[idx], x2[idx])
+        ok = (np.abs(ds) > 1e-12) \
+            & (xc > lo[:, None]) & (xc < hi[:, None]) \
+            & (xc > lo[None, :]) & (xc < hi[None, :])
+        xs |= set(xc[ok].tolist())
+
+    bks = np.array(sorted(xs))
+    total = 0.0
+    npoly = int(pid.max()) + 1
+    for k in range(len(bks) - 1):
+        w = bks[k + 1] - bks[k]
+        if w <= 0:
+            continue
+        xm = 0.5 * (bks[k] + bks[k + 1])
+        cross = ((x1 < xm) & (xm < x2)) | ((x2 < xm) & (xm < x1))
+        if not cross.any():
+            continue
+        yc = y1[cross] + (xm - x1[cross]) * (y2[cross] - y1[cross]) \
+            / (x2[cross] - x1[cross])
+        pc = pid[cross]
+        ivs = []
+        for pi in np.unique(pc):
+            ys = np.sort(yc[pc == pi])
+            # even-odd pairing over the polygon's full boundary (holes
+            # included) yields its coverage intervals at x=xm
+            for j in range(0, len(ys) - 1, 2):
+                ivs.append((ys[j], ys[j + 1]))
+        ivs.sort()
+        length = 0.0
+        cur_lo, cur_hi = None, None
+        for lo_y, hi_y in ivs:
+            if cur_hi is None or lo_y > cur_hi:
+                if cur_hi is not None:
+                    length += cur_hi - cur_lo
+                cur_lo, cur_hi = lo_y, hi_y
+            else:
+                cur_hi = max(cur_hi, hi_y)
+        if cur_hi is not None:
+            length += cur_hi - cur_lo
+        total += w * length
+    return float(total)
+
+
 def ring_is_valid(ring) -> bool:
     """Cheap validity: >= 3 distinct vertices and non-zero area (the engine's
     st_isvalid stand-in, reference:

@@ -136,6 +136,63 @@ def subdivide(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
     return polys.mapInPandas(gen, schema=schema)
 
 
+def dissolve_union(polys: DataFrame, class_col: str = "bal_number",
+                   cell_m: float = 1600.0, id_col: str = "veg_id",
+                   wkt_col: str = "wkt") -> DataFrame:
+    """TRUE geometric dissolve (st_union semantics): per-class area of the
+    UNION of possibly-overlapping polygons, vs the naive part-sum
+    (reference: 03_explode_multipolygons_and_classify.sql:36-58 st_union,
+    04_merge_geometries.py:129-205).
+
+    Plan shape (partial/final, one shuffle each):
+      1. clip every polygon to grid cells (bounded per-piece size — V8);
+      2. per (class, cell): exact union area of the cell's pieces via the
+         slab sweep (:func:`geometry.union_area`) — cells partition the
+         plane, so union area decomposes exactly across cells;
+      3. per class: sum cell partials.
+    Output: (bal_number, n_src, union_area_m2, naive_area_m2);
+    union < naive exactly where inputs overlap.
+    """
+    pieces = subdivide(polys.select(F.col(class_col).alias("cls_tag"),
+                                    F.col(id_col).alias(id_col),
+                                    F.col(wkt_col).alias("wkt"))
+                       .withColumn(
+                           "veg_id",
+                           F.concat_ws("|", F.col("cls_tag").cast("string"),
+                                       F.col(id_col).cast("string"))),
+                       cell_m=cell_m)
+    split = F.split(F.col("veg_id"), r"\|")
+    pieces = pieces.select(
+        split.getItem(0).cast("long").alias("cls"),
+        split.getItem(1).alias("src_id"),
+        "cell_id", "piece_wkt", "piece_area")
+
+    part_schema = StructType([
+        StructField("cls", LongType(), False),
+        StructField("cell_id", LongType(), False),
+        StructField("ua", DoubleType(), False),
+        StructField("na", DoubleType(), False)])
+
+    def cell_union(key, pdf: pd.DataFrame):
+        polys_rings = [geometry.parse_wkt_polys(w)[0]
+                       for w in pdf.piece_wkt.values]
+        return pd.DataFrame([{
+            "cls": int(key[0]), "cell_id": int(key[1]),
+            "ua": geometry.union_area(polys_rings),
+            "na": float(pdf.piece_area.sum())}])
+
+    partials = pieces.groupBy("cls", "cell_id").applyInPandas(
+        cell_union, schema=part_schema)
+    srcs = pieces.groupBy("cls").agg(
+        F.countDistinct("src_id").alias("n_src"))
+    return (partials.groupBy("cls")
+            .agg(F.sum("ua").alias("union_area_m2"),
+                 F.sum("na").alias("naive_area_m2"))
+            .join(srcs, "cls")
+            .select(F.col("cls").alias("bal_number"), "n_src",
+                    "union_area_m2", "naive_area_m2"))
+
+
 def dissolve(polys: DataFrame, class_col: str = "bal_number",
              cell_m: float = 1600.0, wkt_col: str = "wkt",
              max_parts_wkt: int = 10000) -> DataFrame:
