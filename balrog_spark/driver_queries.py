@@ -939,12 +939,20 @@ shingle AS (
        LATERAL (SELECT unnest(generate_series(1, length(n) - 7)) AS g) p)"""
 
 
+# df-filtered shingle space (the hot-shingle skew control, max_df = 100)
+_SHINGLES_F_CTE = _SHINGLES_CTE + """,
+dfreq AS (SELECT shingle, count(*) AS df FROM shingle GROUP BY shingle),
+shingle_f AS (
+  SELECT s.doc_id, s.shingle FROM shingle s
+  JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= 100)"""
+
+
 @q("dedup_ngram_jaccard", f"""
-WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+WITH {_SHINGLES_F_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_f GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingle a JOIN shingle b ON a.shingle = b.shingle
+  FROM shingle_f a JOIN shingle_f b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT c.doc_a, c.doc_b,
        CAST(round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS DOUBLE)
@@ -954,33 +962,40 @@ JOIN sizes sa ON c.doc_a = sa.doc_id
 JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.4""")
 def dedup_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs (shingle equi-join prefilter)."""
+    """N-gram Jaccard near-dup pairs (shingle equi-join prefilter) over the
+    df-filtered shingle space — shingles in > 100 docs are dropped before
+    the self-join (hot-key skew control)."""
     d = _load(spark, sf_dir, "documents")
-    out = textops.ngram_jaccard_pairs(d, k=8, threshold=0.4)
+    out = textops.ngram_jaccard_pairs(d, k=8, threshold=0.4, max_df=100)
     return out.select(F.col("doc_a").cast("long").alias("doc_a"),
                       F.col("doc_b").cast("long").alias("doc_b"),
                       F.col("jaccard").cast("double").alias("jaccard"))
 
 
+from .textops import MH_A, MH_B, MH_P, shingle_hash_sql  # noqa: E402
+
 @q("dedup_minhash_lsh", f"""
 WITH {_SHINGLES_CTE},
+hs AS (SELECT doc_id, {shingle_hash_sql('shingle', 8)} AS h FROM shingle),
 mh AS (
   SELECT doc_id,
 """ + ",\n".join(
-    f"         min(md5('{i}|' || shingle)) AS mh{i}" for i in range(12))
+    f"         min(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}"
+    for i in range(12))
     + """
-  FROM shingle GROUP BY doc_id),
+  FROM hs GROUP BY doc_id),
 banded AS (
 """ + "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band, "
-    f"md5(mh{3 * b} || mh{3 * b + 1} || mh{3 * b + 2}) AS key FROM mh"
+    f"concat_ws('|', mh{3 * b}, mh{3 * b + 1}, mh{3 * b + 2}) AS key FROM mh"
     for b in range(4)) + """
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id""")
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH banding candidate pairs (12 hashes, 4 bands x 3 rows)."""
+    """MinHash+LSH banding candidate pairs (12 affine permutations of one
+    polynomial shingle hash, 4 bands x 3 rows — md5-free hot path)."""
     d = _load(spark, sf_dir, "documents")
     out = textops.minhash_lsh_pairs(d, k=8, n_hashes=12, bands=4)
     return out.select(F.col("doc_a").cast("long").alias("doc_a"),
@@ -1294,14 +1309,29 @@ def j5_self_join_delta(spark, sf_dir):
                     .alias("qty_delta")))
 
 
-# LSH near-dup: engine-only (bucket recall < 100% by design, no SQL oracle)
-@q("ann_lsh_neardup")
+@q("ann_lsh_neardup", """
+SELECT CAST(vec_id AS BIGINT) AS id_a,
+       CAST(vec_id + 10000000 AS BIGINT) AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 10 = 0""")
 def ann_lsh_neardup(spark, sf_dir):
-    """LSH-bucketed embedding near-dup pairs — rows-only check (bucketing
-    recall is probabilistic; exact twin is verified via ann_cosine_topk).
-    Threshold tuned to the synthetic corpus (max pairwise cosine ~0.51)."""
-    e = _load(spark, sf_dir, "embeddings")
-    return annops.lsh_neardup_pairs(e, threshold=0.30, n_planes=6)
+    """LSH-bucketed embedding near-dup RECALL oracle: every 10th embedding
+    is planted back scaled by 1.5 (direction-preserving, cosine exactly 1
+    after 5-dp rounding, hyperplane signs unchanged), and the LSH pipeline
+    at threshold 0.999 must recover EXACTLY the planted pairs — the corpus'
+    organic max pairwise cosine is ~0.51, so extras would be precision
+    failures and misses recall failures. Exercises the full production
+    path: hyperplane bucketing, bucket equi-join, exact cosine verify."""
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform(F.col("embedding"),
+                    lambda v: v * F.lit(1.5)).alias("embedding"))
+    allv = e.unionByName(planted)
+    out = annops.lsh_neardup_pairs(allv, threshold=0.999, n_planes=12)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("cosine").cast("double").alias("cosine"))
 
 
 # --- true geometric dissolve (union of OVERLAPPING inputs) -------------------

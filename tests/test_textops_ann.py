@@ -1,0 +1,110 @@
+"""Text dedup skew control + MinHash hash family + ANN LSH recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from balrog_spark import annops, textops
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts}))
+
+
+def _shingle_set(text, k=8):
+    t = " ".join(text.lower().split())
+    return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
+def test_hot_shingles_are_dropped(spark):
+    # every doc shares the stop-shingle source "the quick ..." prefix
+    texts = [f"the quick brown fox {i} jumps over the lazy dog {i}"
+             for i in range(20)]
+    d = _docs(spark, texts)
+    sh_all = textops.shingles(d).toPandas()
+    sh_capped = textops.shingles(d, max_df=10).toPandas()
+    df_all = sh_all.groupby("shingle").size()
+    hot = set(df_all[df_all > 10].index)
+    assert hot, "fixture must contain hot shingles"
+    assert set(sh_capped.shingle) == set(df_all[df_all <= 10].index)
+    assert not (set(sh_capped.shingle) & hot)
+
+
+def test_ngram_jaccard_matches_bruteforce_filtered_space(spark):
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "a completely different document about spark engines",
+             "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+             ]
+    d = _docs(spark, texts)
+    cap = 3
+    got = textops.ngram_jaccard_pairs(d, threshold=0.2, max_df=cap) \
+        .toPandas()
+    # brute force over the SAME df-filtered shingle space
+    sets = [_shingle_set(t) for t in texts]
+    df_count = {}
+    for s in sets:
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    fsets = [{g for g in s if df_count[g] <= cap} for s in sets]
+    exp = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            u = fsets[i] | fsets[j]
+            if not u:
+                continue
+            jac = len(fsets[i] & fsets[j]) / len(u)
+            if jac >= 0.2:
+                exp[(i, j)] = round(jac, 6)
+    assert {(r.doc_a, r.doc_b): r.jaccard
+            for r in got.itertuples()} == pytest.approx(exp)
+
+
+def test_polynomial_shingle_hash_matches_python(spark):
+    d = _docs(spark, ["abcdefgh stuvwxyz 12345678"])
+    sh = textops.shingles(d)
+    got = sh.select("shingle",
+                    textops.shingle_hash_col(F.col("shingle"), 8)
+                    .alias("h")).toPandas()
+
+    def py_hash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % textops.MH_P
+        return h
+
+    for r in got.itertuples():
+        assert r.h == py_hash(r.shingle), r.shingle
+
+
+def test_minhash_lsh_finds_exact_dups_no_md5(spark):
+    texts = ["the quick brown fox jumps over the lazy dog! " * 3,
+             "the quick brown fox jumps over the lazy dog! " * 3,
+             "entirely different content with nothing in common here",
+             ]
+    d = _docs(spark, texts)
+    got = textops.minhash_lsh_pairs(d).toPandas()
+    assert (0, 1) in set(zip(got.doc_a, got.doc_b))
+    assert not any({r.doc_a, r.doc_b} & {2}
+                   for r in got.itertuples()), "disjoint doc joined"
+
+
+def test_lsh_neardup_planted_recall(spark):
+    rng = np.random.default_rng(9)
+    n, dim = 40, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    base = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(n)),
+        "embedding": [v.tolist() for v in vecs]}))
+    planted = base.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.5))
+        .alias("embedding"))
+    out = annops.lsh_neardup_pairs(base.unionByName(planted),
+                                   threshold=0.999, n_planes=12) \
+        .toPandas()
+    exp = {(i, i + 1000) for i in range(0, n, 4)}
+    assert set(zip(out.id_a, out.id_b)) == exp
+    assert (out.cosine == 1.0).all()
