@@ -60,6 +60,16 @@ def run_partitioned(spark: SparkSession, inputs: DataFrame, key_cols,
 
     ``fail_after`` aborts after N buckets (test hook simulating a mid-run
     kill).
+
+    Atomicity + single-compute contract: each bucket OVERWRITES its own
+    directory (``data/bucket-NNNNN``), so a crash between the data write
+    and the manifest commit cannot duplicate rows — the resumed run simply
+    rewrites the same directory. The bucket plan executes exactly once
+    (the write); rows_out and the checksum come from a read-back of the
+    written files, so the manifest describes what is actually on disk even
+    for nondeterministic computes (the reference's 36-hour dissolve is the
+    motivating restart-from-zero case,
+    reference: data_prep/vegetation/04_merge_geometries.py:129-205).
     """
     done = completed_buckets(spark, out_dir)
     bucket_col = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
@@ -71,13 +81,13 @@ def run_partitioned(spark: SparkSession, inputs: DataFrame, key_cols,
         t0 = time.time()
         part = src.filter(F.col("_bucket") == b).drop("_bucket")
         out = compute(part)
-        (out.write.mode("append")
-            .parquet(os.path.join(out_dir, "data")))
-        n_out = out.count()
+        bucket_dir = os.path.join(out_dir, "data", f"bucket-{b:05d}")
+        out.write.mode("overwrite").parquet(bucket_dir)
+        written = spark.read.parquet(bucket_dir)
         _record(out_dir, {
-            "stage": stage, "bucket": b, "rows_out": n_out,
+            "stage": stage, "bucket": b, "rows_out": written.count(),
             "wall_ms": int((time.time() - t0) * 1000),
-            "checksum": _cheap_checksum(out),
+            "checksum": _cheap_checksum(written),
         })
         processed += 1
         if fail_after is not None and processed >= fail_after:
@@ -93,4 +103,7 @@ def _cheap_checksum(df: DataFrame) -> int:
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "data"))
+    # per-bucket subdirectories are plain names (not key=value), so no
+    # partition column is inferred; recursive lookup unions the buckets
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(out_dir, "data")))

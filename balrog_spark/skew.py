@@ -35,13 +35,19 @@ def hot_keys(df: DataFrame, key_cols, threshold: int,
 def with_salt(df: DataFrame, key_cols, hot: DataFrame, n_salt: int,
               salt_col: str = "salt") -> DataFrame:
     """Attach a salt column: 0 for cold keys, spread over [0, n_salt) for
-    hot keys (deterministic: hash of all columns, not a random)."""
+    hot keys. The salt mixes a value hash with the source partition id and
+    the in-partition position, so even rows identical on EVERY column (the
+    classic hot-duplicate case) still spread across salts — a pure value
+    hash would pin them all to one."""
     hot_marked = F.broadcast(hot.withColumn("_hot", F.lit(True)))
-    j = df.join(hot_marked, list(key_cols), "left")
+    j = df.withColumn("_rowpos", F.monotonically_increasing_id()) \
+        .join(hot_marked, list(key_cols), "left")
     salt = F.when(F.col("_hot").isNotNull(),
-                  F.pmod(F.hash(*df.columns), F.lit(n_salt))) \
+                  F.pmod(F.hash(*df.columns, F.col("_rowpos")),
+                         F.lit(n_salt))) \
         .otherwise(F.lit(0))
-    return j.withColumn(salt_col, salt.cast("int")).drop("_hot")
+    return j.withColumn(salt_col, salt.cast("int")) \
+        .drop("_hot", "_rowpos")
 
 
 def salted_aggregate(df: DataFrame, key_cols, partial_aggs: dict,

@@ -37,6 +37,18 @@ def test_hot_key_salting_splits_groups(spark):
     assert n_salts > 1  # the hot group really is split
 
 
+def test_identical_hot_rows_still_spread(spark):
+    # rows identical on EVERY column: a value-only hash would put them all
+    # on one salt and the skew control would be a no-op
+    df = spark.range(0, 4000).select(F.lit(1).alias("k"),
+                                     F.lit(42).alias("v")).repartition(8)
+    hot = skew.hot_keys(df, ["k"], 100)
+    salted = skew.with_salt(df, ["k"], hot, n_salt=8)
+    counts = salted.groupBy("salt").count().collect()
+    assert len(counts) > 1
+    assert max(r["count"] for r in counts) < 4000
+
+
 def test_lineage_resume_after_simulated_kill(spark, tmp_path):
     out_dir = str(tmp_path / "ckpt")
     inputs = spark.range(0, 1000).select(
@@ -79,6 +91,48 @@ def test_lineage_rerun_is_noop(spark, tmp_path):
                             n_buckets=4)  # all buckets complete -> no-op
     n2 = lineage.read_output(spark, out_dir).count()
     assert n1 == n2 == 100
+
+
+def test_lineage_bucket_plan_executes_once(spark, tmp_path):
+    """rows_out/checksum come from a read-back of the written parquet, so
+    the (possibly expensive) bucket plan runs exactly once per bucket."""
+    out_dir = str(tmp_path / "ckpt3")
+    inputs = spark.range(0, 400).select(F.col("id").alias("k"),
+                                        F.col("id").alias("v"))
+    acc = spark.sparkContext.accumulator(0)
+
+    def compute(part):
+        def gen(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+        return part.mapInPandas(gen, schema=part.schema)
+
+    lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                            n_buckets=4)
+    assert acc.value == 400  # one pass per row, not 3x
+    assert lineage.read_output(spark, out_dir).count() == 400
+
+
+def test_lineage_crash_between_write_and_record_is_idempotent(
+        spark, tmp_path):
+    """A crash after the bucket data write but before the manifest commit
+    must not duplicate rows on resume (simulated by deleting one manifest
+    row after a full run: the orphaned bucket directory is rewritten)."""
+    import os
+    out_dir = str(tmp_path / "ckpt4")
+    inputs = spark.range(0, 500).select(F.col("id").alias("k"),
+                                        F.col("id").alias("v"))
+    compute = lambda part: part.select("k", "v")  # noqa: E731
+    lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                            n_buckets=4)
+    # orphan bucket 2: data on disk, lineage row gone
+    os.remove(os.path.join(out_dir, "_lineage", "bucket-00002.json"))
+    lineage.run_partitioned(spark, inputs, ["k"], compute, out_dir,
+                            n_buckets=4)
+    out = lineage.read_output(spark, out_dir)
+    assert out.count() == 500
+    assert out.select("k").distinct().count() == 500
 
 
 def test_media_image_features_plumbing(spark):
