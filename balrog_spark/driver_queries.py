@@ -1334,6 +1334,90 @@ def ann_lsh_neardup(spark, sf_dir):
                       F.col("cosine").cast("double").alias("cosine"))
 
 
+# --- V4 introspection + V3 make_valid ----------------------------------------
+
+@q("v4_introspect", f"""
+WITH {PREAMBLE}
+SELECT veg_id,
+       CASE WHEN veg_id % 2 = 0 THEN 'MULTIPOLYGON' ELSE 'POLYGON' END
+           AS geom_type,
+       CAST(CASE WHEN veg_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_geoms,
+       CAST(2 AS BIGINT) AS n_rings,
+       CAST(10 AS BIGINT) AS n_points
+FROM boxes""")
+def v4_introspect(spark, sf_dir):
+    """V4 geometry introspection (st_geometrytype/numgeometries/npoints/
+    rings) as pure column string math. Input mixes holed POLYGONs (2 rings,
+    10 listed vertices) and 2-part MULTIPOLYGONs (2 rings, 10 vertices) —
+    the oracle derives the same counts closed-form."""
+    from . import vector
+    holed = holed_boxes_wkt(spark, sf_dir)
+
+    def ring(x1, y1, x2, y2):
+        return F.format_string(
+            "((%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f))",
+            x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+
+    b = derived_boxes(spark, sf_dir)
+    multi = b.select(
+        "veg_id",
+        F.concat(
+            F.lit("MULTIPOLYGON ("),
+            ring(F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+                 F.col("cx"), F.col("cy")),
+            F.lit(", "),
+            ring(F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+                 F.col("cx") + 2 * F.col("hw"),
+                 F.col("cy") + 2 * F.col("hh")),
+            F.lit(")")).alias("wkt"))
+    mixed = holed.filter(F.col("veg_id") % 2 == 1).select("veg_id", "wkt") \
+        .unionByName(multi.filter(F.col("veg_id") % 2 == 0))
+    out = vector.introspect(
+        mixed.select(F.col("veg_id").cast("string").alias("veg_id"), "wkt"))
+    return out.select(F.col("veg_id").cast("long").alias("veg_id"),
+                      "geom_type", "n_geoms", "n_rings", "n_points")
+
+
+@q("v3_makevalid", f"""
+WITH {PREAMBLE}
+SELECT veg_id,
+       CAST(CASE WHEN veg_id % 2 = 0 THEN 0 ELSE 1 END AS INT) AS was_valid,
+       CAST(CASE WHEN veg_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_parts,
+       CAST(round(CASE WHEN veg_id % 2 = 0 THEN 2 * hw * hh
+                       ELSE 4 * hw * hh END, 4) AS DOUBLE) AS area_m2
+FROM boxes""")
+def v3_makevalid(spark, sf_dir):
+    """V3 st_makevalid: even suppliers get a BOWTIE (corner-swapped box —
+    invalid, repaired into two triangles of total area 2*hw*hh), odd
+    suppliers a duplicate-vertex box (valid after dedup, full area). The
+    oracle derives both closed-form (reference re-checks its invalid
+    polygons after repair, data_prep/vegetation/xx_testing.sql:61,69)."""
+    from . import vector
+    b = derived_boxes(spark, sf_dir)
+    x1 = F.col("cx") - F.col("hw")
+    x2 = F.col("cx") + F.col("hw")
+    y1 = F.col("cy") - F.col("hh")
+    y2 = F.col("cy") + F.col("hh")
+    bowtie = F.format_string(
+        "POLYGON ((%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f))",
+        x1, y1, x2, y1, x1, y2, x2, y2, x1, y1)
+    dupbox = F.format_string(
+        "POLYGON ((%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, "
+        "%.4f %.4f))",
+        x1, y1, x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+    src = b.select(
+        F.col("veg_id").cast("string").alias("veg_id"),
+        F.when(F.col("veg_id") % 2 == 0, bowtie).otherwise(dupbox)
+        .alias("wkt"))
+    out = vector.make_valid(src)
+    # round to 4 dp: the exact areas end in .125/.625, i.e. ON a 2-dp
+    # rounding boundary, while the slab sweep carries ~1e-11 float error
+    return out.select(F.col("veg_id").cast("long").alias("veg_id"),
+                      "was_valid", "n_parts",
+                      F.round("area_m2", 4).cast("double").alias("area_m2"))
+
+
 # --- true geometric dissolve (union of OVERLAPPING inputs) -------------------
 
 @q("v6_dissolve_union", f"""

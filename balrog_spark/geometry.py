@@ -412,3 +412,63 @@ def ring_is_valid(ring) -> bool:
     if len(ring) < 3:
         return False
     return ring_area(ring) > 0.0
+
+
+def _dedup_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (and the closing duplicate)."""
+    ring = _closed(np.asarray(ring, dtype=np.float64))
+    if len(ring) == 0:
+        return ring
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
+    return ring[keep]
+
+
+def _first_self_intersection(ring: np.ndarray):
+    """First proper self-crossing of a closed ring: (i, j, point) where
+    segment i=(p_i, p_{i+1}) strictly crosses segment j, or None."""
+    n = len(ring)
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent around the wrap
+            p, r = a[i], b[i] - a[i]
+            q, s = a[j], b[j] - a[j]
+            denom = r[0] * s[1] - r[1] * s[0]
+            if abs(denom) < 1e-12:
+                continue
+            t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / denom
+            u = ((q[0] - p[0]) * r[1] - (q[1] - p[1]) * r[0]) / denom
+            if 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12:
+                return i, j, p + t * r
+    return None
+
+
+def make_valid_ring(ring, _depth: int = 0):
+    """st_makevalid for a single ring: drop duplicate vertices, then split
+    self-crossing (bowtie/figure-8) rings at each crossing into simple
+    sub-rings — the standard repair that turns a bowtie into two triangles
+    (the reference re-checks 116,744 invalid polygons after this repair,
+    reference: data_prep/vegetation/xx_testing.sql:61,69,
+    03_explode_multipolygons_and_classify.sql:17-18).
+
+    Returns a list of simple rings (possibly empty when degenerate).
+    """
+    ring = _dedup_ring(ring)
+    if len(ring) < 3:
+        return []
+    if _depth > 8:  # pathological input: keep the even-odd pieces found
+        return [ring] if ring_area(ring) > 0.0 else []
+    hit = _first_self_intersection(ring)
+    if hit is None:
+        # NOTE: the zero-area test must come AFTER the crossing split — a
+        # bowtie's signed shoelace area is exactly 0 even though its two
+        # lobes are real
+        return [ring] if ring_area(ring) > 0.0 else []
+    i, j, x = hit
+    # split at the crossing: [x, p_{i+1}..p_j] and [x, p_{j+1}..p_i]
+    r1 = np.vstack([x[None, :], ring[i + 1:j + 1]])
+    r2 = np.vstack([x[None, :], ring[j + 1:], ring[:i + 1]])
+    return make_valid_ring(r1, _depth + 1) + make_valid_ring(r2, _depth + 1)

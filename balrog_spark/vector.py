@@ -136,6 +136,90 @@ def subdivide(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
     return polys.mapInPandas(gen, schema=schema)
 
 
+def introspect(polys: DataFrame, id_col: str = "veg_id",
+               wkt_col: str = "wkt") -> DataFrame:
+    """V4 geometry introspection — st_geometrytype / st_numgeometries /
+    st_npoints / ring count as PURE COLUMN string math over canonical WKT
+    (no UDF; identical SQL runs on the oracle). Reference usage:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:16,25.
+
+    Counting contract (canonical ``", "``-separated WKT):
+      n_geoms  = 1, or for MULTIPOLYGON 1 + occurrences of ``)), ((``;
+      n_rings  = opening parens - 1 (POLYGON), - 1 - n_geoms (MULTI),
+                 0 for POINT;
+      n_points = commas + 1 (listed vertices incl. the closing vertex:
+                 every ring/geometry separator costs exactly the comma a
+                 vertex boundary would), POINT = 1.
+    """
+    w = F.col(wkt_col)
+    gtype = F.upper(F.regexp_extract(w, r"^\s*([A-Za-z]+)", 1))
+    n_open = F.length(w) - F.length(F.regexp_replace(w, r"\(", ""))
+    n_commas = F.length(w) - F.length(F.regexp_replace(w, ",", ""))
+    n_geoms = F.when(
+        gtype == "MULTIPOLYGON",
+        (F.length(w) - F.length(F.replace(w, F.lit(")), ((")))) / 6 + 1
+    ).otherwise(F.lit(1)).cast("long")
+    # parens: POLYGON -> 1 + n_rings; MULTIPOLYGON -> 1 + n_geoms + n_rings
+    n_rings = F.when(gtype == "POINT", F.lit(0)) \
+        .when(gtype == "MULTIPOLYGON", n_open - 1 - n_geoms) \
+        .otherwise(n_open - 1).cast("long")
+    n_points = (n_commas + 1).cast("long")
+    return polys.select(
+        F.col(id_col).alias("veg_id"),
+        gtype.alias("geom_type"),
+        n_geoms.alias("n_geoms"),
+        n_rings.alias("n_rings"),
+        n_points.alias("n_points"))
+
+
+def make_valid(polys: DataFrame, id_col: str = "veg_id",
+               wkt_col: str = "wkt") -> DataFrame:
+    """V3 repair (st_makevalid): drop duplicate vertices, split
+    self-crossing rings into simple parts, report the repaired geometry.
+    ``area_m2`` is the area of the UNION of repaired parts (the 'filled'
+    make_valid semantics — winding >= 2 regions counted once), holes of the
+    source polygon subtracted. Output: (veg_id, was_valid, n_parts,
+    area_m2, wkt|NULL-when-empty)."""
+    schema = StructType([
+        StructField("veg_id", StringType(), False),
+        StructField("was_valid", IntegerType(), False),
+        StructField("n_parts", IntegerType(), False),
+        StructField("area_m2", DoubleType(), False),
+        StructField("wkt", StringType(), True)])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                src = geometry.parse_wkt_polys(getattr(r, wkt_col))
+                was_valid = int(all(
+                    geometry.ring_is_valid(g)
+                    and geometry._first_self_intersection(
+                        geometry._dedup_ring(np.asarray(g))) is None
+                    for poly in src for g in poly))
+                fixed = []   # repaired exterior parts
+                holes = []   # repaired holes (subtracted from the union)
+                for poly in src:
+                    fixed.extend([p] for p in
+                                 geometry.make_valid_ring(poly[0]))
+                    for h in poly[1:]:
+                        holes.extend([p] for p in
+                                     geometry.make_valid_ring(h))
+                area = geometry.union_area(fixed) if fixed else 0.0
+                if holes:
+                    area -= geometry.union_area(holes)
+                rows.append({
+                    "veg_id": str(getattr(r, id_col)),
+                    "was_valid": was_valid,
+                    "n_parts": len(fixed),
+                    "area_m2": area,
+                    "wkt": geometry.multipolygon_wkt_polys(fixed)
+                    if fixed else None})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return polys.mapInPandas(gen, schema=schema)
+
+
 def dissolve_union(polys: DataFrame, class_col: str = "bal_number",
                    cell_m: float = 1600.0, id_col: str = "veg_id",
                    wkt_col: str = "wkt") -> DataFrame:

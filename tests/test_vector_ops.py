@@ -1,6 +1,7 @@
 """Vector operator module (buffer/explode/validity/subdivide/dissolve)."""
 
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 
 from balrog_spark import geometry, vector
@@ -98,3 +99,70 @@ def test_extract_by_mask_and_regrid(spark):
                     np.where(valid, blocks, 0).sum(2) / np.maximum(cnt, 1),
                     -99.0)
     assert_allclose(coarse, exp2)
+
+
+def test_introspect_counts(spark):
+    import pandas as pd
+    from balrog_spark import vector
+    rows = [
+        {"veg_id": "a", "wkt": "POINT (1 2)"},
+        {"veg_id": "b",
+         "wkt": "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"},
+        {"veg_id": "c",
+         "wkt": "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+                "(2 2, 3 2, 3 3, 2 3, 2 2))"},
+        {"veg_id": "d",
+         "wkt": "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+                "((9 9, 12 9, 12 12, 9 12, 9 9)))"},
+    ]
+    got = vector.introspect(spark.createDataFrame(pd.DataFrame(rows))) \
+        .toPandas().set_index("veg_id")
+    assert tuple(got.loc["a"]) == ("POINT", 1, 0, 1)
+    assert tuple(got.loc["b"]) == ("POLYGON", 1, 1, 5)
+    assert tuple(got.loc["c"]) == ("POLYGON", 1, 2, 10)
+    assert tuple(got.loc["d"]) == ("MULTIPOLYGON", 2, 2, 10)
+
+
+def test_make_valid_repairs_bowtie_and_dups(spark):
+    import pandas as pd
+    from balrog_spark import vector
+    rows = [
+        # bowtie: corner-swapped square -> two triangles of 25 each
+        {"veg_id": "bow",
+         "wkt": "POLYGON ((0 0, 10 0, 0 10, 10 10, 0 0))"},
+        # duplicate-vertex box: valid after dedup, area preserved
+        {"veg_id": "dup",
+         "wkt": "POLYGON ((0 0, 0 0, 10 0, 10 10, 10 10, 0 10, 0 0))"},
+        # degenerate line: repaired away
+        {"veg_id": "line", "wkt": "POLYGON ((0 0, 5 0, 10 0, 0 0))"},
+    ]
+    got = vector.make_valid(spark.createDataFrame(pd.DataFrame(rows))) \
+        .toPandas().set_index("veg_id")
+    assert got.loc["bow"].was_valid == 0
+    assert got.loc["bow"].n_parts == 2
+    assert got.loc["bow"].area_m2 == pytest.approx(50.0)
+    assert "MULTIPOLYGON" in got.loc["bow"].wkt
+    assert got.loc["dup"].was_valid == 1
+    assert got.loc["dup"].n_parts == 1
+    assert got.loc["dup"].area_m2 == pytest.approx(100.0)
+    assert got.loc["line"].n_parts == 0
+    assert got.loc["line"].wkt is None
+
+
+def test_make_valid_pentagram_filled_union_area(spark):
+    import numpy as np
+    import pandas as pd
+    from balrog_spark import geometry, vector
+    ang = np.pi / 2 + np.arange(5) * 4 * np.pi / 5
+    star = np.stack([np.cos(ang), np.sin(ang)], axis=1) * 10
+    wkt = geometry.polygon_wkt(star)
+    got = vector.make_valid(spark.createDataFrame(
+        pd.DataFrame([{"veg_id": "star", "wkt": wkt}]))).toPandas()
+    # filled-star area (winding>=2 centre counted once) vs rasterized fill
+    xs = np.linspace(-10, 10, 1500)
+    X, Y = np.meshgrid(xs, xs)
+    filled = np.zeros(X.size, dtype=bool)
+    for p in geometry.make_valid_ring(star):
+        filled |= geometry.points_in_ring(X.ravel(), Y.ravel(), p)
+    est = filled.mean() * 400
+    assert got.area_m2[0] == pytest.approx(est, rel=0.01)
