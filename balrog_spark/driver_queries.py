@@ -537,6 +537,113 @@ def r4_slope_aspect(spark, sf_dir):
         .applyInPandas(compute, schema=out_schema)
 
 
+@q("r4_slope_aspect_tiled", f"""
+WITH grid AS (
+  SELECT event_id, event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         300.0 + 150.0 * sin((event_id % {_GRID_W}) * 0.21)
+               * cos((event_id // {_GRID_W}) * 0.17) AS z
+  FROM events),
+g2 AS (
+  SELECT r, c, z,
+         CASE WHEN r = 0 THEN (lead(z) OVER wc - z) / 25.0
+              WHEN r = (SELECT max(r) FROM grid)
+                   THEN (z - lag(z) OVER wc) / 25.0
+              ELSE (lead(z) OVER wc - lag(z) OVER wc) / 50.0 END AS dzdx,
+         CASE WHEN c = 0 THEN (lead(z) OVER wr - z) / 25.0
+              WHEN c = {_GRID_W - 1} THEN (z - lag(z) OVER wr) / 25.0
+              ELSE (lead(z) OVER wr - lag(z) OVER wr) / 50.0 END AS dzdy
+  FROM grid
+  WINDOW wc AS (PARTITION BY c ORDER BY r),
+         wr AS (PARTITION BY r ORDER BY c)),
+g3 AS (
+  SELECT r, c,
+         atan(sqrt(dzdx * dzdx + dzdy * dzdy)) / {_RADC!r} AS slope_deg,
+         CASE WHEN dzdy = 0 AND dzdx = 0 THEN
+              ((450.0 - atan2(0.0, -0.0) / {_RADC!r}) % 360.0 + 360.0) % 360.0
+         ELSE ((450.0 - atan2(dzdy, -dzdx) / {_RADC!r}) % 360.0 + 360.0)
+              % 360.0 END AS aspect_deg
+  FROM g2),
+{_remap_cte_chain(slope_remap(90.0), 'g3', 'r, c', 'slope_deg', 'sc')},
+{_remap_cte_chain(ASPECT_REMAP, 'g3', 'r, c', 'aspect_deg', 'ac')}
+SELECT sc.r AS row_idx, sc.c AS col_idx, sc.v AS slope_class,
+       ac.v AS aspect_class
+FROM sc JOIN ac ON sc.r = ac.r AND sc.c = ac.c""")
+def r4_slope_aspect_tiled(spark, sf_dir):
+    """R4 through the PRODUCTION tiled path: the events grid is packed into
+    10x25-px DEM tiles and slope/aspect flow through
+    raster.slope_aspect_tiles — border-strip fan-out, halo assembly,
+    per-supertile applyInArrow — so the correctness gate exercises the same
+    plan the 100-TB pipeline runs (the single-group r4_slope_aspect twin
+    remains as the kernel-only oracle)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, StringType, StructField,
+                                   StructType)
+
+    from . import raster as raster_mod
+
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c")
+    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    TR, TC = 10, 25
+    n_ty = max(n_rows // TR, 1)
+    TR = n_rows // n_ty
+    px = 25.0
+
+    tile_schema = StructType([
+        StructField("media_ref", StringType(), False),
+        StructField("layer", StringType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("pixel_m", DoubleType(), False),
+        StructField("nrows", IntegerType(), False),
+        StructField("ncols", IntegerType(), False),
+        StructField("data", ArrayType(FloatType()), False)])
+
+    def pack(key, pdf: pd.DataFrame):
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros((TR, TC), dtype=np.float64)
+        lr = (pdf.r.values % TR).astype(int)
+        lc = (pdf.c.values % TC).astype(int)
+        arr[lr, lc] = (300.0 + 150.0 * np.sin(pdf.c.values * 0.21)
+                       * np.cos(pdf.r.values * 0.17))
+        return pd.DataFrame([{
+            "media_ref": f"dem/{tx}/{ty}", "layer": "dem",
+            "tile_x": tx, "tile_y": ty,
+            "x0": tx * TC * px, "y0": ty * TR * px, "pixel_m": px,
+            "nrows": TR, "ncols": TC,
+            "data": arr.astype(np.float32).ravel()}])
+
+    # tile_y counts from the SOUTH (larger ty = smaller grid row r)
+    tiles = ev.groupBy(
+        (F.col("c") / TC).cast("int").alias("_tx"),
+        (F.lit(n_ty - 1) - (F.col("r") / TR).cast("int")).alias("_ty")) \
+        .applyInPandas(pack, schema=tile_schema)
+
+    sa = raster_mod.slope_aspect_tiles(tiles, halo=2, classify=True)
+    cells_df = sa.select(
+        "layer", "tile_x", "tile_y",
+        F.posexplode("data").alias("i", "v"))
+    row_idx = ((F.lit(n_ty - 1) - F.col("tile_y")) * TR
+               + (F.col("i") / TC).cast("long"))
+    col_idx = F.col("tile_x") * TC + F.col("i") % TC
+    return (cells_df
+            .select(row_idx.alias("row_idx"), col_idx.alias("col_idx"),
+                    "layer", F.col("v").cast("long").alias("v"))
+            .groupBy("row_idx", "col_idx")
+            .agg(F.max(F.when(F.col("layer") == "slope_r", F.col("v")))
+                 .alias("slope_class"),
+                 F.max(F.when(F.col("layer") == "aspect_r", F.col("v")))
+                 .alias("aspect_class"))
+            .select(F.col("row_idx").cast("long").alias("row_idx"),
+                    F.col("col_idx").cast("long").alias("col_idx"),
+                    F.col("slope_class").cast("long").alias("slope_class"),
+                    F.col("aspect_class").cast("long")
+                    .alias("aspect_class")))
+
+
 # --- aggregations (A1, A2) ---------------------------------------------------
 
 @q("a1_zonal_stats", """

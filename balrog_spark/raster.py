@@ -294,6 +294,48 @@ def bal_tiles(tiles: DataFrame, fdi: int, halo: int = DEFAULT_HALO,
     return _per_tile_apply(contribs, per_tile, ddl, _PA_BAL)
 
 
+def bal_tiles_classified(tiles: DataFrame, fdi: int,
+                         halo: int = DEFAULT_HALO) -> DataFrame:
+    """BAL from PRE-CLASSIFIED veg/slope/aspect tile layers ('veg_r',
+    'slope_r', 'aspect_r') — the reference's ``bal_cal`` entry point takes
+    exactly these classified rasters (reference: calculate_bal.py:21-101,
+    tests/test_scenario.py:40-77), so scenario-style inputs skip the
+    DEM-derivation stage. Same border-strip halo plan as
+    :func:`bal_tiles`."""
+    contribs = emit_border_strips(tiles, halo)
+
+    def per_tile(tx: int, ty: int, tbl: pa.Table):
+        got = [_assemble_arrow(tbl, lay, halo)
+               for lay in ("veg_r", "slope_r", "aspect_r")]
+        if any(g is None for g in got):
+            return None
+        (veg_pad, present, meta), (slope_pad, _, _), (aspect_pad, _, _) = got
+        n, m, h = meta["nrows"], meta["ncols"], meta["halo"]
+        arrs, present_c, core_r, core_c = _crop_absent_sides(
+            [veg_pad, slope_pad, aspect_pad], present, h, n, m)
+        veg_c, slope_c, aspect_c = arrs
+        outs = kernels.bal_all_directions(
+            veg_c, slope_c, aspect_c, meta["pixel_m"], fdi,
+            present=present_c)
+        sl = (slice(core_r, core_r + n), slice(core_c, core_c + m))
+        cols = [pa.array([tx], pa.int32()), pa.array([ty], pa.int32()),
+                pa.array([meta["x0"]], pa.float64()),
+                pa.array([meta["y0"]], pa.float64()),
+                pa.array([meta["pixel_m"]], pa.float64()),
+                pa.array([n], pa.int32()), pa.array([m], pa.int32())]
+        for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max"):
+            cols.append(_float_list_array(
+                [outs[d][sl].astype(np.float32)]))
+        return pa.Table.from_arrays(cols, schema=_PA_BAL)
+
+    ddl = ("tile_x INT, tile_y INT, x0 DOUBLE, y0 DOUBLE, pixel_m DOUBLE, "
+           "nrows INT, ncols INT, " + ", ".join(
+               f"bal_{d} ARRAY<FLOAT>"
+               for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw",
+                         "max")))
+    return _per_tile_apply(contribs, per_tile, ddl, _PA_BAL)
+
+
 _PA_BAL_MAX = pa.schema([
     ("tile_x", pa.int32()), ("tile_y", pa.int32()), ("fdi", pa.int32()),
     ("x0", pa.float64()), ("y0", pa.float64()), ("pixel_m", pa.float64()),

@@ -3,10 +3,16 @@
 Reference shape: buffer each address, mask the raster with the buffer, stats
 over surviving pixels (reference: testing/02_get_slope_from_buffer.py:219-251).
 Engine shape: a pure-column tile-range join (buffer bbox -> tile_x/tile_y
-sequence, exploded JVM-side) followed by one groupBy(addr) applyInPandas that
-extracts in-buffer pixels from each joined tile and computes the stats — the
-exact-median requirement (numpy.median parity) is what forces the grouped-map
-instead of built-in aggregates.
+sequence, exploded JVM-side) followed by ONE batched applyInPandas per
+address-batch cell — addresses are grouped by a coarse spatial cell
+(``batch_m``, default 4 tiles) and iterated INSIDE the Arrow batch, the same
+supertile trick raster._per_tile_apply uses. One pandas group per address
+(14M tiny groups at reference scale) does not amortize; one per batch cell
+does.
+
+Sentinel contract: the tile join is a LEFT join, so an address whose buffer
+touches no stored tile still yields a row with the reference's -9999
+sentinel stats instead of silently disappearing.
 
 Pixel inclusion rule: pixel *centre* within the buffer circle. (The reference
 uses rasterio ``all_touched=True``; without GDAL in the stack the engine
@@ -36,12 +42,16 @@ ZONAL_OUT = StructType([
     StructField("pixel_count", IntegerType(), False),
 ])
 
+# address-batch cell side: ~4x4 tiles of addresses share one pandas group
+DEFAULT_BATCH_M = 4 * TILE_M
+
 
 def tiles_for_buffers(points: DataFrame, tiles: DataFrame,
                       radius_m: float, tile_m: float = TILE_M) -> DataFrame:
-    """Join each point to every tile its buffer bbox touches — sequence +
-    explode keeps the fan-out in codegen; the join is a plain equi-join that
-    AQE can broadcast when the tile side is small."""
+    """LEFT-join each point to every tile its buffer bbox touches —
+    sequence + explode keeps the fan-out in codegen; the join is a plain
+    equi-join that AQE can broadcast when the tile side is small. Points
+    whose candidate tiles are absent keep a null-tile row (sentinel path)."""
     pts = points.select(
         "addr_id", "x", "y",
         F.explode(F.sequence(
@@ -58,57 +68,73 @@ def tiles_for_buffers(points: DataFrame, tiles: DataFrame,
         F.col("ty").cast("int").alias("tile_y"))
     n = pts.sparkSession.sparkContext.defaultParallelism
     # spread the probe side: broadcast tile joins keep its partitioning
-    return pts.repartition(n, "addr_id").join(tiles, ["tile_x", "tile_y"])
+    return pts.repartition(n, "addr_id") \
+        .join(tiles, ["tile_x", "tile_y"], "left")
+
+
+def _in_buffer_values(r, x: float, y: float, radius_m: float,
+                      nodata: float) -> np.ndarray:
+    """Values of one joined tile row whose pixel centres fall in the buffer
+    circle; empty for a null (left-join miss) tile."""
+    if r.data is None or (np.isscalar(r.nrows) and pd.isna(r.nrows)):
+        return np.array([])
+    n, m = int(r.nrows), int(r.ncols)
+    arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
+    px = float(r.pixel_m)
+    xs = r.x0 + (np.arange(m) + 0.5) * px
+    ys = r.y0 + (n - np.arange(n) - 0.5) * px
+    mask = ((xs[None, :] - x) ** 2
+            + (ys[:, None] - y) ** 2) <= radius_m ** 2
+    v = arr[mask]
+    return v[v != nodata]
+
+
+def _batched(joined: DataFrame, per_batch, out_schema,
+             batch_m: float) -> DataFrame:
+    grouped = joined.groupBy(
+        F.floor(F.col("x") / F.lit(float(batch_m))).alias("_bx"),
+        F.floor(F.col("y") / F.lit(float(batch_m))).alias("_by"))
+    return grouped.applyInPandas(per_batch, schema=out_schema)
 
 
 def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
                 circular: bool = False, sentinel: float = -9999.0,
-                nodata: float = -99.0) -> DataFrame:
+                nodata: float = -99.0,
+                batch_m: float = DEFAULT_BATCH_M) -> DataFrame:
     """Per-point stats of one raster layer within a circular buffer."""
     joined = tiles_for_buffers(points, tiles, radius_m)
 
     def stats(key, group: pd.DataFrame):
-        addr_id = key[0]
-        x = float(group.x.iloc[0])
-        y = float(group.y.iloc[0])
-        vals = []
-        for r in group.itertuples():
-            n, m = int(r.nrows), int(r.ncols)
-            arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
-            px = float(r.pixel_m)
-            cidx = np.arange(m)
-            ridx = np.arange(n)
-            xs = r.x0 + (cidx + 0.5) * px
-            ys = r.y0 + (n - ridx - 0.5) * px
-            dx2 = (xs[None, :] - x) ** 2
-            dy2 = (ys[:, None] - y) ** 2
-            mask = (dx2 + dy2) <= radius_m ** 2
-            v = arr[mask]
-            vals.append(v[v != nodata])
-        flat = np.concatenate(vals) if vals else np.array([])
-        s = kernels.zonal_stats_1d(flat, circular=circular,
-                                   sentinel=sentinel)
-        return pd.DataFrame([{
-            "addr_id": addr_id, "buffer_size_m": float(radius_m),
-            "stat_min": s["min"], "stat_max": s["max"],
-            "stat_avg": s["avg"], "stat_std": s["std"],
-            "stat_med": s["med"], "pixel_count": s["pixel_count"],
-        }])
+        rows = []
+        for addr_id, g in group.groupby("addr_id", sort=False):
+            x = float(g.x.iloc[0])
+            y = float(g.y.iloc[0])
+            vals = [_in_buffer_values(r, x, y, radius_m, nodata)
+                    for r in g.itertuples()]
+            flat = np.concatenate(vals) if vals else np.array([])
+            s = kernels.zonal_stats_1d(flat, circular=circular,
+                                       sentinel=sentinel)
+            rows.append({
+                "addr_id": addr_id, "buffer_size_m": float(radius_m),
+                "stat_min": s["min"], "stat_max": s["max"],
+                "stat_avg": s["avg"], "stat_std": s["std"],
+                "stat_med": s["med"], "pixel_count": s["pixel_count"],
+            })
+        return pd.DataFrame(rows, columns=[f.name for f in ZONAL_OUT])
 
-    return joined.groupBy("addr_id").applyInPandas(stats, schema=ZONAL_OUT)
+    return _batched(joined, stats, ZONAL_OUT, batch_m)
 
 
 def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
                       layer_specs: dict,
                       sentinel: float = -9999.0,
-                      nodata: float = -99.0) -> DataFrame:
+                      nodata: float = -99.0,
+                      batch_m: float = DEFAULT_BATCH_M) -> DataFrame:
     """Multi-layer zonal stats in ONE shuffle: ``layer_specs`` maps layer
     name -> {"circular": bool}; output has one column group per layer
     (<layer>_min .. <layer>_pixel_count). Halves the join/groupBy cost of
     running slope and aspect separately — the dominant fixed cost of the
     per-address pipeline."""
-    from pyspark.sql.types import IntegerType
-
     layers = sorted(layer_specs)
     joined = tiles_for_buffers(points, tiles, radius_m)
 
@@ -121,29 +147,23 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
     out_schema = StructType(fields)
 
     def stats(key, group: pd.DataFrame):
-        addr_id = key[0]
-        x = float(group.x.iloc[0])
-        y = float(group.y.iloc[0])
-        row = {"addr_id": addr_id, "buffer_size_m": float(radius_m)}
-        for lay in layers:
-            sub = group[group.layer == lay]
-            vals = []
-            for r in sub.itertuples():
-                n, m = int(r.nrows), int(r.ncols)
-                arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
-                px = float(r.pixel_m)
-                xs = r.x0 + (np.arange(m) + 0.5) * px
-                ys = r.y0 + (n - np.arange(n) - 0.5) * px
-                mask = ((xs[None, :] - x) ** 2
-                        + (ys[:, None] - y) ** 2) <= radius_m ** 2
-                v = arr[mask]
-                vals.append(v[v != nodata])
-            flat = np.concatenate(vals) if vals else np.array([])
-            s = kernels.zonal_stats_1d(
-                flat, circular=layer_specs[lay].get("circular", False),
-                sentinel=sentinel)
-            for stat in ("min", "max", "avg", "std", "med", "pixel_count"):
-                row[f"{lay}_{stat}"] = s[stat]
-        return pd.DataFrame([row])
+        rows = []
+        for addr_id, g in group.groupby("addr_id", sort=False):
+            x = float(g.x.iloc[0])
+            y = float(g.y.iloc[0])
+            row = {"addr_id": addr_id, "buffer_size_m": float(radius_m)}
+            for lay in layers:
+                sub = g[g.layer == lay]
+                vals = [_in_buffer_values(r, x, y, radius_m, nodata)
+                        for r in sub.itertuples()]
+                flat = np.concatenate(vals) if vals else np.array([])
+                s = kernels.zonal_stats_1d(
+                    flat, circular=layer_specs[lay].get("circular", False),
+                    sentinel=sentinel)
+                for stat in ("min", "max", "avg", "std", "med",
+                             "pixel_count"):
+                    row[f"{lay}_{stat}"] = s[stat]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
-    return joined.groupBy("addr_id").applyInPandas(stats, schema=out_schema)
+    return _batched(joined, stats, out_schema, batch_m)

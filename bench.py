@@ -17,10 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "r1_reclassify", "r9_bal_esti", "w4_directional_scan",
-    "r4_slope_aspect", "a1_zonal_stats", "a2_circular_stats",
+    "r4_slope_aspect_tiled", "a1_zonal_stats", "a2_circular_stats",
     "v9_pip_join", "v10_dwithin_join", "v11_knn", "v8_subdivide",
-    "j1_equi_join", "dedup_exact", "dedup_minhash_lsh",
-    "ann_cosine_topk", "text_quality",
+    "v6_dissolve_union", "j1_equi_join", "dedup_exact",
+    "dedup_minhash_lsh", "ann_cosine_topk", "text_quality",
 ]
 
 
@@ -45,6 +45,22 @@ def main():
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # kNN with the cover shuffle-joined instead of broadcast (the
+    # 9.4M-polygon scale path) — must stay within ~2x of v11_knn
+    from pyspark.sql import functions as F
+
+    from balrog_spark import joins
+    from balrog_spark.driver_queries import boxes_with_wkt, derived_points
+    t0 = time.time()
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    b = boxes_with_wkt(spark, sf_dir).select(
+        F.format_string("%06d", F.col("veg_id")).alias("veg_id"),
+        "bal_number", "wkt")
+    joins.knn_join(p, b, max_ring=16, broadcast_cover=False) \
+        .write.format("noop").mode("overwrite").save()
+    timings["v11_knn_shuffle_cover"] = round(time.time() - t0, 3)
 
     # flagship: per-address BAL over the derived world + document count rate
     import __spark_entry__ as entrymod

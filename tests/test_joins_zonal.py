@@ -160,3 +160,34 @@ def test_address_bal_factors_end_to_end(spark, corpus_dfs):
             np.array([float(r.bal_number)]), np.array([r.distance_m]),
             np.array([float(r.eff_slope_code)]), int(r.fdi))[0])
         assert r.bal == exp, f"{r.addr_id}: {r.bal} != {exp}"
+
+
+def test_zonal_sentinel_for_tile_less_address(spark, corpus_dfs):
+    """An address whose buffer touches no stored tile must yield the
+    reference's -9999 sentinel row, not silently disappear."""
+    import pandas as pd
+    _, tiles = corpus_dfs
+    dem = tiles.filter(F.col("layer") == "dem")
+    pts = spark.createDataFrame(pd.DataFrame({
+        "addr_id": ["inworld", "nowhere"],
+        "x": [500.0, 99999.0], "y": [500.0, 99999.0]}))
+    got = zonal.zonal_stats(pts, dem, 100.0).toPandas() \
+        .set_index("addr_id")
+    assert set(got.index) == {"inworld", "nowhere"}
+    assert got.loc["nowhere"].stat_med == -9999
+    assert got.loc["nowhere"].pixel_count == -9999
+    assert got.loc["inworld"].pixel_count > 0
+
+
+def test_zonal_batching_matches_per_address_semantics(spark, corpus_dfs):
+    """Tiny batch cells (many groups) and one huge batch cell (single
+    group) must produce identical stats — batching is pure plumbing."""
+    docs, tiles = corpus_dfs
+    dem = tiles.filter(F.col("layer") == "dem")
+    pts = docparse.addresses_from_documents(docs).select("addr_id", "x", "y")
+    a = zonal.zonal_stats(pts, dem, 100.0, batch_m=64.0).toPandas() \
+        .sort_values("addr_id").reset_index(drop=True)
+    b = zonal.zonal_stats(pts, dem, 100.0, batch_m=1e9).toPandas() \
+        .sort_values("addr_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
