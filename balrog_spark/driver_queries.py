@@ -1441,6 +1441,95 @@ def ann_lsh_neardup(spark, sf_dir):
                       F.col("cosine").cast("double").alias("cosine"))
 
 
+# --- V1b geodesic (geography) buffer ------------------------------------------
+
+_GEOD_R = 6371008.8
+_GEOD_DELTA = 100.0 / _GEOD_R
+
+
+@q("v1_buffer_geodesic", f"""
+WITH {PREAMBLE},
+ll AS (
+  SELECT addr_id, 140.0 + x / 10000.0 AS lon, -35.0 + y / 10000.0 AS lat
+  FROM points),
+vb AS (SELECT unnest(generate_series(0, 15)) AS vtx),
+d AS (
+  SELECT addr_id, vtx, radians(lon) AS l1, radians(lat) AS f1,
+         radians(vtx * 22.5) AS th
+  FROM ll CROSS JOIN vb),
+e AS (
+  SELECT addr_id, vtx, l1, f1, th,
+         sin(f1) * cos({_GEOD_DELTA!r})
+           + cos(f1) * sin({_GEOD_DELTA!r}) * cos(th) AS sl2
+  FROM d)
+SELECT addr_id, CAST(vtx AS INT) AS vtx,
+       CAST(round(degrees(l1 + atan2(
+            sin(th) * sin({_GEOD_DELTA!r}) * cos(f1),
+            cos({_GEOD_DELTA!r}) - sin(f1) * sl2)), 7) AS DOUBLE) AS lon,
+       CAST(round(degrees(asin(sl2)), 7) AS DOUBLE) AS lat
+FROM e""")
+def v1_buffer_geodesic(spark, sf_dir):
+    """V1 geography buffer: 16-vertex geodesic circles via the spherical
+    direct problem (st_buffer(geography, 100, 4) analogue — the reference
+    buffers geography, data_prep/gnaf/create_buffered_points.sql:10). The
+    oracle evaluates the identical closed form in SQL."""
+    from . import vector
+    ll = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"),
+        (F.lit(140.0) + F.col("x") / 10000.0).alias("lon"),
+        (F.lit(-35.0) + F.col("y") / 10000.0).alias("lat"))
+    out = vector.buffer_points_geodesic(ll, 100.0, quad_segs=4)
+    return out.select(F.col("addr_id").cast("long").alias("addr_id"),
+                      "vtx",
+                      # 7 dp: at bearings 0/180 the longitude is exactly
+                      # the input lon, whose 7th decimal is 5 (x ends .125)
+                      # -> 6 dp would round ON a boundary
+                      F.round("lon", 7).cast("double").alias("lon"),
+                      F.round("lat", 7).cast("double").alias("lat"))
+
+
+# --- V13b find_aoi (footprint intersection) -----------------------------------
+
+@q("v13_find_aoi", f"""
+WITH {PREAMBLE},
+dcells AS (SELECT DISTINCT CAST(floor(x / 1600) AS INT) AS tile_x,
+                  CAST(floor(y / 1600) AS INT) AS tile_y FROM points),
+vcells AS (SELECT DISTINCT CAST(floor(cx / 1600) AS INT) AS tile_x,
+                  CAST(floor(cy / 1600) AS INT) AS tile_y FROM boxes)
+SELECT d.tile_x, d.tile_y,
+       CAST(d.tile_x * 1600.0 AS DOUBLE) AS xmin,
+       CAST(d.tile_y * 1600.0 AS DOUBLE) AS ymin,
+       CAST((d.tile_x + 1) * 1600.0 AS DOUBLE) AS xmax,
+       CAST((d.tile_y + 1) * 1600.0 AS DOUBLE) AS ymax
+FROM dcells d JOIN vcells v
+  ON d.tile_x = v.tile_x AND d.tile_y = v.tile_y""")
+def v13_find_aoi(spark, sf_dir):
+    """find_aoi keyword branch (reference bal.py:281-323): the effective
+    AOI mask is the intersection of the DEM and vegetation footprints —
+    tiles present in BOTH layers. DEM tiles are derived from customer-point
+    cells, veg tiles from supplier-box-centre cells (64 px x 25 m = the
+    1600 m tile grid)."""
+    from . import raster as raster_mod
+
+    def layer_tiles(df, xcol, ycol, layer):
+        return df.select(
+            F.lit(layer).alias("layer"),
+            F.floor(F.col(xcol) / 1600).cast("int").alias("tile_x"),
+            F.floor(F.col(ycol) / 1600).cast("int").alias("tile_y")) \
+            .distinct() \
+            .select("layer", "tile_x", "tile_y",
+                    (F.col("tile_x") * 1600.0).alias("x0"),
+                    (F.col("tile_y") * 1600.0).alias("y0"),
+                    F.lit(25.0).alias("pixel_m"),
+                    F.lit(64).alias("nrows"), F.lit(64).alias("ncols"))
+
+    tiles = layer_tiles(derived_points(spark, sf_dir), "x", "y", "dem") \
+        .unionByName(layer_tiles(derived_boxes(spark, sf_dir),
+                                 "cx", "cy", "veg"))
+    out = raster_mod.find_aoi_mask(tiles, "DEFAULT")
+    return out.select("tile_x", "tile_y", "xmin", "ymin", "xmax", "ymax")
+
+
 # --- V4 introspection + V3 make_valid ----------------------------------------
 
 @q("v4_introspect", f"""

@@ -41,6 +41,25 @@ def forward_azimuth_deg(lon1, lat1, lon2, lat2):
     return np.degrees(np.arctan2(y, x))
 
 
+def spherical_destination(lon, lat, bearing_deg, dist_m):
+    """Spherical direct geodesic: destination point at ``dist_m`` along
+    ``bearing_deg`` (clockwise from north) — the st_buffer(geography)
+    vertex generator (reference:
+    data_prep/gnaf/create_buffered_points.sql:10 buffers in geography).
+    Vectorized; returns (lon2, lat2) in degrees."""
+    lon1 = np.radians(np.asarray(lon, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = np.radians(np.asarray(bearing_deg, dtype=np.float64))
+    delta = np.asarray(dist_m, dtype=np.float64) / EARTH_RADIUS_M
+    sin_lat2 = (np.sin(lat1) * np.cos(delta)
+                + np.cos(lat1) * np.sin(delta) * np.cos(theta))
+    lat2 = np.arcsin(np.clip(sin_lat2, -1.0, 1.0))
+    lon2 = lon1 + np.arctan2(
+        np.sin(theta) * np.sin(delta) * np.cos(lat1),
+        np.cos(delta) - np.sin(lat1) * sin_lat2)
+    return np.degrees(lon2), np.degrees(lat2)
+
+
 def local_tangent_xy(lon, lat, lon0: float, lat0: float):
     """Equirectangular local projection to metres around (lon0, lat0) —
     the cheap azimuthal stand-in for per-feature planar math within a few

@@ -455,6 +455,54 @@ def slope_aspect_tiles(tiles: DataFrame, halo: int = DEFAULT_HALO,
     return _per_tile_apply(contribs, per_tile, ddl, pa_tiles)
 
 
+def find_aoi_mask(tiles: DataFrame, extent: str | None = None,
+                  dem_layer: str = "dem",
+                  veg_layer: str = "veg") -> DataFrame:
+    """The reference's find_aoi (bal.py:281-323): a keyword extent —
+    DEFAULT, MAXOF or MINOF, which all take the SAME branch in the
+    reference (bal.py:304, a preserved quirk) — returns the intersection
+    of the DEM and vegetation footprints; an explicit ``"xmin ymin xmax
+    ymax ..."`` string returns that box (get_extent_mask, bal.py:233-256).
+
+    Footprints here are the union of tile rectangles per layer
+    (RasterDomain analogue), so the intersection is the per-tile rectangle
+    overlap of tiles present in BOTH layers — one equi-join on the tile
+    key, no geometry UDF. Output: (tile_x, tile_y, xmin, ymin, xmax, ymax);
+    the explicit-extent branch yields one row with a null tile key.
+    """
+    if extent is not None and str(extent).strip() not in (
+            "DEFAULT", "MAXOF", "MINOF"):
+        vals = [float(v) for v in str(extent).split()[:4]]
+        spark = tiles.sparkSession
+        row = spark.createDataFrame(
+            [(None, None, vals[0], vals[1], vals[2], vals[3])],
+            "tile_x INT, tile_y INT, xmin DOUBLE, ymin DOUBLE, "
+            "xmax DOUBLE, ymax DOUBLE")
+        return row
+
+    def rects(layer):
+        return (tiles.filter(F.col("layer") == layer)
+                .select("tile_x", "tile_y",
+                        F.col("x0").alias("rx0"), F.col("y0").alias("ry0"),
+                        (F.col("x0") + F.col("ncols") * F.col("pixel_m"))
+                        .alias("rx1"),
+                        (F.col("y0") + F.col("nrows") * F.col("pixel_m"))
+                        .alias("ry1")))
+
+    d = rects(dem_layer)
+    v = rects(veg_layer).withColumnsRenamed(
+        {"rx0": "vx0", "ry0": "vy0", "rx1": "vx1", "ry1": "vy1"})
+    j = d.join(v, ["tile_x", "tile_y"])
+    return j.select(
+        "tile_x", "tile_y",
+        F.greatest("rx0", "vx0").alias("xmin"),
+        F.greatest("ry0", "vy0").alias("ymin"),
+        F.least("rx1", "vx1").alias("xmax"),
+        F.least("ry1", "vy1").alias("ymax")) \
+        .filter((F.col("xmax") > F.col("xmin"))
+                & (F.col("ymax") > F.col("ymin")))
+
+
 def dynamic_slope_max(tiles: DataFrame) -> float:
     """The reference's two-job dynamic remap bound: global max slope, then
     remap (reference: bal.py:110-120)."""

@@ -39,6 +39,41 @@ def buffer_points(points: DataFrame, radius_m: float, quad_segs: int = 4,
     return points.mapInPandas(gen, schema=schema)
 
 
+def buffer_points_geodesic(points: DataFrame, radius_m: float,
+                           quad_segs: int = 4,
+                           id_col: str = "addr_id") -> DataFrame:
+    """V1 geography buffers: per-point GEODESIC circle vertices via the
+    spherical direct problem — the st_buffer(geography, r, quad_segs)
+    analogue (reference: data_prep/gnaf/create_buffered_points.sql:10
+    buffers geography, not planar). Input columns (id, lon, lat) degrees;
+    output one row per vertex (addr_id, vtx, lon, lat) so downstream ops
+    stay columnar."""
+    from . import geodesy
+    n = max(int(quad_segs) * 4, 4)
+    schema = StructType([
+        StructField("addr_id", StringType(), False),
+        StructField("vtx", IntegerType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=[f.name for f in schema])
+                continue
+            ids = np.repeat(pdf[id_col].astype(str).values, n)
+            vtx = np.tile(np.arange(n, dtype=np.int32), len(pdf))
+            lon0 = np.repeat(pdf.lon.values, n)
+            lat0 = np.repeat(pdf.lat.values, n)
+            bearings = np.tile(360.0 * np.arange(n) / n, len(pdf))
+            lon2, lat2 = geodesy.spherical_destination(
+                lon0, lat0, bearings, radius_m)
+            yield pd.DataFrame({"addr_id": ids, "vtx": vtx,
+                                "lon": lon2, "lat": lat2})
+
+    return points.mapInPandas(gen, schema=schema)
+
+
 def explode_multipolygon(polys: DataFrame, id_col: str = "veg_id",
                          wkt_col: str = "wkt") -> DataFrame:
     """V2 multipolygon explode + V7 per-part area (reference:

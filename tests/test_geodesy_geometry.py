@@ -84,3 +84,32 @@ def test_buffer_points_vec_shape_and_radius():
     assert rings.shape == (2, 16, 2)
     r = np.hypot(rings[0, :, 0] - 10.0, rings[0, :, 1] - 5.0)
     assert_allclose(r, 3.0)
+
+
+def test_spherical_destination_roundtrip():
+    """Destination points lie at exactly the requested great-circle
+    distance, at the requested initial bearing."""
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(110, 155, 50)
+    lat = rng.uniform(-45, -10, 50)
+    brg = rng.uniform(0, 360, 50)
+    lon2, lat2 = geodesy.spherical_destination(lon, lat, brg, 100.0)
+    d = geodesy.haversine_m(lon, lat, lon2, lat2)
+    assert np.allclose(d, 100.0, atol=1e-6)
+    az = geodesy.forward_azimuth_deg(lon, lat, lon2, lat2) % 360.0
+    assert np.allclose(az, brg % 360.0, atol=1e-6)
+
+
+def test_geodesic_buffer_vertices_on_circle(spark):
+    import pandas as pd
+    from balrog_spark import vector
+    pts = spark.createDataFrame(pd.DataFrame({
+        "addr_id": ["a", "b"], "lon": [144.96, 151.2],
+        "lat": [-37.81, -33.87]}))
+    out = vector.buffer_points_geodesic(pts, 100.0, quad_segs=4).toPandas()
+    assert len(out) == 32
+    centers = {"a": (144.96, -37.81), "b": (151.2, -33.87)}
+    for r in out.itertuples():
+        lon0, lat0 = centers[r.addr_id]
+        d = geodesy.haversine_m(lon0, lat0, r.lon, r.lat)
+        assert abs(d - 100.0) < 1e-6

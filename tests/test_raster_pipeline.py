@@ -144,3 +144,39 @@ def test_address_bal_raster_serving_exact_match(spark):
         assert np.float32(r.bal) == exp, (r.addr_id, r.bal, float(exp))
         matches += 1
     assert matches == len(served)  # 100% BAL + tile-assignment match rate
+
+
+def test_find_aoi_explicit_extent_branch(spark):
+    """find_aoi's explicit-extent branch (reference bal.py:233-256
+    get_extent_mask): 'xmin ymin xmax ymax ...' -> that box, one row."""
+    import pandas as pd
+    from balrog_spark import raster as raster_mod
+    tiles = spark.createDataFrame(pd.DataFrame([
+        {"layer": "dem", "tile_x": 0, "tile_y": 0, "x0": 0.0, "y0": 0.0,
+         "pixel_m": 25.0, "nrows": 64, "ncols": 64}]))
+    got = raster_mod.find_aoi_mask(
+        tiles, "343000 5850000 347000 5852000 343000 5850000").toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (
+        343000.0, 5850000.0, 347000.0, 5852000.0)
+
+
+def test_find_aoi_keywords_share_branch(spark):
+    """DEFAULT / MAXOF / MINOF all take the footprint-intersection branch
+    (reference quirk, bal.py:304)."""
+    import pandas as pd
+    from balrog_spark import raster as raster_mod
+    rows = []
+    for layer, keys in (("dem", [(0, 0), (1, 0)]),
+                        ("veg", [(1, 0), (2, 0)])):
+        for tx, ty in keys:
+            rows.append({"layer": layer, "tile_x": tx, "tile_y": ty,
+                         "x0": tx * 1600.0, "y0": ty * 1600.0,
+                         "pixel_m": 25.0, "nrows": 64, "ncols": 64})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    outs = [raster_mod.find_aoi_mask(tiles, kw).toPandas()
+            for kw in ("DEFAULT", "MAXOF", "MINOF")]
+    for got in outs:
+        assert len(got) == 1
+        assert (got.iloc[0].tile_x, got.iloc[0].tile_y) == (1, 0)
