@@ -60,9 +60,16 @@ def _norm(col):
 
 
 def normalize(docs: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       _norm(F.col(text_col)).alias("norm"))
+              id_col: str = "doc_id", spread: bool = False) -> DataFrame:
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      _norm(F.col(text_col)).alias("norm"))
+    if spread:
+        # single-file parquet scans are 1 partition; everything downstream
+        # of the shingle explode (~n_chars rows/doc) must not run on one
+        # core — hash-repartition by doc_id across the cluster
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        out = out.repartition(n, "doc_id")
+    return out
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
@@ -92,7 +99,7 @@ def shingles(docs: DataFrame, k: int = 8, text_col: str = "text",
     quic"``) otherwise makes the downstream self-join quadratic on that
     key. The hot set is tiny by construction, so the filter is a broadcast
     anti-join."""
-    n = normalize(docs, text_col, id_col) \
+    n = normalize(docs, text_col, id_col, spread=True) \
         .filter(F.length("norm") >= k)
     sh = (n.select(
         "doc_id",
@@ -155,7 +162,20 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,
     permutation).
     """
     rows_per_band = n_hashes // bands
-    sh = shingles(docs, k, text_col, id_col, max_df=max_df)
+    if max_df is None:
+        # min() is duplicate-insensitive, so the minhash path skips the
+        # shingle DISTINCT (a full shuffle of ~n_chars rows per doc) and
+        # hashes characters straight off the normalized text
+        n = normalize(docs, text_col, id_col, spread=True) \
+            .filter(F.length("norm") >= k)
+        sh = (n.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("norm") - (k - 1)))
+            .alias("pos"), "norm")
+            .select("doc_id",
+                    F.expr(f"substring(norm, pos, {k})").alias("shingle")))
+    else:
+        sh = shingles(docs, k, text_col, id_col, max_df=max_df)
     hs = sh.select("doc_id",
                    shingle_hash_col(F.col("shingle"), k).alias("h"))
     mh = hs.groupBy("doc_id").agg(*[

@@ -272,14 +272,16 @@ def dissolve_union(polys: DataFrame, class_col: str = "bal_number",
     Output: (bal_number, n_src, union_area_m2, naive_area_m2);
     union < naive exactly where inputs overlap.
     """
-    pieces = subdivide(polys.select(F.col(class_col).alias("cls_tag"),
-                                    F.col(id_col).alias(id_col),
-                                    F.col(wkt_col).alias("wkt"))
-                       .withColumn(
-                           "veg_id",
-                           F.concat_ws("|", F.col("cls_tag").cast("string"),
-                                       F.col(id_col).cast("string"))),
-                       cell_m=cell_m)
+    src = polys.select(F.col(class_col).alias("cls_tag"),
+                       F.col(id_col).alias(id_col),
+                       F.col(wkt_col).alias("wkt")) \
+        .withColumn("veg_id",
+                    F.concat_ws("|", F.col("cls_tag").cast("string"),
+                                F.col(id_col).cast("string")))
+    # single-file parquet scans are 1 partition; the clip UDF must not run
+    # on one core
+    npart = polys.sparkSession.sparkContext.defaultParallelism
+    pieces = subdivide(src.repartition(npart, "veg_id"), cell_m=cell_m)
     split = F.split(F.col("veg_id"), r"\|")
     pieces = pieces.select(
         split.getItem(0).cast("long").alias("cls"),
@@ -292,18 +294,31 @@ def dissolve_union(polys: DataFrame, class_col: str = "bal_number",
         StructField("ua", DoubleType(), False),
         StructField("na", DoubleType(), False)])
 
+    # batch (cls, cell) groups by 8x8-cell supercells — applyInPandas pays
+    # ~ms per GROUP in Arrow stream overhead (and AQE may coalesce the tiny
+    # shuffle onto one task), so per-cell groups don't amortize; cells are
+    # iterated inside the batch (the zonal/raster supertile trick)
     def cell_union(key, pdf: pd.DataFrame):
-        polys_rings = [geometry.parse_wkt_polys(w)[0]
-                       for w in pdf.piece_wkt.values]
-        return pd.DataFrame([{
-            "cls": int(key[0]), "cell_id": int(key[1]),
-            "ua": geometry.union_area(polys_rings),
-            "na": float(pdf.piece_area.sum())}])
+        rows = []
+        for (cls, cell), grp in pdf.groupby(["cls", "cell_id"],
+                                            sort=False):
+            polys_rings = [geometry.parse_wkt_polys(w)[0]
+                           for w in grp.piece_wkt.values]
+            rows.append({
+                "cls": int(cls), "cell_id": int(cell),
+                "ua": geometry.union_area(polys_rings),
+                "na": float(grp.piece_area.sum())})
+        return pd.DataFrame(rows, columns=[f.name for f in part_schema])
 
-    partials = pieces.groupBy("cls", "cell_id").applyInPandas(
-        cell_union, schema=part_schema)
-    srcs = pieces.groupBy("cls").agg(
-        F.countDistinct("src_id").alias("n_src"))
+    scx = F.floor(F.col("cell_id") / F.lit((1 << 20) * 8))
+    scy = F.floor(F.pmod(F.col("cell_id"), F.lit(1 << 20)) / F.lit(8))
+    partials = pieces.groupBy(
+        "cls", scx.alias("_sx"), scy.alias("_sy")
+    ).applyInPandas(cell_union, schema=part_schema)
+    # n_src from the INPUT side (one cheap aggregate) — deriving it from
+    # `pieces` would re-execute the whole subdivide UDF a second time
+    srcs = polys.groupBy(F.col(class_col).cast("long").alias("cls")).agg(
+        F.countDistinct(id_col).alias("n_src"))
     return (partials.groupBy("cls")
             .agg(F.sum("ua").alias("union_area_m2"),
                  F.sum("na").alias("naive_area_m2"))
