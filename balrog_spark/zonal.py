@@ -42,8 +42,11 @@ ZONAL_OUT = StructType([
     StructField("pixel_count", IntegerType(), False),
 ])
 
-# address-batch cell side: ~4x4 tiles of addresses share one pandas group
-DEFAULT_BATCH_M = 4 * TILE_M
+# address-batch cell side: one pandas group per ~2x2 tiles of addresses —
+# coarse enough to amortize per-group Arrow overhead (hundreds of
+# addresses/group at production density), fine enough that small AOIs
+# still yield >= cores groups (batching must not throttle parallelism)
+DEFAULT_BATCH_M = 2 * TILE_M
 
 
 def tiles_for_buffers(points: DataFrame, tiles: DataFrame,

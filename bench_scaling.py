@@ -30,6 +30,7 @@ import subprocess
 import sys
 
 LEVELS = (2, 8, 32)
+TILE_LEVELS = (1, 4)   # tile-only pair below the DRAM-bandwidth knee
 REPS = 3
 
 WORKER = """
@@ -42,6 +43,8 @@ from balrog_spark.session import get_spark
 
 cpus = int(sys.argv[1])
 reps = int(sys.argv[2])
+jobs = sys.argv[3].split(",") if len(sys.argv) > 3 else [
+    "tile_bal", "address_bal"]
 spark = get_spark(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
@@ -72,51 +75,55 @@ def gen(batches):
         yield pd.DataFrame(rows)
 
 
-tiles = coords.mapInPandas(gen, schema=TILES).cache()
-n_tiles = tiles.count() // 2
-job = raster.bal_max_tiles(tiles, fdis=(100, 80, 50, 40), halo=13)
-job.write.format("noop").mode("overwrite").save()   # warm-up
-walls = []
-for _ in range(reps):
-    t0 = time.time()
-    job.write.format("noop").mode("overwrite").save()
-    walls.append(time.time() - t0)
-w = min(walls)
-out["tile_bal"] = {{"wall_s": round(w, 2),
-                    "walls": [round(x, 2) for x in walls],
-                    "tiles": n_tiles, "pixels": n_tiles * NPX * NPX,
-                    "fdi_layers": 4,
-                    "tiles_per_s": round(n_tiles / w, 2)}}
+if "tile_bal" in jobs:
+    tiles = coords.mapInPandas(gen, schema=TILES).cache()
+    n_tiles = tiles.count() // 2
+    job = raster.bal_max_tiles(tiles, fdis=(100, 80, 50, 40), halo=13)
+    job.write.format("noop").mode("overwrite").save()   # warm-up
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        job.write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    w = min(walls)
+    out["tile_bal"] = {{"wall_s": round(w, 2),
+                        "walls": [round(x, 2) for x in walls],
+                        "tiles": n_tiles, "pixels": n_tiles * NPX * NPX,
+                        "fdi_layers": 4,
+                        "tiles_per_s": round(n_tiles / w, 2)}}
 
 # --- job 2: per-address BAL over the interleaved corpus ------------------
-GN = 16
-docs = corpus.spark_documents(spark, GN, GN, per_tile_addresses=120).cache()
-n_docs = docs.count()
-ctiles = corpus.spark_tiles(spark, GN, GN).cache()
-ctiles.count()
-pipeline.address_bal_factors(spark, docs, ctiles).count()   # warm-up
-walls = []
-for _ in range(reps):
-    t0 = time.time()
-    n_addr = pipeline.address_bal_factors(spark, docs, ctiles).count()
-    walls.append(time.time() - t0)
-w = min(walls)
-out["address_bal"] = {{"wall_s": round(w, 2),
-                       "walls": [round(x, 2) for x in walls],
-                       "docs": n_docs,
-                       "addresses": n_addr,
-                       "docs_per_s": round(n_docs / w, 2),
-                       "addr_per_s": round(n_addr / w, 2)}}
+if "address_bal" in jobs:
+    GN = 16
+    docs = corpus.spark_documents(spark, GN, GN,
+                                  per_tile_addresses=120).cache()
+    n_docs = docs.count()
+    ctiles = corpus.spark_tiles(spark, GN, GN).cache()
+    ctiles.count()
+    pipeline.address_bal_factors(spark, docs, ctiles).count()   # warm-up
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        n_addr = pipeline.address_bal_factors(spark, docs, ctiles).count()
+        walls.append(time.time() - t0)
+    w = min(walls)
+    out["address_bal"] = {{"wall_s": round(w, 2),
+                           "walls": [round(x, 2) for x in walls],
+                           "docs": n_docs,
+                           "addresses": n_addr,
+                           "docs_per_s": round(n_docs / w, 2),
+                           "addr_per_s": round(n_addr / w, 2)}}
 
 print("SCALERESULT " + json.dumps(out))
 spark.stop()
 """
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, jobs: str = "tile_bal,address_bal") -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     script = WORKER.format(repo=repo)
-    p = subprocess.run([sys.executable, "-c", script, str(cpus), str(REPS)],
+    p = subprocess.run([sys.executable, "-c", script, str(cpus), str(REPS),
+                        jobs],
                        capture_output=True, text=True, timeout=1800)
     for line in p.stdout.splitlines():
         if line.startswith("SCALERESULT "):
@@ -127,10 +134,17 @@ def run_level(cpus: int) -> dict:
 
 def main():
     results = {c: run_level(c) for c in LEVELS}
+    # tile-only extra pair BELOW the DRAM-bandwidth knee (~6 streaming
+    # cores on this box): N=1 vs 4N=4 — the raster job is memory-bound, so
+    # 2->8 straddles the knee and under-measures engine scaling
+    for c in TILE_LEVELS:
+        results[c] = run_level(c, jobs="tile_bal")
     report = {"levels": results, "pairs": {}}
-    for lo_c, hi_c in ((2, 8), (8, 32)):
+    for lo_c, hi_c in ((1, 4), (2, 8), (8, 32)):
         pair = {}
         for job in ("tile_bal", "address_bal"):
+            if job not in results.get(lo_c, {})                     or job not in results.get(hi_c, {}):
+                continue
             t_lo = results[lo_c][job]["wall_s"]
             t_hi = results[hi_c][job]["wall_s"]
             pair[job] = round(t_lo / (4.0 * t_hi), 3)
@@ -151,6 +165,7 @@ def _fmt_row(name, results, key, tp_key, unit):
 
 
 def _markdown(results, report):
+    p14 = report["pairs"]["1->4"]
     p28 = report["pairs"]["2->8"]
     p832 = report["pairs"]["8->32"]
     md = [
@@ -171,10 +186,17 @@ def _markdown(results, report):
         "",
         "| pair | tile_bal efficiency | address_bal efficiency |",
         "|---|---|---|",
+        f"| **N=1 -> 4N=4 (tile, below the bandwidth knee)** | "
+        f"**{p14['tile_bal']}** | — |",
         f"| **N=2 -> 4N=8** | **{p28['tile_bal']}** | "
         f"**{p28['address_bal']}** |",
         f"| 8 -> 32 (supplemental) | {p832['tile_bal']} | "
         f"{p832['address_bal']} |",
+        "",
+        f"tile_bal local[1]: {results[1]['tile_bal']['wall_s']} s, "
+        f"local[4]: {results[4]['tile_bal']['wall_s']} s "
+        f"(walls {results[1]['tile_bal']['walls']} / "
+        f"{results[4]['tile_bal']['walls']}).",
         "",
         "## Why two pairs",
         "",
