@@ -87,6 +87,59 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
             .select("id_a", "id_b", "cosine"))
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (deterministic
+    tie-break on cell_id): broadcast centroids + window argmin — the IVF
+    build step. ``centroids``: (cell_id, cvec)."""
+    from pyspark.sql.window import Window
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col), "cell_id",
+        (_dot(F.col(vec_col), F.col("cvec"))
+         / (F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+            * F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))).alias("s"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(),
+                                             F.col("cell_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1).select("vec_id", vec_col, "cell_id")
+
+
+def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: the cell-probing scale path next to the
+    LSH one. Centroids are the ``n_cells`` smallest-id vectors (a
+    deterministic seeding — swap in k-means centroids on a cluster, the
+    probe/rerank plan is identical); the query probes its ``n_probe``
+    nearest cells and reranks ONLY their members exactly. At 10^12 scale
+    the assignment is one broadcast pass and each query touches
+    n_probe/n_cells of the data instead of all of it."""
+    cents = emb.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+    assigned = ivf_assign(emb, cents, vec_col, id_col)
+    q = F.broadcast(query.select(F.col(vec_col).alias("qvec")))
+    qcells = (cents.crossJoin(q)
+              .select("cell_id",
+                      (_dot(F.col("cvec"), F.col("qvec"))
+                       / (F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+                          * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))))
+                      .alias("qs"))
+              .orderBy(F.col("qs").desc(), F.col("cell_id").asc())
+              .limit(n_probe).select("cell_id"))
+    cand = assigned.join(F.broadcast(qcells), "cell_id")
+    scored = cand.crossJoin(q).select(
+        "vec_id",
+        F.round(
+            _dot(F.col(vec_col), F.col("qvec"))
+            / (F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+               * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))), 5)
+        .alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()) \
+        .limit(k)
+
+
 def centroids_by_label(emb: DataFrame, vec_col: str = "embedding",
                        label_col: str = "label") -> DataFrame:
     """Per-label centroid via posexplode + avg (partial aggregation,

@@ -1157,6 +1157,50 @@ def ann_cosine_topk(spark, sf_dir):
     return annops.cosine_topk(e, query, k=10)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns — the same left-to-right
+    double fold Spark's F.aggregate performs (bit-identical)."""
+    return (f"(list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({a}, "
+            f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) "
+            f"* sqrt(list_sum(list_transform({b}, "
+            f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))))")
+
+
+@q("ann_ivf_topk", f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+          FROM embeddings ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS s
+  FROM embeddings e CROSS JOIN cents c),
+best AS (
+  SELECT vec_id, embedding, cell_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, cell_id ASC) = 1),
+qcells AS (
+  SELECT cell_id FROM cents CROSS JOIN q
+  ORDER BY {_cos_sql('cvec', 'qvec')} DESC, cell_id ASC LIMIT 4),
+scored AS (
+  SELECT b.vec_id, round({_cos_sql('b.embedding', 'q.qvec')}, 5) AS cosine
+  FROM best b JOIN qcells USING (cell_id) CROSS JOIN q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cosine AS DOUBLE) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF cell-probe ANN top-k (the clustering scale path next to LSH):
+    deterministic centroid seeding, nearest-cell assignment, n_probe=4
+    probed cells, exact rerank. The oracle replicates the FULL IVF logic
+    (assignment argmax, probed cells, rerank) — approximate vs brute force
+    but exactly reproducible, so the gate checks the real plan."""
+    e = _load(spark, sf_dir, "embeddings")
+    query = e.orderBy("vec_id").limit(1)
+    out = annops.ivf_topk(e, query, k=10, n_cells=16, n_probe=4)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("cosine").cast("double").alias("cosine"))
+
+
 @q("emb_centroid_by_label", """
 WITH dims AS (
   SELECT label, u.i AS i, avg(CAST(embedding[u.i] AS DOUBLE)) AS c
