@@ -1109,6 +1109,58 @@ def dedup_minhash_lsh(spark, sf_dir):
                       F.col("doc_b").cast("long").alias("doc_b"))
 
 
+from .textops import simhash_sql  # noqa: E402
+
+_NORM_CTE = """
+norm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+  FROM documents)"""
+
+
+@q("dedup_simhash", f"""
+WITH {_NORM_CTE},{simhash_sql()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash
+FROM simhashes""")
+def dedup_simhash(spark, sf_dir):
+    """SimHash document fingerprints: per-token portable polynomial hash,
+    per-bit +1/-1 vote aggregate, 32-bit sign fingerprint — one shuffle,
+    pure columns, full value oracle."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.simhash_fingerprints(d)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("simhash").cast("long").alias("simhash"))
+
+
+@q("dedup_simhash_pairs", f"""
+WITH {_NORM_CTE},{simhash_sql()},
+banded AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash // {1 << (8 * b)}) % 256 AS byte FROM simhashes"
+    for b in range(4)) + """
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.byte = b.byte
+  WHERE a.doc_id < b.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs: 4-byte banding (pigeonhole: any pair
+    within hamming 3 shares a byte) + exact popcount(xor) verify — an
+    equi-join, never all-pairs. The oracle replicates banding AND verify.
+    Gate threshold <= 1: the template-generated corpus has a broad
+    hamming distribution (166 exact-fingerprint pairs, ~1k at distance 1),
+    so 1 keeps the result a genuine near-duplicate set."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.simhash_neardup_pairs(d, max_hamming=1)
+    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
+                      F.col("doc_b").cast("long").alias("doc_b"),
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 @q("text_token_count", """
 SELECT doc_id,
        CAST(len(string_split(trim(lower(regexp_replace(

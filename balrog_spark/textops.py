@@ -198,6 +198,102 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,
             .select("doc_a", "doc_b").distinct())
 
 
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document SimHash fingerprint over whitespace tokens: each token
+    hashes to SIMHASH_BITS bits (portable polynomial hash); bit i of the
+    fingerprint is the sign of the per-doc sum of (+1 / -1) over tokens'
+    bit i. Pure explode + conditional-sum aggregation — one shuffle, all
+    codegen, identical SQL on the oracle side."""
+    n = normalize(docs, text_col, id_col, spread=True) \
+        .filter(F.length("norm") > 0)
+    toks = n.select("doc_id",
+                    F.explode(F.split(F.trim(F.col("norm")), " "))
+                    .alias("tok")).filter(F.col("tok") != "")
+    # variable-length fold: aggregate over the token's characters
+    h = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0)))
+        % F.lit(MH_P))
+    th = toks.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), i) % 2 == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)]
+    sums = th.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"b{i}") > 0,
+                         F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_sql(k_unused: int = 0) -> str:
+    """DuckDB twin of :func:`simhash_fingerprints`: CTE chain ending in
+    ``simhashes(doc_id, simhash)``, expects a ``norm(doc_id, n)`` CTE."""
+    bit_sums = ",\n".join(
+        f"    sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) "
+        f"AS b{i}" for i in range(SIMHASH_BITS))
+    fp = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS))
+    return f"""
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(trim(n), ' ')) AS tok FROM norm
+    WHERE length(n) > 0) WHERE tok != ''),
+th AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {MH_P}) AS h
+  FROM toks),
+bitsums AS (
+  SELECT doc_id,
+{bit_sums}
+  FROM th GROUP BY doc_id),
+simhashes AS (
+  SELECT doc_id, {fp} AS simhash FROM bitsums)"""
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-duplicate pairs: fingerprints band into 4 bytes; by
+    pigeonhole any pair within hamming distance 3 shares at least one
+    byte, so candidates come from an equi-join on (band, byte) — never an
+    all-pairs comparison — and the exact popcount(xor) verify keeps pairs
+    with distance <= ``max_hamming``."""
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    n_bands = 4
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 (F.shiftright(F.col("simhash"), b * 8) % 256)
+                 .alias("byte"))
+        for b in range(n_bands)]
+    banded = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.byte").alias("byte"))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "band", "byte")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "band", "byte")
+    pairs = (a.join(b, ["band", "byte"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count per document."""

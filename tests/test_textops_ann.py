@@ -133,3 +133,40 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     hits = sum(1 for v in probe2.vec_id if v in exact_scores)
     assert hits >= 5  # fixed corpus: deterministic recall floor
     assert list(probe2.cosine) == sorted(probe2.cosine, reverse=True)
+
+
+def test_simhash_near_dup_detects_planted(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    texts = [base,
+             base.replace("tonight", "today"),         # 1-token change
+             "completely unrelated text about spark query planning "
+             "and adaptive execution with shuffle partitions galore",
+             base]                                      # exact dup
+    d = _docs(spark, texts)
+    fps = textops.simhash_fingerprints(d).toPandas().set_index("doc_id")
+    assert fps.loc[0].simhash == fps.loc[3].simhash  # exact dup identical
+    pairs = textops.simhash_neardup_pairs(d, max_hamming=3).toPandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 3) in got
+    assert (0, 1) in got or (1, 3) in got  # near dup within hamming 3
+    assert not any(2 in p for p in got)   # unrelated doc excluded
+
+
+def test_simhash_banding_pigeonhole_complete(spark):
+    """Every pair within hamming 3 MUST be produced by the byte banding
+    (pigeonhole) — compare against an all-pairs scan."""
+    import itertools
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(30)]
+    d = _docs(spark, texts)
+    fps = textops.simhash_fingerprints(d).toPandas()
+    fpmap = dict(zip(fps.doc_id, fps.simhash))
+    exp = set()
+    for a, b in itertools.combinations(sorted(fpmap), 2):
+        if bin(fpmap[a] ^ fpmap[b]).count("1") <= 3:
+            exp.add((a, b))
+    got = textops.simhash_neardup_pairs(d, max_hamming=3).toPandas()
+    assert set(zip(got.doc_a, got.doc_b)) == exp
