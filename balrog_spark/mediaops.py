@@ -87,6 +87,61 @@ def image_features(media: DataFrame, out_w: int = 8, out_h: int = 8,
     return media.mapInPandas(gen, schema=FEATURES)
 
 
+def decode_audio(payload: bytes, n_samples: int = 4096,
+                 fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to float32 PCM [-1, 1).
+
+    STUB like :func:`decode_image` — no audio codecs in this container;
+    ``fake=True`` yields a deterministic payload-seeded waveform so the
+    windowing/feature plumbing is fully exercised."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; "
+            "pass fake=True for the deterministic pseudo-decode")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
+
+
+AUDIO_FEATURES = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("window_idx", LongType(), False),
+    StructField("rms", FloatType(), False),
+    StructField("zcr", FloatType(), False),
+    StructField("peak", FloatType(), False),
+])
+
+
+def audio_features(media: DataFrame, window: int = 512,
+                   fake_decode: bool = True) -> DataFrame:
+    """Windowed audio features (RMS energy, zero-crossing rate, peak) —
+    the decode-then-window shape a speech/music filter pipeline needs; one
+    output row per window, vectorized reshape per payload (no per-sample
+    Python). Swap decode_audio's body for a codec on a real cluster."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.kind != "audio":
+                    continue
+                pcm = decode_audio(bytes(r.payload), fake=fake_decode)
+                nwin = len(pcm) // window
+                w = pcm[:nwin * window].reshape(nwin, window)
+                rms = np.sqrt((w.astype(np.float64) ** 2).mean(axis=1))
+                zcr = (np.diff(np.signbit(w), axis=1) != 0).mean(axis=1)
+                peak = np.abs(w).max(axis=1)
+                for i in range(nwin):
+                    rows.append({"media_id": r.media_id, "window_idx": i,
+                                 "rms": float(rms[i]),
+                                 "zcr": float(zcr[i]),
+                                 "peak": float(peak[i])})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in AUDIO_FEATURES])
+
+    return media.mapInPandas(gen, schema=AUDIO_FEATURES)
+
+
 FRAMES = StructType([
     StructField("media_id", StringType(), False),
     StructField("frame_idx", LongType(), False),

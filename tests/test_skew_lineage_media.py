@@ -162,3 +162,25 @@ def test_media_frame_sampling(spark):
         if r.kind == "video":
             exp = set(range(0, r.n_frames, 10))
             assert {f for m, f in got if m == r.media_id} == exp
+
+
+def test_media_audio_features_plumbing(spark):
+    media = mediaops.synthetic_media(spark, 9)
+    feats = mediaops.audio_features(media, window=512).toPandas()
+    audios = [r for r in media.collect() if r.kind == "audio"]
+    assert set(feats.media_id) == {r.media_id for r in audios}
+    assert (feats.groupby("media_id").size() == 4096 // 512).all()
+    assert ((feats.rms >= 0) & (feats.rms <= 1)).all()
+    assert ((feats.zcr >= 0) & (feats.zcr <= 1)).all()
+    # determinism
+    feats2 = mediaops.audio_features(media, window=512).toPandas()
+    a = feats.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    b = feats2.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_media_audio_decode_stub_raises_without_fake():
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        mediaops.decode_audio(b"xx", fake=False)
