@@ -644,6 +644,86 @@ def r4_slope_aspect_tiled(spark, sf_dir):
                     .alias("aspect_class")))
 
 
+@q("s10_regrid", f"""
+WITH grid AS (
+  SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         CAST(300.0 + 150.0 * sin((event_id % {_GRID_W}) * 0.21)
+               * cos((event_id // {_GRID_W}) * 0.17) AS REAL) AS z
+  FROM events)
+SELECT CAST(r // 2 AS BIGINT) AS row_idx, CAST(c // 2 AS BIGINT) AS col_idx,
+       CAST(floor(CAST(CAST(avg(CAST(z AS DOUBLE)) AS REAL) AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS DOUBLE) AS mean_z
+FROM grid GROUP BY 1, 2""")
+def s10_regrid(spark, sf_dir):
+    """S10 mosaic/re-grid: block-mean downsample by 2 through
+    raster.regrid_tiles (the per-tile warp analogue; reference:
+    data_prep/images/ga_5m/01_mosaic...py:245-266), tiles re-exploded to
+    cells against a SQL group-by twin."""
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, StringType, StructField,
+                                   StructType)
+
+    from . import raster as raster_mod
+
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c")
+    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    TR, TC = 10, 20  # both EVEN: factor-2 regrid must not truncate
+    n_ty = max(n_rows // TR, 1)
+    TR = n_rows // n_ty
+    px = 25.0
+
+    tile_schema = StructType([
+        StructField("media_ref", StringType(), False),
+        StructField("layer", StringType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("pixel_m", DoubleType(), False),
+        StructField("nrows", IntegerType(), False),
+        StructField("ncols", IntegerType(), False),
+        StructField("data", ArrayType(FloatType()), False)])
+
+    def pack(key, pdf: pd.DataFrame):
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros((TR, TC), dtype=np.float64)
+        lr = (pdf.r.values % TR).astype(int)
+        lc = (pdf.c.values % TC).astype(int)
+        arr[lr, lc] = (300.0 + 150.0 * np.sin(pdf.c.values * 0.21)
+                       * np.cos(pdf.r.values * 0.17))
+        return pd.DataFrame([{
+            "media_ref": f"dem/{tx}/{ty}", "layer": "dem",
+            "tile_x": tx, "tile_y": ty,
+            "x0": tx * TC * px, "y0": ty * TR * px, "pixel_m": px,
+            "nrows": TR, "ncols": TC,
+            # tile data is float32 (production schema); the oracle casts
+            # z to REAL the same way. The 2x2 block mean is EXACT in
+            # float64 regardless of summation order (4 x 24-bit mantissas
+            # fit 26 bits), so the engine's float32 output equals the
+            # oracle's avg-then-REAL bit-for-bit
+            "data": arr.astype(np.float32).ravel()}])
+
+    tiles = ev.groupBy(
+        (F.col("c") / TC).cast("int").alias("_tx"),
+        (F.lit(n_ty - 1) - (F.col("r") / TR).cast("int")).alias("_ty")) \
+        .applyInPandas(pack, schema=tile_schema)
+    rg = raster_mod.regrid_tiles(tiles, factor=2)
+    cells_df = rg.select("tile_x", "tile_y", "ncols",
+                         F.posexplode("data").alias("i", "v"))
+    row_idx = ((F.lit(n_ty - 1) - F.col("tile_y")) * (TR // 2)
+               + (F.col("i") / (TC // 2)).cast("long"))
+    col_idx = F.col("tile_x") * (TC // 2) + F.col("i") % (TC // 2)
+    # explicit half-up (floor(x*1e6 + .5)/1e6) on BOTH sides: float32
+    # means are dyadic, so library round() ties (half-up vs half-even)
+    # differ across engines exactly at values like x.3203125
+    return cells_df.select(
+        row_idx.alias("row_idx"), col_idx.alias("col_idx"),
+        (F.floor(F.col("v").cast("double") * 1000000 + 0.5) / 1000000)
+        .alias("mean_z"))
+
+
 # --- aggregations (A1, A2) ---------------------------------------------------
 
 @q("a1_zonal_stats", """
