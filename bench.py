@@ -38,6 +38,14 @@ def main():
 
     queries = all_queries()
     timings = {}
+
+    # session warm-up (NOT an operator warm-up: each query below still
+    # compiles and runs its own plan cold): first-ever codegen + noop-sink
+    # + python-worker spin-up otherwise bills ~4 s to whichever query runs
+    # first
+    spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .write.format("noop").mode("overwrite").save()
+
     t_all0 = time.time()
 
     for name in HEADLINE:
