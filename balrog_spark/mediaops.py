@@ -38,18 +38,79 @@ FEATURES = StructType([
 ])
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decode of binary PPM (P6) / PGM (P5) — the raw netpbm formats
+    need no codec library. Returns (h, w, 3) uint8 (grayscale replicated).
+    """
+    if not payload.startswith((b"P5", b"P6")):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header: magic, whitespace-separated width height maxval, one ws byte
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if payload.startswith(b"P6") else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                        offset=i).reshape(h, w, ch)
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr.copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decode of uncompressed 24-bit BMP (BITMAPINFOHEADER) — plain
+    struct math, no codec. Returns (h, w, 3) uint8 RGB."""
+    import struct
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1].copy() if flip else img.copy()
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
     """Decode an image payload to (h, w, 3) uint8.
 
-    STUB: real codecs are unavailable in this container. ``fake=True``
-    produces a deterministic array seeded by the payload digest so the
-    downstream plumbing is fully exercised and reproducible.
+    Raw container formats decode FOR REAL (no codec library needed):
+    binary PPM/PGM (netpbm) and uncompressed 24-bit BMP. Compressed
+    formats (png/jpeg) are STUBBED in this environment — ``fake=True``
+    produces a deterministic payload-seeded array so the downstream
+    plumbing is fully exercised; on a real cluster swap in a codec.
     """
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "pass fake=True for the deterministic pseudo-decode")
+            "compressed-image codecs not available in this environment; "
+            "raw PPM/PGM/BMP decode for real, or pass fake=True for the "
+            "deterministic pseudo-decode")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)

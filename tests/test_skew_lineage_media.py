@@ -184,3 +184,52 @@ def test_media_audio_decode_stub_raises_without_fake():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         mediaops.decode_audio(b"xx", fake=False)
+
+
+def _ppm_bytes(arr):
+    h, w = arr.shape[:2]
+    return b"P6\n" + f"{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _bmp_bytes(arr):
+    import struct
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(data), 2835, 2835, 0, 0))
+    return header + data
+
+
+def test_real_ppm_and_bmp_decode_roundtrip():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mediaops.decode_image(_ppm_bytes(img), 7, 5), img)
+    np.testing.assert_array_equal(
+        mediaops.decode_image(_bmp_bytes(img), 7, 5), img)
+    # grayscale PGM replicates channels
+    g = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    pgm = b"P5\n# comment\n6 4\n255\n" + g.tobytes()
+    got = mediaops.decode_image(pgm, 6, 4)
+    np.testing.assert_array_equal(got[:, :, 0], g)
+    np.testing.assert_array_equal(got[:, :, 1], g)
+
+
+def test_real_decode_flows_through_image_features(spark):
+    import pandas as pd
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    media = spark.createDataFrame(pd.DataFrame([{
+        "media_id": "ppm-1", "kind": "image", "mime": "image/x-portable",
+        "width": 16, "height": 12, "n_frames": None,
+        "payload": bytearray(_ppm_bytes(img))}]), schema=mediaops.MEDIA)
+    feats = mediaops.image_features(media, out_w=4, out_h=4,
+                                    fake_decode=False).collect()
+    assert len(feats) == 1
+    exp = (mediaops.resize_nearest(img, 4, 4).astype(np.float32)
+           / 255.0).mean(axis=2).ravel()
+    assert np.allclose(feats[0].feat, exp, atol=1e-6)
