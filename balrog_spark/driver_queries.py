@@ -68,11 +68,18 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_WORLD_CACHE: dict = {}
+
+
 def world_m(spark, sf_dir) -> int:
     """Side length of the derived world (same formula as the oracle's
-    ``world`` CTE)."""
-    n = _load(spark, sf_dir, "customer").count()
-    return 400 * int(np.floor(np.sqrt(float(n))))
+    ``world`` CTE). Memoized per sf_dir — the customer count is immutable
+    input data, and entry()/queries() would otherwise re-run the count
+    job several times per invocation."""
+    if sf_dir not in _WORLD_CACHE:
+        n = _load(spark, sf_dir, "customer").count()
+        _WORLD_CACHE[sf_dir] = 400 * int(np.floor(np.sqrt(float(n))))
+    return _WORLD_CACHE[sf_dir]
 
 
 def derived_points(spark, sf_dir) -> DataFrame:

@@ -455,6 +455,23 @@ def slope_aspect_tiles(tiles: DataFrame, halo: int = DEFAULT_HALO,
     return _per_tile_apply(contribs, per_tile, ddl, pa_tiles)
 
 
+def build_pyramid(tiles: DataFrame, levels: int = 3,
+                  factor: int = 2) -> DataFrame:
+    """S11 overview pyramid: union of ``levels`` block-mean downsamples
+    (level 0 = source, level k at pixel_m * factor^k) — the COG-overview
+    analogue built per tile with no global raster (reference builds
+    raster pyramids during mosaic,
+    data_prep/images/ga_5m/01_mosaic...py:245-266). Output adds a
+    ``level`` column; each level is produced by regridding the PREVIOUS
+    one, so total extra work is a geometric series (~1/3 of the base)."""
+    out = tiles.withColumn("level", F.lit(0))
+    cur = tiles
+    for lv in range(1, levels + 1):
+        cur = regrid_tiles(cur, factor=factor)
+        out = out.unionByName(cur.withColumn("level", F.lit(lv)))
+    return out
+
+
 def find_aoi_mask(tiles: DataFrame, extent: str | None = None,
                   dem_layer: str = "dem",
                   veg_layer: str = "veg") -> DataFrame:

@@ -180,3 +180,28 @@ def test_find_aoi_keywords_share_branch(spark):
     for got in outs:
         assert len(got) == 1
         assert (got.iloc[0].tile_x, got.iloc[0].tile_y) == (1, 0)
+
+
+def test_pyramid_levels_block_means(spark):
+    """S11 overview pyramid: every level is the block mean of the level
+    below; pixel size doubles per level."""
+    import numpy as np
+    from balrog_spark import corpus, raster as raster_mod
+    tiles = corpus.spark_tiles(spark, 1, 1).filter("layer = 'dem'")
+    pyr = raster_mod.build_pyramid(tiles, levels=2).toPandas()
+    assert sorted(pyr.level.unique()) == [0, 1, 2]
+    by = {int(r.level): r for r in pyr.itertuples()}
+    base = np.asarray(by[0].data, dtype=np.float64).reshape(
+        by[0].nrows, by[0].ncols)
+    l1 = np.asarray(by[1].data, dtype=np.float64).reshape(
+        by[1].nrows, by[1].ncols)
+    assert by[1].pixel_m == by[0].pixel_m * 2
+    assert by[2].pixel_m == by[0].pixel_m * 4
+    n, m = l1.shape
+    blocks = base[:n * 2, :m * 2].reshape(n, 2, m, 2)
+    valid = blocks != -99.0
+    cnt = valid.sum(axis=(1, 3))
+    s = np.where(valid, blocks, 0.0).sum(axis=(1, 3))
+    exp = np.where(cnt > 0, s / np.maximum(cnt, 1), -99.0)
+    assert np.allclose(np.where(exp == -99.0, -99.0, exp), l1,
+                       atol=1e-4)
