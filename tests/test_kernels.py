@@ -175,3 +175,35 @@ def test_clip_array():
                          (20.0, 40.0, 50.0, 80.0))
     assert out.shape == (4, 3)
     assert out[0, 0] == data[2, 2]
+
+
+def test_slope_in_aspect_reference_golden():
+    """The reference's published get_slope_in_aspect fixture
+    (reference tests/test_get_slope_in_aspect.py:19-58): slope kept where
+    aspect faces west (7), -1 elsewhere, nodata preserved."""
+    slope = np.array([[1., 2., -99., 4., 5., 6., 5., 5.],
+                      [1., 2., 3., 4., 5., 6., 1., 2.],
+                      [3., 3., 5., 4., 4., 5., 4., 4.],
+                      [5., 5., 6., 2., -99., 2., 3., 1.],
+                      [-99., 2., 3., 5., 2., 3., 2., 3.],
+                      [2., 3., 3., 3., 3., 3., 3., 3.],
+                      [4., 3., 3., 4., 4., 4., 4., 5.],
+                      [4., 4., 1., 3., 4., 5., 6., -99.]])
+    aspect = np.array([[7., 7., 7., 7., 7., 7., 7., 9.],
+                       [7., 7., 7., 7., 7., 7., 7., 7.],
+                       [7., 7., 7., 7., 7., 7., 7., 7.],
+                       [7., 7., 1., 7., 2., 7., 7., 7.],
+                       [3., 7., 7., 4., 7., 7., 7., 7.],
+                       [7., 7., 7., 7., 7., 7., 7., 7.],
+                       [7., 7., 7., 7., 7., 7., 7., 7.],
+                       [7., 7., 7., 7., 7., 7., 7., 7.]])
+    exp = np.array([[1., 2., -99., 4., 5., 6., 5., -1.],
+                    [1., 2., 3., 4., 5., 6., 1., 2.],
+                    [3., 3., 5., 4., 4., 5., 4., 4.],
+                    [5., 5., -1., 2., -99., 2., 3., 1.],
+                    [-99., 2., 3., -1., 2., 3., 2., 3.],
+                    [2., 3., 3., 3., 3., 3., 3., 3.],
+                    [4., 3., 3., 4., 4., 4., 4., 5.],
+                    [4., 4., 1., 3., 4., 5., 6., -99.]])
+    assert_array_equal(kernels.slope_in_aspect_vec(slope, aspect, 7), exp)
+    assert_array_equal(ref.get_slope_in_aspect(slope, aspect, 7), exp)

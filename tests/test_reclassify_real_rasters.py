@@ -1,0 +1,67 @@
+"""The reference's reclassify goldens on its REAL test rasters.
+
+Reference tests/test_reclassify.py cases 2 and 3 reclassify the published
+slope_in / aspect_in grids (84x68 real slope/aspect rasters, decoded from
+the AIG coverages without GDAL — tests/aig_reader.py) and compare against
+the published expect_r_2 / expect_r_3 grids. Here the ENGINE's vectorized
+reclassify runs the same remaps and is asserted against the expected
+coverages pixel-for-pixel: literal pixels exactly, nodata placement
+structurally (the 0xD7 nodata marker is not context-free — see
+aig_reader.walk_d7_tiles)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from balrog_spark import kernels, reference_impl as ri
+
+from tests.aig_reader import read_aig, walk_d7_tiles
+
+_TD = "/root/reference/tests/test_data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_TD), reason="reference test_data not present")
+
+# remaps exactly as published (reference tests/test_reclassify.py:73-100)
+SLOPE_REMAP = ("0 0 1;0.0001 5 2;5.0001 10 3;10.0001 15 4;"
+               "15.0001 20 5;20.0001 20 6")
+ASPECT_REMAP = ("-1 0 9;0 22.5 1;22.5 67.5 2;67.5 112.5 3;"
+                "112.5 157.5 4;157.5 202.5 5;202.5 247.5 6;"
+                "247.5 292.5 7;292.5 337.5 8;337.5 360 1")
+
+
+def test_slope_reclassify_matches_published_grid():
+    slope_in = read_aig(f"{_TD}/input/slope_in")
+    assert slope_in.shape == (68, 84)
+    got = kernels.reclassify_vec(slope_in, SLOPE_REMAP)
+    # engine kernel == loop-level reference restatement
+    np.testing.assert_array_equal(
+        got, ri.reclassify_array(slope_in, SLOPE_REMAP))
+    stats = walk_d7_tiles(f"{_TD}/reference/expect_r_2", got)
+    assert stats["tiles"] == 5
+    assert stats["literal_px"] + stats["nodata_px"] >= 68 * 84
+    assert stats["literal_px"] > 2000  # real data pixels compared
+
+
+def test_aspect_reclassify_matches_published_grid():
+    aspect_in = read_aig(f"{_TD}/input/aspect_in")
+    assert aspect_in.shape == (68, 84)
+    got = kernels.reclassify_vec(aspect_in, ASPECT_REMAP)
+    np.testing.assert_array_equal(
+        got, ri.reclassify_array(aspect_in, ASPECT_REMAP))
+    stats = walk_d7_tiles(f"{_TD}/reference/expect_r_3", got)
+    assert stats["tiles"] == 5
+    assert stats["literal_px"] > 2000
+
+
+def test_scenario_inputs_match_embedded_rle():
+    """The run-length rows embedded in test_scenario_strip.py are exactly
+    the reference's veg/slope/aspect_samp coverages."""
+    from tests import test_scenario_strip as sc
+    veg = read_aig(f"{_TD}/input/veg_samp")
+    slope = read_aig(f"{_TD}/input/slope_samp")
+    asp = read_aig(f"{_TD}/input/aspect_samp")
+    np.testing.assert_array_equal(sc._expand(sc.VEG), veg)
+    np.testing.assert_array_equal(sc._expand(sc.SLOPE), slope)
+    np.testing.assert_array_equal(sc._expand(sc.ASPECT), asp)
