@@ -205,3 +205,30 @@ def test_pyramid_levels_block_means(spark):
     exp = np.where(cnt > 0, s / np.maximum(cnt, 1), -99.0)
     assert np.allclose(np.where(exp == -99.0, -99.0, exp), l1,
                        atol=1e-4)
+
+
+def test_extent_mask_matches_reference_expected_shapefile(spark):
+    """The explicit-extent branch reproduces the reference's published
+    expect_mask.shp polygon (its test_find_aoi 4th case / test_get_extent
+    _mask: extent '343000 5850000 347000 5852000' -> box mask). The
+    published shapefile carries arcpy's ~1.2e-4 snap offset; corners
+    must agree within that tolerance."""
+    import os
+    import pandas as pd
+    from balrog_spark import geometry, raster as raster_mod, shapefile
+    shp = "/root/reference/tests/test_data/reference/expect_mask.shp"
+    if not os.path.exists(shp):
+        import pytest as _pytest
+        _pytest.skip("reference test_data not present")
+    tiles = spark.createDataFrame(pd.DataFrame([
+        {"layer": "dem", "tile_x": 0, "tile_y": 0, "x0": 0.0, "y0": 0.0,
+         "pixel_m": 25.0, "nrows": 64, "ncols": 64}]))
+    got = raster_mod.find_aoi_mask(
+        tiles, "343000 5850000 347000 5852000").toPandas().iloc[0]
+    exp = shapefile.read_shp_records(shp)
+    ring = geometry.parse_wkt_polys(exp[0][2])[0][0]
+    xmin, ymin, xmax, ymax = geometry.bbox(ring)
+    assert abs(got.xmin - xmin) < 1e-3
+    assert abs(got.ymin - ymin) < 1e-3
+    assert abs(got.xmax - xmax) < 1e-3
+    assert abs(got.ymax - ymax) < 1e-3
