@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pyspark.sql import functions as F
 
-    from balrog_spark import corpus, pipeline
+    from balrog_spark import corpus
     from balrog_spark.driver_queries import boxes_with_wkt, derived_points
 
     sf_dir = "/root/testdata/sf0.001"

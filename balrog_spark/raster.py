@@ -34,7 +34,6 @@ from pyspark.sql.types import FloatType, StructField, StructType
 from . import kernels
 from .constants import ASPECT_REMAP, NODATA, slope_remap
 from .corpus import VEG_REMAP
-from .schema import BAL_TILES, TILES
 
 # default halo: scan width 4 (ceil(100/25)) + 1 gradient px + 8 px worst-case
 # nodata run in the synthetic corpus

@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # MinHash permutation family: h_i = (A[i] * h + B[i]) mod P over the
 # polynomial shingle hash h; P = 2^31 - 1 keeps every product < 2^62 so

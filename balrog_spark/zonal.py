@@ -29,7 +29,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, StringType,
                                StructField, StructType)
 
 from . import kernels
-from .corpus import PIXEL_M, TILE_M, TILE_N
+from .corpus import TILE_M
 
 ZONAL_OUT = StructType([
     StructField("addr_id", StringType(), False),

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from balrog_spark import (corpus, docparse, geometry, joins, kernels,
-                          pipeline, raster, zonal)
+                          pipeline, zonal)
 
 NX, NY = 2, 2
 
