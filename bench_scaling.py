@@ -30,7 +30,7 @@ import subprocess
 import sys
 
 LEVELS = (2, 8, 32)
-TILE_LEVELS = (1, 4)   # tile-only pair below the DRAM-bandwidth knee
+KNEE_LEVELS = (1, 4)   # N=1 vs 4N=4: below the DRAM-bandwidth knee
 REPS = 3
 
 WORKER = """
@@ -134,11 +134,11 @@ def run_level(cpus: int, jobs: str = "tile_bal,address_bal") -> dict:
 
 def main():
     results = {c: run_level(c) for c in LEVELS}
-    # tile-only extra pair BELOW the DRAM-bandwidth knee (~6 streaming
-    # cores on this box): N=1 vs 4N=4 — the raster job is memory-bound, so
-    # 2->8 straddles the knee and under-measures engine scaling
-    for c in TILE_LEVELS:
-        results[c] = run_level(c, jobs="tile_bal")
+    # extra pair BELOW the DRAM-bandwidth knee (~6 streaming cores on
+    # this box): N=1 vs 4N=4 — both jobs stream numpy, so 2->8 straddles
+    # the knee and under-measures engine scaling
+    for c in KNEE_LEVELS:
+        results[c] = run_level(c)
     report = {"levels": results, "pairs": {}}
     for lo_c, hi_c in ((1, 4), (2, 8), (8, 32)):
         pair = {}
@@ -186,8 +186,8 @@ def _markdown(results, report):
         "",
         "| pair | tile_bal efficiency | address_bal efficiency |",
         "|---|---|---|",
-        f"| **N=1 -> 4N=4 (tile, below the bandwidth knee)** | "
-        f"**{p14['tile_bal']}** | — |",
+        f"| **N=1 -> 4N=4 (below the bandwidth knee)** | "
+        f"**{p14['tile_bal']}** | **{p14.get('address_bal', '—')}** |",
         f"| **N=2 -> 4N=8** | **{p28['tile_bal']}** | "
         f"**{p28['address_bal']}** |",
         f"| 8 -> 32 (supplemental) | {p832['tile_bal']} | "
