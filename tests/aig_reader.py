@@ -112,6 +112,34 @@ def _decode_tile(dat, byte_off, size_words, celltype, txs, tys):
             vals.extend([val] * cnt)
             q += 5
         put(np.array(vals, dtype=np.float64))
+    elif ttype == 0xD7:
+        # 8-bit literal runs / nodata runs: marker < 0x80 -> marker
+        # literal bytes (+min) follow; marker >= 0x80 -> (256 - marker)
+        # NODATA pixels (rows padded to the full tile width)
+        vals = []
+        while q < end and len(vals) < txs * tys:
+            m = dat[q]
+            q += 1
+            if m < 0x80:
+                vals.extend(int(dat[q + i]) + minval for i in range(m))
+                q += m
+            else:
+                vals.extend([_INT_NODATA] * (256 - m))
+        put(np.array(vals[:txs * tys], dtype=np.float64))
+    elif ttype == 0xCF:
+        # 16-bit literal runs / nodata runs (same marker scheme)
+        vals = []
+        while q < end and len(vals) < txs * tys:
+            m = dat[q]
+            q += 1
+            if m < 0x80:
+                for i in range(m):
+                    vals.append(int.from_bytes(
+                        dat[q + 2 * i:q + 2 * i + 2], "big") + minval)
+                q += 2 * m
+            else:
+                vals.extend([_INT_NODATA] * (256 - m))
+        put(np.array(vals[:txs * tys], dtype=np.float64))
     elif ttype in (0xF8, 0xFC):  # RLE 8-bit: (count u8, value u8) + min
         vals = []
         while q + 2 <= end and len(vals) < txs * tys:
@@ -131,94 +159,3 @@ def _decode_tile(dat, byte_off, size_words, celltype, txs, tys):
         raise NotImplementedError(f"AIG tile type 0x{ttype:02X}")
     flat[flat == _INT_NODATA] = NODATA_OUT
     return flat.reshape(tys, txs)
-
-
-def walk_d7_tiles(cov_dir: str, expected: np.ndarray,
-                  tile_xs: int = 256, tile_ys: int = 16,
-                  tiles_per_row: int = 8) -> dict:
-    """Structural comparator for 0xD7 ("literal runs / nodata runs") and
-    0xE0 (RLE-32) integer tiles against an ``expected`` array.
-
-    The 0xD7 nodata-run marker pair is not context-free (its second byte
-    correlates with the in-row position), so instead of decoding blind we
-    WALK the stream: every literal pixel must equal ``expected`` at the
-    running position, and every nodata marker must land exactly where
-    ``expected`` has a -99 run (which the walk then consumes). Returns
-    counters; raises AssertionError on any pixel mismatch.
-    """
-    idx = _read(os.path.join(cov_dir, "w001001x.adf"))
-    dat = _read(os.path.join(cov_dir, "w001001.adf"))
-    n_tiles = (len(idx) - 100) // 8
-    nrows, ncols = expected.shape
-    stats = {"literal_px": 0, "nodata_px": 0, "tiles": 0}
-    for ti in range(n_tiles):
-        off, size = struct.unpack(">ii", idx[100 + 8 * ti:108 + 8 * ti])
-        if size <= 0:
-            continue
-        trow, tcol = divmod(ti, tiles_per_row)
-        r0, c0 = trow * tile_ys, tcol * tile_xs
-        if r0 >= nrows or c0 >= ncols:
-            continue
-        crop = expected[r0:min(r0 + tile_ys, nrows),
-                        c0:min(c0 + tile_xs, ncols)]
-        p = off * 2 + 2
-        ttype = dat[p]
-        if ttype == 0xE0:
-            # RLE-32 streams cover the PADDED tile (rows tile_xs wide,
-            # nodata beyond the grid); 0xD7 streams cover only real pixels
-            padded = np.full((tile_ys, tile_xs), NODATA_OUT)
-            padded[:crop.shape[0], :crop.shape[1]] = crop
-            flat = padded.ravel()
-        else:
-            flat = crop.ravel()
-        ms = dat[p + 1]
-        mn = int.from_bytes(dat[p + 2:p + 2 + ms], "big", signed=True)
-        q = p + 2 + ms
-        end = off * 2 + 2 + size * 2
-        pos = 0
-        if ttype == 0xE0:
-            while q + 5 <= end and pos < len(flat):
-                cnt = dat[q]
-                v = int.from_bytes(dat[q + 1:q + 5], "big", signed=False)
-                val = (v + (mn & 0xFFFFFFFF)) & 0xFFFFFFFF
-                if val >= 1 << 31:
-                    val -= 1 << 32
-                if val == _INT_NODATA:
-                    val = NODATA_OUT
-                seg = flat[pos:pos + cnt]
-                assert (seg == val).all(), \
-                    f"tile {ti} RLE32 mismatch at {pos}: {val} vs {seg}"
-                stats["nodata_px" if val == NODATA_OUT
-                      else "literal_px"] += len(seg)
-                pos += cnt
-                q += 5
-        elif ttype == 0xD7:
-            while q < end and pos < len(flat):
-                m = dat[q]
-                if m < 0x80:
-                    q += 1
-                    vals = np.frombuffer(dat, dtype=np.uint8, count=m,
-                                         offset=q).astype(np.int64) + mn
-                    seg = flat[pos:pos + m]
-                    assert (vals[:len(seg)] == seg).all(), \
-                        f"tile {ti} literal mismatch at {pos}"
-                    stats["literal_px"] += len(seg)
-                    pos += m
-                    q += m
-                else:
-                    # nodata marker pair: consume expected's -99 run
-                    run = 0
-                    while pos + run < len(flat) and flat[pos + run] == \
-                            NODATA_OUT:
-                        run += 1
-                    assert run > 0, \
-                        f"tile {ti}: nodata marker where expected has " \
-                        f"data at {pos}"
-                    stats["nodata_px"] += run
-                    pos += run
-                    q += 2
-        else:
-            raise NotImplementedError(f"tile type 0x{ttype:02X}")
-        assert pos == len(flat), f"tile {ti}: covered {pos}/{len(flat)}"
-        stats["tiles"] += 1
-    return stats

@@ -6,8 +6,8 @@ the AIG coverages without GDAL — tests/aig_reader.py) and compare against
 the published expect_r_2 / expect_r_3 grids. Here the ENGINE's vectorized
 reclassify runs the same remaps and is asserted against the expected
 coverages pixel-for-pixel: literal pixels exactly, nodata placement
-structurally (the 0xD7 nodata marker is not context-free — see
-aig_reader.walk_d7_tiles)."""
+EXACTLY (full array equality — the AIG reader decodes the 0xD7
+literal/nodata-run tiles natively)."""
 
 import os
 
@@ -16,7 +16,7 @@ import pytest
 
 from balrog_spark import kernels, reference_impl as ri
 
-from tests.aig_reader import read_aig, walk_d7_tiles
+from tests.aig_reader import read_aig
 
 _TD = "/root/reference/tests/test_data"
 
@@ -38,10 +38,8 @@ def test_slope_reclassify_matches_published_grid():
     # engine kernel == loop-level reference restatement
     np.testing.assert_array_equal(
         got, ri.reclassify_array(slope_in, SLOPE_REMAP))
-    stats = walk_d7_tiles(f"{_TD}/reference/expect_r_2", got)
-    assert stats["tiles"] == 5
-    assert stats["literal_px"] + stats["nodata_px"] >= 68 * 84
-    assert stats["literal_px"] > 2000  # real data pixels compared
+    np.testing.assert_array_equal(
+        got, read_aig(f"{_TD}/reference/expect_r_2"))
 
 
 def test_aspect_reclassify_matches_published_grid():
@@ -50,9 +48,8 @@ def test_aspect_reclassify_matches_published_grid():
     got = kernels.reclassify_vec(aspect_in, ASPECT_REMAP)
     np.testing.assert_array_equal(
         got, ri.reclassify_array(aspect_in, ASPECT_REMAP))
-    stats = walk_d7_tiles(f"{_TD}/reference/expect_r_3", got)
-    assert stats["tiles"] == 5
-    assert stats["literal_px"] > 2000
+    np.testing.assert_array_equal(
+        got, read_aig(f"{_TD}/reference/expect_r_3"))
 
 
 def test_scenario_inputs_match_embedded_rle():
