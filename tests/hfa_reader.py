@@ -34,6 +34,79 @@ def _entries(data, off, out):
         off = nxt
 
 
+def read_mapinfo(path: str):
+    """(upperLeftCenterX, upperLeftCenterY, pixel_size) from the layer's
+    Eprj_MapInfo node."""
+    with open(path, "rb") as f:
+        data = f.read()
+    hdr_ptr = struct.unpack("<I", data[16:20])[0]
+    _v, _fl, root_ptr = struct.unpack("<III", data[hdr_ptr:hdr_ptr + 12])
+    nodes = []
+    _entries(data, root_ptr, nodes)
+    _n, _t, dp, ds = next(n for n in nodes if n[1] == "Eprj_MapInfo")
+    raw = data[dp:dp + ds]
+    ulx, uly = struct.unpack("<2d", raw[45:61])
+    px = struct.unpack("<d", raw[93:101])[0]
+    return ulx, uly, px
+
+
+def _uncompress_rlc(data, off, npix, dt):
+    """HFA run-length compression (ESRI RLC, as documented by GDAL's
+    UncompressBlock): header (min u32, numRuns u32, dataOffset u32,
+    numBits u8), variable-width repeat counts (top 2 bits of the first
+    byte select 6/14/22/30-bit counts), then bit-packed value deltas;
+    float32 blocks compress the raw IEEE bit patterns."""
+    dmin, nruns, doff = struct.unpack("<III", data[off:off + 12])
+    nbits = data[off + 12]
+    # repeat counts
+    counts = np.empty(nruns, dtype=np.int64)
+    p = off + 13
+    for i in range(nruns):
+        b0 = data[p]
+        sz = b0 >> 6
+        v = b0 & 0x3F
+        for j in range(sz):
+            v = (v << 8) | data[p + 1 + j]
+        counts[i] = v
+        p += 1 + sz
+    # bit-packed values
+    vp = off + doff
+    vals = np.empty(nruns, dtype=np.uint64)
+    if nbits == 0:
+        vals[:] = 0
+    elif nbits in (1, 2, 4):
+        per = 8 // nbits
+        mask = (1 << nbits) - 1
+        for i in range(nruns):
+            byte = data[vp + i // per]
+            shift = (i % per) * nbits
+            vals[i] = (byte >> shift) & mask
+    elif nbits == 8:
+        vals[:] = np.frombuffer(data, np.uint8, nruns, vp)
+    elif nbits == 16:
+        vals[:] = np.frombuffer(data, "<u2", nruns, vp)
+    elif nbits == 32:
+        vals[:] = np.frombuffer(data, "<u4", nruns, vp)
+    else:
+        raise NotImplementedError(f"RLC numBits {nbits}")
+    raw = (vals + dmin).astype(np.uint32)
+    if dt == np.dtype("<f4"):
+        pix = raw.view(np.float32).astype(np.float64)
+    elif dt == np.dtype("<f8"):
+        raise NotImplementedError("compressed f64")
+    else:
+        # integer rasters: min+delta wraps at the pixel width and is then
+        # reinterpreted signed/unsigned per the band type (an s8 band's
+        # 7 + 121 is -128, its declared-nodata pattern)
+        nbytes = dt.itemsize
+        wrapped = (raw & ((1 << (8 * nbytes)) - 1)).astype(
+            np.dtype(f"<u{nbytes}")).view(dt)
+        pix = wrapped.astype(np.float64)
+    out = np.repeat(pix, counts)
+    assert len(out) >= npix, f"RLC underflow {len(out)} < {npix}"
+    return out[:npix]
+
+
 def read_img(path: str, layer_index: int = 0):
     """Decode one raster layer of an HFA .img -> (rows, cols) float64."""
     with open(path, "rb") as f:
@@ -74,10 +147,15 @@ def read_img(path: str, layer_index: int = 0):
     for bi, (off, size, logvalid, comp) in enumerate(blocks):
         if not logvalid:
             continue
-        if comp != 0:
-            raise NotImplementedError("compressed HFA blocks")
-        arr = np.frombuffer(data, dtype=dt, count=bw * bh,
-                            offset=off).reshape(bh, bw).astype(np.float64)
+        if comp == 0:
+            arr = np.frombuffer(data, dtype=dt, count=bw * bh,
+                                offset=off).reshape(bh, bw) \
+                .astype(np.float64)
+        elif comp == 1:
+            arr = _uncompress_rlc(data, off, bw * bh, dt) \
+                .reshape(bh, bw).astype(np.float64)
+        else:
+            raise NotImplementedError(f"HFA compression {comp}")
         br, bc = divmod(bi, nbx)
         r0, c0 = br * bh, bc * bw
         rr, cc = min(bh, h - r0), min(bw, w - c0)

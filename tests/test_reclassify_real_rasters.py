@@ -62,3 +62,26 @@ def test_scenario_inputs_match_embedded_rle():
     np.testing.assert_array_equal(sc._expand(sc.VEG), veg)
     np.testing.assert_array_equal(sc._expand(sc.SLOPE), slope)
     np.testing.assert_array_equal(sc._expand(sc.ASPECT), asp)
+
+
+# the reference's reclassify case 1: real 132x166 vegetation raster
+# (vege.img, declared nodata 0) with the published 38-range veg remap
+VEG_REMAP_1 = ("1 3;2 2;3 3;4 5 7;6 8 1;9 2;10 3;11 12 1;13 1;14 3;"
+               "15 6;16 7;17 3;18 19 2;20 7;21 3;22 2; 23 24 7;25 27 5;"
+               "28 2;29 30 7;31 3;32 33 1;34 7;35 3;36 37 7;38 4;39 7;"
+               "40 1;41 2;42 7;43 2;44 7;45 4;46 7;47 NODATA;97 2;"
+               "98 99 1")
+
+
+def test_veg_reclassify_matches_published_grid():
+    from tests.hfa_reader import read_img
+    veg = read_img(f"{_TD}/input/vege.img")
+    # vege.img declares 0 as its nodata value (RasterToNumPyArray maps
+    # declared nodata to -99 before the remap runs)
+    veg = np.where((veg < -1e30) | (veg == 0.0), -99.0, veg)
+    assert veg.shape == (132, 166)
+    got = kernels.reclassify_vec(veg, VEG_REMAP_1)
+    np.testing.assert_array_equal(
+        got, ri.reclassify_array(veg, VEG_REMAP_1))
+    np.testing.assert_array_equal(
+        got, read_aig(f"{_TD}/reference/expect_r_1"))
