@@ -278,6 +278,9 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     spark = points.sparkSession
     cover = polygon_cover(polys, cell_m).cache()
     cover_b = _maybe_broadcast(cover, broadcast_cover)
+    # one count of the probe side up front (pre-shuffle plan) replaces a
+    # full anti-join isEmpty scan of it per ring round below
+    n_pts = points.count()
     pts = _spread(with_cell(points, cell_m)
                   .select("addr_id", "x", "y", "cell_id"))
 
@@ -331,6 +334,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     resolved_parts = []
     unresolved = pts
     best_so_far = None  # best candidate per addr so far (may not be final)
+    n_resolved = 0
     prev = -1
     for r in rounds:
         offs = [(dx, dy) for dx in range(-r, r + 1)
@@ -359,13 +363,23 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         done = best.filter(F.col("distance_m") <= F.lit(bound))
         pending = best.filter(F.col("distance_m") > F.lit(bound))
         resolved_parts.append(done)
-        # anti-join: drop resolved points from the frontier
-        unresolved = unresolved.join(done.select("addr_id"), "addr_id",
-                                     "left_anti").localCheckpoint(eager=True)
+        # loop-termination accounting reads the (tiny, per-addr) checkpointed
+        # `best`, NOT the probe side: on a 14M-address run the old
+        # unresolved.isEmpty() re-scanned + anti-joined the full probe set
+        # every round (plus a second localCheckpoint barrier); counting the
+        # newly-resolved rows against the upfront probe count costs one
+        # cheap filter-job over the checkpoint instead. Assumes addr_id is
+        # unique on the probe side (already required by the per-addr argmin).
+        n_resolved += done.count()
         prev = r
-        if unresolved.isEmpty():
+        if n_resolved >= n_pts:
             best_so_far = None
             break
+        # anti-join: drop resolved points from the frontier. `done` is
+        # checkpointed, so the frontier plan stays O(#rounds) deep without
+        # materializing its own checkpoint barrier per round.
+        unresolved = unresolved.join(done.select("addr_id"), "addr_id",
+                                     "left_anti")
         best_so_far = pending
     if best_so_far is not None:
         # ring budget exhausted: finish the stragglers exactly with a
