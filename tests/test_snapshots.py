@@ -1,0 +1,153 @@
+"""Iceberg-pattern snapshot log: time travel, rollback, schema evolution,
+atomic commits, expiry, and the lineage-into-snapshots resume contract."""
+
+import os
+
+import pytest
+
+from balrog_spark import snapshots as S
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, vals, cols=("k", "v")):
+    return spark.createDataFrame([tuple(v) for v in vals], list(cols))
+
+
+def test_append_time_travel_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = S.commit_append(_mk(spark, [(1, 10), (2, 20)]), t, stage="load",
+                         metrics={"rows": 2})
+    s2 = S.commit_append(_mk(spark, [(3, 30)]), t, stage="load")
+    s3 = S.commit_append(_mk(spark, [(4, 40)]), t, stage="load")
+    assert (s1, s2, s3) == (1, 2, 3)
+    assert S.current_snapshot_id(t) == 3
+    # latest == union of all appends
+    assert _rows(S.read_table(spark, t)) == [(1, 10), (2, 20), (3, 30),
+                                             (4, 40)]
+    # VERSION AS OF: each snapshot reads exactly its prefix
+    assert _rows(S.read_table(spark, t, as_of=1)) == [(1, 10), (2, 20)]
+    assert _rows(S.read_table(spark, t, as_of=2)) == [(1, 10), (2, 20),
+                                                      (3, 30)]
+    h = S.history(t)
+    assert [r["snapshot_id"] for r in h] == [1, 2, 3]
+    assert [r["parent_id"] for r in h] == [None, 1, 2]
+    assert h[0]["metrics"] == {"rows": 2}
+    assert all(r["operation"] == "append" for r in h)
+
+
+def test_overwrite_and_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.commit_append(_mk(spark, [(1, 10)]), t)
+    S.commit_append(_mk(spark, [(2, 20)]), t)
+    S.commit_overwrite(_mk(spark, [(9, 90)]), t)
+    assert _rows(S.read_table(spark, t)) == [(9, 90)]
+    # old versions still readable (nothing deleted)
+    assert _rows(S.read_table(spark, t, as_of=2)) == [(1, 10), (2, 20)]
+    # rollback = NEW snapshot exposing the old file set
+    s4 = S.rollback(t, 2)
+    assert s4 == 4
+    assert _rows(S.read_table(spark, t)) == [(1, 10), (2, 20)]
+    assert S.history(t)[-1]["operation"] == "rollback"
+    # the overwrite snapshot remains addressable after the rollback
+    assert _rows(S.read_table(spark, t, as_of=3)) == [(9, 90)]
+
+
+def test_schema_evolution_on_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.commit_append(_mk(spark, [(1, 10)]), t)
+    S.commit_append(_mk(spark, [(2, 20, "x")], cols=("k", "v", "tag")), t)
+    got = S.read_table(spark, t)
+    assert sorted(got.columns) == ["k", "tag", "v"]
+    assert _rows(got.select("k", "v", "tag")) == [(1, 10, None),
+                                                  (2, 20, "x")]
+    # time travel to before the evolution sees the old schema
+    assert S.read_table(spark, t, as_of=1).columns == ["k", "v"]
+
+
+def test_crash_window_is_invisible_and_commit_conflicts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.commit_append(_mk(spark, [(1, 10)]), t)
+    # simulate a crash AFTER the data write, BEFORE the version publish:
+    # the orphan dir must not change any read
+    S._write_data(_mk(spark, [(666, 666)]), t, "snap-00002")
+    assert _rows(S.read_table(spark, t)) == [(1, 10)]
+    # retrying the append reuses/overwrites the orphan dir and publishes
+    S.commit_append(_mk(spark, [(2, 20)]), t)
+    assert _rows(S.read_table(spark, t)) == [(1, 10), (2, 20)]
+    # optimistic concurrency: two writers race to version 3 — the second
+    # publish (working from a stale current-snapshot read) must fail with
+    # CommitConflict, never silently overwrite the winner
+    with open(S._version_path(t, 3), "w") as f:
+        f.write("{}")
+    stale = lambda _table: 2  # noqa: E731 — reader that missed version 3
+    orig = S.current_snapshot_id
+    S.current_snapshot_id = stale
+    try:
+        with pytest.raises(S.CommitConflict):
+            S._publish(t, {"operation": "append", "data_dirs": [],
+                           "schema": {}, "metrics": {}, "stage": ""})
+    finally:
+        S.current_snapshot_id = orig
+
+
+def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.commit_append(_mk(spark, [(1, 10)]), t)
+    S.commit_overwrite(_mk(spark, [(2, 20)]), t)
+    S.commit_append(_mk(spark, [(3, 30)]), t)
+    assert S.expire_snapshots(t, keep_last=2) == [1]
+    # snapshot 1's dir is referenced by nothing retained -> deleted
+    assert not os.path.isdir(os.path.join(t, "data", "snap-00001"))
+    # retained versions still read exactly
+    assert _rows(S.read_table(spark, t)) == [(2, 20), (3, 30)]
+    assert _rows(S.read_table(spark, t, as_of=2)) == [(2, 20)]
+    with pytest.raises(KeyError):
+        S.read_table(spark, t, as_of=1)
+
+
+def test_lineage_into_snapshots_resumes_mid_run(spark, tmp_path):
+    """North-rule sentence end-to-end: per-partition lineage + metrics in
+    snapshots, resumable mid-run, union == single uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 17).alias("v"))
+
+    def compute(part):
+        return part.groupBy("v").agg(F.count("*").alias("n"),
+                                     F.sum("k").alias("sk"))
+
+    # uninterrupted run -> the expected final table
+    t_full = str(tmp_path / "full")
+    S.run_partitioned_snapshots(spark, src, ["k"], compute, t_full,
+                                n_buckets=6, stage="agg")
+    expect = _rows(S.read_table(spark, t_full))
+
+    # killed after 2 buckets, then resumed
+    t = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        S.run_partitioned_snapshots(spark, src, ["k"], compute, t,
+                                    n_buckets=6, stage="agg", fail_after=2)
+    assert len(S.history(t)) == 2
+    snap = S.run_partitioned_snapshots(spark, src, ["k"], compute, t,
+                                       n_buckets=6, stage="agg")
+    assert _rows(S.read_table(spark, t)) == expect
+    h = S.history(t)
+    # one snapshot per bucket, each carrying the lineage metrics
+    assert len(h) == 6 and snap == 6
+    assert sorted(r["metrics"]["bucket"] for r in h) == list(range(6))
+    assert all(r["metrics"]["rows_out"] >= 0 and "checksum" in r["metrics"]
+               and r["metrics"]["wall_ms"] >= 0 for r in h)
+    # resume re-ran exactly the missing buckets
+    done_first = {h[0]["metrics"]["bucket"], h[1]["metrics"]["bucket"]}
+    assert {r["metrics"]["bucket"] for r in h[2:]} == set(range(6)) - \
+        done_first
+    # time travel into the middle of the run: visible rows grow monotonically
+    n_prev = 0
+    for i in range(1, 7):
+        n = S.read_table(spark, t, as_of=i).count()
+        assert n >= n_prev
+        n_prev = n
