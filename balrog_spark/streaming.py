@@ -18,6 +18,9 @@ coverage adds no second implementation to keep correct.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
 
 from . import docparse
 from .schema import DOCUMENTS
@@ -92,3 +95,79 @@ def streaming_address_counts(spark: SparkSession, drop_dir: str):
     docs = read_document_stream(spark, drop_dir)
     addrs = docparse.addresses_from_documents(docs)
     return addrs.groupBy("fdi").count()
+
+
+# ---------------------------------------------------------------------------
+# event-time processing: a nightly/quarterly drop carries a release
+# timestamp per document; TIMED_DOCUMENTS is DOCUMENTS + that event time
+TIMED_DOCUMENTS = StructType(
+    list(DOCUMENTS.fields) + [StructField("event_ts", TimestampType(),
+                                          False)])
+
+
+def read_timed_document_stream(spark: SparkSession, drop_dir: str,
+                               max_files_per_trigger: int = 1) -> DataFrame:
+    return (spark.readStream
+            .schema(TIMED_DOCUMENTS)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(drop_dir))
+
+
+def windowed_span_counts(docs: DataFrame, window: str = "10 minutes",
+                         watermark: str = "15 minutes") -> DataFrame:
+    """Tumbling event-time window of span counts per kind with a watermark.
+    In append output mode a window emits exactly once, when the watermark
+    (max seen event time minus ``watermark``) passes its end; its state is
+    then evicted, so the operator runs indefinitely in bounded memory. A
+    late row whose window has been finalized is guaranteed dropped — it can
+    never re-open or duplicate an emitted window; a late-but-not-yet-
+    finalized row may still merge (Spark's documented best-effort bound)."""
+    return (docs
+            .withWatermark("event_ts", watermark)
+            .select("event_ts", F.explode("spans").alias("s"))
+            .groupBy(F.window("event_ts", window).alias("w"),
+                     F.col("s.kind").alias("kind"))
+            .agg(F.count("*").alias("n_spans"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"), "kind", "n_spans"))
+
+
+_DEDUP_OUT = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("event_ts", TimestampType(), False),
+    StructField("n_spans", IntegerType(), False),
+])
+_DEDUP_STATE = StructType([
+    StructField("seen", ArrayType(LongType()), True),
+])
+
+
+def dedup_stream(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Cross-micro-batch streaming EXACT dedup — the training-data-pipeline
+    dedup operator in its streaming form, as an applyInPandasWithState
+    custom stateful operator: each shard (pmod(xxhash64(doc_id), n_shards))
+    keeps the set of doc-id hashes it has ever emitted in the state store
+    and emits only first occurrences, within and across batches. Sharding
+    distributes state across executors exactly like the batch dedup's hash
+    aggregate distributes its groups; a 64-bit hash stands in for the id
+    (collision odds are the same birthday bound the batch MinHash pipeline
+    already accepts)."""
+
+    def emit_new(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            first = pdf[~pdf.doc_h.duplicated()]
+            new = first[~first.doc_h.isin(seen)]
+            if len(new):
+                seen.update(int(h) for h in new.doc_h)
+                yield new[["doc_id", "event_ts", "n_spans"]]
+        state.update((sorted(seen),))
+
+    keyed = docs.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("shard"),
+        F.xxhash64("doc_id").alias("doc_h"),
+        "doc_id", "event_ts",
+        F.size("spans").cast("int").alias("n_spans"))
+    return keyed.groupBy("shard").applyInPandasWithState(
+        emit_new, _DEDUP_OUT, _DEDUP_STATE, "append",
+        GroupStateTimeout.NoTimeout)
