@@ -335,8 +335,16 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     unresolved = pts
     best_so_far = None  # best candidate per addr so far (may not be final)
     n_resolved = 0
+    n_par = spark.sparkContext.defaultParallelism
     prev = -1
     for r in rounds:
+        if best_so_far is not None:
+            # later-round frontiers sit behind an anti-join whose tiny
+            # shuffle AQE coalesces to ONE partition; without a re-spread
+            # the annulus explode (hundreds of offsets per point) and its
+            # refine UDF would run as a single task (measured 6x on the
+            # whole join at sf0.1)
+            unresolved = unresolved.repartition(n_par)
         offs = [(dx, dy) for dx in range(-r, r + 1)
                 for dy in range(-r, r + 1)
                 if prev < max(abs(dx), abs(dy)) <= r]
@@ -387,7 +395,8 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         # unresolved set is tiny, so the product is bounded
         polys = cover.select("veg_id", "bal_number", "wkt").distinct() \
             .withColumn("probe_cell", F.lit(0))
-        far = unresolved.withColumn("probe_cell", F.lit(0)) \
+        far = unresolved.repartition(n_par) \
+            .withColumn("probe_cell", F.lit(0)) \
             .join(F.broadcast(polys), "probe_cell")
         scored = best_candidates(far).unionByName(best_so_far)
         resolved_parts.append(_argmin_per_addr(scored, out_schema))

@@ -45,6 +45,12 @@ def main():
     # first
     spark.read.parquet(f"{sf_dir}/region.parquet") \
         .write.format("noop").mode("overwrite").save()
+    # spin up the Arrow python workers too (a long-lived cluster session
+    # amortizes daemon startup; without this the first UDF-bearing query
+    # below is billed ~2 s of worker fork instead of its own plan)
+    spark.range(64).repartition(int(cpus)).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long") \
+        .write.format("noop").mode("overwrite").save()
 
     t_all0 = time.time()
 
