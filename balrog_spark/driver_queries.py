@@ -1957,6 +1957,94 @@ def v10_dwithin_holes(spark, sf_dir):
                       .alias("distance_m"))
 
 
+@q("r14_polygonize", f"""
+WITH grid AS (
+  SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         ((event_id // {_GRID_W}) // 3 + (event_id % {_GRID_W}) // 4) % 3 + 1
+         AS v
+  FROM events),
+runs0 AS (
+  SELECT r, v, c,
+         c - ROW_NUMBER() OVER (PARTITION BY r, v ORDER BY c) AS isl
+  FROM grid),
+runs AS (
+  SELECT r, v, MIN(c) AS c0, MAX(c) AS c1
+  FROM runs0 GROUP BY r, v, isl),
+vert0 AS (
+  SELECT v, c0, c1, r,
+         r - ROW_NUMBER() OVER (PARTITION BY v, c0, c1 ORDER BY r) AS isl2
+  FROM runs)
+SELECT CAST(v AS BIGINT) AS class_val,
+       CAST(MIN(r) AS BIGINT) AS r0, CAST(c0 AS BIGINT) AS c0,
+       CAST(MAX(r) AS BIGINT) AS r1, CAST(c1 AS BIGINT) AS c1,
+       CAST((MAX(r) - MIN(r) + 1) * (c1 - c0 + 1) AS BIGINT) AS n_pixels
+FROM vert0 GROUP BY v, c0, c1, isl2""")
+def r14_polygonize(spark, sf_dir):
+    """Raster -> vector polygonization (the north star's vegetation-class
+    polygonize; the reference ingests pre-vectorized NVIS polygons via
+    ogr2ogr — data_prep/vegetation/xx_import_nvis_polygons.sh:22-29 — this
+    is that GDAL step Spark-first). Production two-stage plan: per-tile
+    vectorized run extraction (raster.polygonize_tiles, no shuffle) + run-
+    level gaps-and-islands rectangle coalescing (raster.polygonize_rects,
+    shuffles runs not pixels). The events grid is packed into 10x25-px
+    tiles so runs cross BOTH tile borders; the oracle runs the identical
+    two-pass algorithm on the global grid in SQL."""
+    from . import raster as raster_mod
+
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c")
+    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    TR, TC = 10, 25
+    n_ty = max(n_rows // TR, 1)
+    TR = n_rows // n_ty
+    px = 25.0
+
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, StringType, StructField,
+                                   StructType)
+    tile_schema = StructType([
+        StructField("media_ref", StringType(), False),
+        StructField("layer", StringType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("pixel_m", DoubleType(), False),
+        StructField("nrows", IntegerType(), False),
+        StructField("ncols", IntegerType(), False),
+        StructField("data", ArrayType(FloatType()), False)])
+
+    def pack(key, pdf: pd.DataFrame):
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros((TR, TC), dtype=np.float64)
+        lr = (pdf.r.values % TR).astype(int)
+        lc = (pdf.c.values % TC).astype(int)
+        arr[lr, lc] = (pdf.r.values // 3 + pdf.c.values // 4) % 3 + 1
+        return pd.DataFrame([{
+            "media_ref": f"veg/{tx}/{ty}", "layer": "veg",
+            "tile_x": tx, "tile_y": ty,
+            "x0": tx * TC * px, "y0": ty * TR * px, "pixel_m": px,
+            "nrows": TR, "ncols": TC,
+            "data": arr.astype(np.float32).ravel()}])
+
+    # tile_y counts from the SOUTH (larger ty = smaller grid row r)
+    tiles = ev.groupBy(
+        (F.col("c") / TC).cast("int").alias("_tx"),
+        (F.lit(n_ty - 1) - (F.col("r") / TR).cast("int")).alias("_ty")) \
+        .applyInPandas(pack, schema=tile_schema)
+
+    rects = raster_mod.polygonize_rects(raster_mod.polygonize_tiles(tiles))
+    # stage-1 rows count from the south; the oracle grid's r is top-down
+    return rects.select(
+        F.col("class_val").cast("long").alias("class_val"),
+        (F.lit(n_rows - 1) - F.col("grow1")).cast("long").alias("r0"),
+        F.col("gcol0").cast("long").alias("c0"),
+        (F.lit(n_rows - 1) - F.col("grow0")).cast("long").alias("r1"),
+        F.col("gcol1").cast("long").alias("c1"),
+        F.col("n_pixels").cast("long").alias("n_pixels"))
+
+
 def all_queries():
     return dict(QUERIES)
 

@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import FloatType, StructField, StructType
+from pyspark.sql.types import (DoubleType, FloatType, LongType, StructField,
+                               StructType)
 
 from . import kernels
 from .constants import ASPECT_REMAP, NODATA, slope_remap
@@ -643,3 +644,92 @@ def regrid_tiles(tiles: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return tiles.mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# raster -> vector polygonization (the north star's "vegetation-class
+# raster -> vector polygonization"; reference ingests pre-vectorized NVIS
+# shapefiles via ogr2ogr — data_prep/vegetation/xx_import_nvis_polygons.sh —
+# so this is the GDAL polygonize step of that prep expressed Spark-first)
+
+def polygonize_tiles(tiles: DataFrame) -> DataFrame:
+    """Stage 1 of polygonize: per-tile horizontal runs of constant class in
+    GLOBAL integer pixel indices. All pixel-volume work happens here,
+    vectorized per tile with no shuffle; output rows are RUNS (one per
+    maximal same-class row segment inside a tile), typically orders of
+    magnitude fewer than pixels.
+
+    Global indices need no global reference: gcol = x0/pixel_m + col,
+    grow counts from the SOUTH (grow = y0/pixel_m + (nrows-1 - local_row),
+    data row 0 being the northernmost), assuming tiles are aligned to the
+    pixel grid (they are: tile origins are integer multiples of the pixel
+    size). Class values are read as rounded int64 (classified rasters)."""
+    schema = StructType([
+        StructField("v", LongType(), False),
+        StructField("grow", LongType(), False),
+        StructField("gcol0", LongType(), False),
+        StructField("gcol1", LongType(), False),
+        StructField("pixel_m", DoubleType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"v": [], "grow": [], "gcol0": [], "gcol1": [],
+                   "pixel_m": []}
+            for r in pdf.itertuples():
+                n, m = int(r.nrows), int(r.ncols)
+                px = float(r.pixel_m)
+                vals = np.rint(np.asarray(r.data, dtype=np.float64)
+                               .reshape(n, m)).astype(np.int64)
+                # run starts: col 0 of each row, plus every value change
+                start = np.ones((n, m), dtype=bool)
+                start[:, 1:] = vals[:, 1:] != vals[:, :-1]
+                s = np.flatnonzero(start.ravel())
+                e = np.append(s[1:], n * m) - 1   # runs never span rows
+                x_off = int(round(float(r.x0) / px))
+                y_off = int(round(float(r.y0) / px))
+                out["v"].extend(vals.ravel()[s])
+                out["grow"].extend(y_off + (n - 1 - s // m))
+                out["gcol0"].extend(x_off + s % m)
+                out["gcol1"].extend(x_off + e % m)
+                out["pixel_m"].extend([px] * len(s))
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(gen, schema=schema)
+
+
+def polygonize_rects(runs: DataFrame) -> DataFrame:
+    """Stage 2: merge runs into maximal rectangles with two gaps-and-islands
+    window passes over RUN records — (1) stitch horizontally-adjacent runs
+    across tile borders (partition by row+class, order by column), (2)
+    coalesce vertically-adjacent identical runs (partition by class+column
+    extent, order by row). Shuffled bytes are proportional to runs, not
+    pixels, so the pass stays cheap at any raster volume; the result is a
+    deterministic exact rectilinear decomposition per class (the standard
+    maximal-run/vertical-stacking rule, same as the SQL oracle)."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("grow", "v").orderBy("gcol0")
+    brk1 = F.when(
+        F.col("gcol0") - F.lag("gcol1").over(w1) == 1, 0).otherwise(1)
+    hm = (runs
+          .withColumn("_isl", F.sum(brk1).over(
+              w1.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("v", "grow", "_isl")
+          .agg(F.min("gcol0").alias("gcol0"), F.max("gcol1").alias("gcol1"),
+               F.min("pixel_m").alias("pixel_m"))
+          .drop("_isl"))
+    w2 = Window.partitionBy("v", "gcol0", "gcol1").orderBy("grow")
+    brk2 = F.when(F.col("grow") - F.lag("grow").over(w2) == 1, 0).otherwise(1)
+    rects = (hm
+             .withColumn("_isl", F.sum(brk2).over(
+                 w2.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("v", "gcol0", "gcol1", "_isl")
+             .agg(F.min("grow").alias("grow0"), F.max("grow").alias("grow1"),
+                  F.min("pixel_m").alias("pixel_m")))
+    n_px = ((F.col("gcol1") - F.col("gcol0") + 1)
+            * (F.col("grow1") - F.col("grow0") + 1))
+    return rects.select(
+        F.col("v").alias("class_val"), "grow0", "grow1", "gcol0", "gcol1",
+        n_px.cast("long").alias("n_pixels"),
+        (n_px * F.col("pixel_m") * F.col("pixel_m")).alias("area_m2"))

@@ -1,0 +1,120 @@
+"""Raster -> vector polygonization: the two-stage plan (per-tile run
+extraction + run-level rectangle coalescing) against an independent global
+brute force, plus exact-cover properties and tile-split invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql.types import (ArrayType, DoubleType, FloatType, IntegerType,
+                               StringType, StructField, StructType)
+
+from balrog_spark import raster
+
+PX = 25.0
+
+TILE_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("layer", StringType(), False),
+    StructField("tile_x", IntegerType(), False),
+    StructField("tile_y", IntegerType(), False),
+    StructField("x0", DoubleType(), False),
+    StructField("y0", DoubleType(), False),
+    StructField("pixel_m", DoubleType(), False),
+    StructField("nrows", IntegerType(), False),
+    StructField("ncols", IntegerType(), False),
+    StructField("data", ArrayType(FloatType()), False)])
+
+
+def _tiles_from_grid(spark, grid, tr, tc):
+    """Split a global top-down grid into (tr x tc) tiles; tile_y counts from
+    the south, data row 0 is each tile's northernmost row."""
+    n, m = grid.shape
+    assert n % tr == 0 and m % tc == 0
+    n_ty, n_tx = n // tr, m // tc
+    rows = []
+    for gy in range(n_ty):          # gy = tile row from the NORTH
+        for tx in range(n_tx):
+            ty = n_ty - 1 - gy
+            sub = grid[gy * tr:(gy + 1) * tr, tx * tc:(tx + 1) * tc]
+            rows.append({
+                "media_ref": f"veg/{tx}/{ty}", "layer": "veg",
+                "tile_x": tx, "tile_y": ty,
+                "x0": tx * tc * PX, "y0": ty * tr * PX, "pixel_m": PX,
+                "nrows": tr, "ncols": tc,
+                "data": sub.astype(np.float32).ravel().tolist()})
+    return spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+
+
+def _rects_bruteforce(grid):
+    """Maximal horizontal runs, then vertical coalescing of identical runs —
+    the same deterministic decomposition rule, written as plain loops on the
+    global top-down grid. Returns {(v, r0, c0, r1, c1)}."""
+    n, m = grid.shape
+    runs = []                       # (r, v, c0, c1)
+    for r in range(n):
+        c = 0
+        while c < m:
+            c1 = c
+            while c1 + 1 < m and grid[r, c1 + 1] == grid[r, c]:
+                c1 += 1
+            runs.append((r, int(grid[r, c]), c, c1))
+            c = c1 + 1
+    open_rects = {}                 # (v, c0, c1) -> [r0, r_last]
+    rects = set()
+    for r, v, c0, c1 in sorted(runs):
+        key = (v, c0, c1)
+        if key in open_rects and open_rects[key][1] == r - 1:
+            open_rects[key][1] = r
+        else:
+            if key in open_rects:
+                r0, r1 = open_rects.pop(key)
+                rects.add((v, r0, c0, r1, c1))
+            open_rects[key] = [r, r]
+    for (v, c0, c1), (r0, r1) in open_rects.items():
+        rects.add((v, r0, c0, r1, c1))
+    return rects
+
+
+def _engine_rects(spark, grid, tr, tc):
+    n = grid.shape[0]
+    tiles = _tiles_from_grid(spark, grid, tr, tc)
+    out = raster.polygonize_rects(raster.polygonize_tiles(tiles)).collect()
+    return {(int(r.class_val), n - 1 - int(r.grow1), int(r.gcol0),
+             n - 1 - int(r.grow0), int(r.gcol1)) for r in out}, out
+
+
+@pytest.fixture(scope="module")
+def rng_grid():
+    rng = np.random.RandomState(20260816)
+    # blobby structure: coarse random blocks so runs cross tile borders
+    coarse = rng.randint(1, 4, size=(8, 10))
+    return np.kron(coarse, np.ones((5, 5), dtype=np.int64))[:40, :50] \
+        + (rng.rand(40, 50) < 0.05)  # sparse salt so some runs are short
+
+
+def test_polygonize_matches_global_bruteforce(spark, rng_grid):
+    got, _ = _engine_rects(spark, rng_grid, tr=10, tc=25)
+    assert got == _rects_bruteforce(rng_grid)
+
+
+def test_polygonize_exact_cover(spark, rng_grid):
+    _, rows = _engine_rects(spark, rng_grid, tr=10, tc=25)
+    n, m = rng_grid.shape
+    paint = np.full((n, m), -1, dtype=np.int64)
+    total = 0
+    for r in rows:
+        r0, r1 = n - 1 - int(r.grow1), n - 1 - int(r.grow0)
+        c0, c1 = int(r.gcol0), int(r.gcol1)
+        assert (paint[r0:r1 + 1, c0:c1 + 1] == -1).all(), "overlap"
+        paint[r0:r1 + 1, c0:c1 + 1] = r.class_val
+        total += int(r.n_pixels)
+        assert r.area_m2 == pytest.approx(r.n_pixels * PX * PX)
+    assert total == n * m                     # no gaps
+    assert (paint == rng_grid).all()          # classes painted back exactly
+
+
+def test_polygonize_tile_split_invariant(spark, rng_grid):
+    one, _ = _engine_rects(spark, rng_grid, tr=40, tc=50)   # single tile
+    split, _ = _engine_rects(spark, rng_grid, tr=10, tc=25)  # 4x2 tiles
+    fine, _ = _engine_rects(spark, rng_grid, tr=5, tc=10)    # 8x5 tiles
+    assert one == split == fine
