@@ -1957,6 +1957,59 @@ def v10_dwithin_holes(spark, sf_dir):
                       .alias("distance_m"))
 
 
+def _events_class_tiles(spark, sf_dir, TR=10, TC=25, px=25.0,
+                        two_class=False):
+    """Pack the events grid into (TR x TC)-px 'veg' class tiles. Default
+    class v = ((r//3) + (c//4)) % 3 + 1 (diagonal 3x4 bands so runs cross
+    both tile borders). ``two_class`` folds bands 2 and 3 together
+    (v = 1 where the band index is 0, else 2), which chains class-2 blocks
+    into large snaking regions — multi-rect components that force several
+    label-propagation rounds. Returns (tiles_df, n_rows)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, StringType, StructField,
+                                   StructType)
+
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c")
+    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    n_ty = max(n_rows // TR, 1)
+    TR = n_rows // n_ty
+
+    tile_schema = StructType([
+        StructField("media_ref", StringType(), False),
+        StructField("layer", StringType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("pixel_m", DoubleType(), False),
+        StructField("nrows", IntegerType(), False),
+        StructField("ncols", IntegerType(), False),
+        StructField("data", ArrayType(FloatType()), False)])
+
+    def pack(key, pdf: pd.DataFrame):
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros((TR, TC), dtype=np.float64)
+        lr = (pdf.r.values % TR).astype(int)
+        lc = (pdf.c.values % TC).astype(int)
+        band = (pdf.r.values // 3 + pdf.c.values // 4) % 3
+        arr[lr, lc] = np.where(band == 0, 1, 2) if two_class else band + 1
+        return pd.DataFrame([{
+            "media_ref": f"veg/{tx}/{ty}", "layer": "veg",
+            "tile_x": tx, "tile_y": ty,
+            "x0": tx * TC * px, "y0": ty * TR * px, "pixel_m": px,
+            "nrows": TR, "ncols": TC,
+            "data": arr.astype(np.float32).ravel()}])
+
+    # tile_y counts from the SOUTH (larger ty = smaller grid row r)
+    tiles = ev.groupBy(
+        (F.col("c") / TC).cast("int").alias("_tx"),
+        (F.lit(n_ty - 1) - (F.col("r") / TR).cast("int")).alias("_ty")) \
+        .applyInPandas(pack, schema=tile_schema)
+    return tiles, n_rows
+
+
 @q("r14_polygonize", f"""
 WITH grid AS (
   SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
@@ -1991,49 +2044,7 @@ def r14_polygonize(spark, sf_dir):
     two-pass algorithm on the global grid in SQL."""
     from . import raster as raster_mod
 
-    ev = _load(spark, sf_dir, "events").selectExpr(
-        "event_id", f"event_id DIV {_GRID_W} AS r",
-        f"event_id % {_GRID_W} AS c")
-    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
-    TR, TC = 10, 25
-    n_ty = max(n_rows // TR, 1)
-    TR = n_rows // n_ty
-    px = 25.0
-
-    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
-                                   IntegerType, StringType, StructField,
-                                   StructType)
-    tile_schema = StructType([
-        StructField("media_ref", StringType(), False),
-        StructField("layer", StringType(), False),
-        StructField("tile_x", IntegerType(), False),
-        StructField("tile_y", IntegerType(), False),
-        StructField("x0", DoubleType(), False),
-        StructField("y0", DoubleType(), False),
-        StructField("pixel_m", DoubleType(), False),
-        StructField("nrows", IntegerType(), False),
-        StructField("ncols", IntegerType(), False),
-        StructField("data", ArrayType(FloatType()), False)])
-
-    def pack(key, pdf: pd.DataFrame):
-        tx, ty = int(key[0]), int(key[1])
-        arr = np.zeros((TR, TC), dtype=np.float64)
-        lr = (pdf.r.values % TR).astype(int)
-        lc = (pdf.c.values % TC).astype(int)
-        arr[lr, lc] = (pdf.r.values // 3 + pdf.c.values // 4) % 3 + 1
-        return pd.DataFrame([{
-            "media_ref": f"veg/{tx}/{ty}", "layer": "veg",
-            "tile_x": tx, "tile_y": ty,
-            "x0": tx * TC * px, "y0": ty * TR * px, "pixel_m": px,
-            "nrows": TR, "ncols": TC,
-            "data": arr.astype(np.float32).ravel()}])
-
-    # tile_y counts from the SOUTH (larger ty = smaller grid row r)
-    tiles = ev.groupBy(
-        (F.col("c") / TC).cast("int").alias("_tx"),
-        (F.lit(n_ty - 1) - (F.col("r") / TR).cast("int")).alias("_ty")) \
-        .applyInPandas(pack, schema=tile_schema)
-
+    tiles, n_rows = _events_class_tiles(spark, sf_dir)
     rects = raster_mod.polygonize_rects(raster_mod.polygonize_tiles(tiles))
     # stage-1 rows count from the south; the oracle grid's r is top-down
     return rects.select(
@@ -2043,6 +2054,79 @@ def r14_polygonize(spark, sf_dir):
         (F.lit(n_rows - 1) - F.col("grow0")).cast("long").alias("r1"),
         F.col("gcol1").cast("long").alias("c1"),
         F.col("n_pixels").cast("long").alias("n_pixels"))
+
+
+@q("r15_components", f"""
+WITH RECURSIVE grid AS (
+  SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         CASE WHEN ((event_id // {_GRID_W}) // 3
+                    + (event_id % {_GRID_W}) // 4) % 3 = 0
+              THEN 1 ELSE 2 END AS v
+  FROM events),
+runs0 AS (
+  SELECT r, v, c,
+         c - ROW_NUMBER() OVER (PARTITION BY r, v ORDER BY c) AS isl
+  FROM grid),
+runs AS (
+  SELECT r, v, MIN(c) AS c0, MAX(c) AS c1
+  FROM runs0 GROUP BY r, v, isl),
+vert0 AS (
+  SELECT v, c0, c1, r,
+         r - ROW_NUMBER() OVER (PARTITION BY v, c0, c1 ORDER BY r) AS isl2
+  FROM runs),
+rects AS (
+  SELECT v, MIN(r) AS r0, c0, MAX(r) AS r1, c1,
+         MIN(r) * 2097152 + c0 AS id
+  FROM vert0 GROUP BY v, c0, c1, isl2),
+edges AS (
+  SELECT a.id AS u, b.id AS w FROM rects a JOIN rects b
+  ON a.v = b.v AND a.id != b.id
+  AND ((a.r0 = b.r1 + 1 AND a.c0 <= b.c1 AND b.c0 <= a.c1)
+    OR (b.r0 = a.r1 + 1 AND a.c0 <= b.c1 AND b.c0 <= a.c1)
+    OR (a.c0 = b.c1 + 1 AND a.r0 <= b.r1 AND b.r0 <= a.r1)
+    OR (b.c0 = a.c1 + 1 AND a.r0 <= b.r1 AND b.r0 <= a.r1))),
+reach AS (
+  SELECT id AS src, id AS node FROM rects
+  UNION
+  SELECT rch.src, e.w AS node FROM reach rch JOIN edges e ON e.u = rch.node)
+SELECT CAST(rc.v AS BIGINT) AS class_val,
+       CAST(cmp.comp AS BIGINT) AS comp_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rects,
+       CAST(SUM((rc.r1 - rc.r0 + 1) * (rc.c1 - rc.c0 + 1)) AS BIGINT)
+         AS n_pixels
+FROM rects rc
+JOIN (SELECT node, MIN(src) AS comp FROM reach GROUP BY node) cmp
+  ON cmp.node = rc.id
+GROUP BY rc.v, cmp.comp""")
+def r15_components(spark, sf_dir):
+    """Connected-component labelling of the polygonized rectangles — the
+    GDAL-polygonize feature-identity semantics (one feature per 4-connected
+    same-class region), run through the production iterative plan
+    (raster.polygonize_components: equi-join adjacency on shared boundary
+    rows/columns + min-label propagation with path compression and
+    per-round localCheckpoint). The oracle computes the same components by
+    transitive closure with a recursive CTE; both sides canonicalize the
+    component key as min(top-down r0 * 2^21 + c0) over member rects, so
+    the engine's internal label choice drops out of the comparison."""
+    from . import raster as raster_mod
+
+    tiles, n_rows = _events_class_tiles(spark, sf_dir, two_class=True)
+    rects = raster_mod.polygonize_rects(raster_mod.polygonize_tiles(tiles))
+    comp = raster_mod.polygonize_components(rects)
+    BITS = 21
+    nid = (F.col("grow0") * F.lit(1 << BITS) + F.col("gcol0")).alias("nid")
+    topdown_key = ((F.lit(n_rows - 1) - F.col("grow1")) * F.lit(1 << BITS)
+                   + F.col("gcol0"))
+    joined = rects.select(nid, topdown_key.alias("td_key"), "n_pixels") \
+        .join(comp, "nid")
+    return (joined.groupBy("class_val", "component")
+            .agg(F.min("td_key").alias("comp_key"),
+                 F.count("*").alias("n_rects"),
+                 F.sum("n_pixels").alias("n_pixels"))
+            .select(F.col("class_val").cast("long").alias("class_val"),
+                    F.col("comp_key").cast("long").alias("comp_key"),
+                    F.col("n_rects").cast("long").alias("n_rects"),
+                    F.col("n_pixels").cast("long").alias("n_pixels")))
 
 
 def all_queries():

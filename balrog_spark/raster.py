@@ -731,5 +731,94 @@ def polygonize_rects(runs: DataFrame) -> DataFrame:
             * (F.col("grow1") - F.col("grow0") + 1))
     return rects.select(
         F.col("v").alias("class_val"), "grow0", "grow1", "gcol0", "gcol1",
-        n_px.cast("long").alias("n_pixels"),
+        "pixel_m", n_px.cast("long").alias("n_pixels"),
         (n_px * F.col("pixel_m") * F.col("pixel_m")).alias("area_m2"))
+
+
+def polygonize_wkt(rects: DataFrame) -> DataFrame:
+    """Rectangles -> polygon WKT in world metres, as a pure column
+    expression (JVM-side; one row per rectangle piece). Downstream
+    vector ops consume these directly — e.g. vector.dissolve_union over
+    (class_val, wkt) reproduces per-class region areas exactly."""
+    px = F.col("pixel_m") if "pixel_m" in rects.columns else F.lit(1.0)
+    x0 = F.col("gcol0") * px
+    x1 = (F.col("gcol1") + 1) * px
+    y0 = F.col("grow0") * px
+    y1 = (F.col("grow1") + 1) * px
+    wkt = F.format_string(
+        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+    return rects.withColumn("wkt", wkt)
+
+
+def polygonize_components(rects: DataFrame, max_rounds: int = 20
+                          ) -> DataFrame:
+    """Connected-component labelling over the rectangle adjacency graph —
+    the GDAL-polygonize feature-identity semantics (one label per
+    4-connected same-class region). Spark-first shape:
+
+    - node id = grow0 * 2^21 + gcol0 (rect top-left pixel — unique because
+      rects are disjoint);
+    - edges via two EQUI-joins on the shared boundary row/column (a.grow0
+      == b.grow1 + 1, resp. a.gcol0 == b.gcol1 + 1, both keyed with the
+      class) followed by an overlap filter — no inequality join;
+    - iterative min-label propagation with path compression
+      (label <- min(label, neighbours' labels); label <- label[label]),
+      localCheckpoint per round, stop when no label changes. Compression
+      makes convergence ~log(diameter) rounds rather than diameter.
+
+    Returns (nid, class_val, component) — component = min node id of the
+    region, deterministic."""
+    spark = rects.sparkSession
+    BITS = 21
+    nodes = rects.select(
+        (F.col("grow0") * F.lit(1 << BITS) + F.col("gcol0")).alias("nid"),
+        "class_val", "grow0", "grow1", "gcol0", "gcol1")
+
+    a, b = [nodes.alias(s) for s in "ab"]
+    pair = [F.col("a.nid").alias("u"), F.col("b.nid").alias("v_")]
+    vert = a.join(
+        b, (F.col("a.class_val") == F.col("b.class_val"))
+        & (F.col("a.grow0") == F.col("b.grow1") + 1)
+        & (F.col("a.gcol0") <= F.col("b.gcol1"))
+        & (F.col("b.gcol0") <= F.col("a.gcol1"))).select(*pair)
+    horiz = a.join(
+        b, (F.col("a.class_val") == F.col("b.class_val"))
+        & (F.col("a.gcol0") == F.col("b.gcol1") + 1)
+        & (F.col("a.grow0") <= F.col("b.grow1"))
+        & (F.col("b.grow0") <= F.col("a.grow1"))).select(*pair)
+    half = vert.unionByName(horiz)
+    edges = half.unionByName(
+        half.select(F.col("v_").alias("u"), F.col("u").alias("v_"))) \
+        .localCheckpoint(eager=True)
+
+    labels = nodes.select("nid", "class_val",
+                          F.col("nid").alias("label"))
+    for _ in range(max_rounds):
+        # gather the min neighbour label per node
+        nb = (edges.join(labels.select(F.col("nid").alias("v_"),
+                                       F.col("label").alias("nb_label")),
+                         "v_")
+              .groupBy("u").agg(F.min("nb_label").alias("nb_min")))
+        stepped = (labels.join(nb, labels.nid == nb.u, "left")
+                   .select("nid", "class_val",
+                           F.least("label", F.coalesce("nb_min", "label"))
+                           .alias("label")))
+        # path compression: label <- label(label)
+        compressed = (stepped.alias("s")
+                      .join(stepped.select(F.col("nid").alias("label"),
+                                           F.col("label").alias("ll"))
+                            .alias("t"), "label", "left")
+                      .select("nid", "class_val",
+                              F.least("label", F.coalesce("ll", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (compressed.alias("n")
+                   .join(labels.alias("o"), "nid")
+                   .filter(F.col("n.label") != F.col("o.label")).limit(1)
+                   .count())
+        labels = compressed
+        if changed == 0:
+            break
+    return labels.select("nid", "class_val",
+                         F.col("label").alias("component"))

@@ -118,3 +118,76 @@ def test_polygonize_tile_split_invariant(spark, rng_grid):
     split, _ = _engine_rects(spark, rng_grid, tr=10, tc=25)  # 4x2 tiles
     fine, _ = _engine_rects(spark, rng_grid, tr=5, tc=10)    # 8x5 tiles
     assert one == split == fine
+
+
+def _flood_labels(grid):
+    """Independent 4-connected flood fill on the global grid: label per
+    pixel (BFS, plain loops)."""
+    n, m = grid.shape
+    lab = np.full((n, m), -1, dtype=np.int64)
+    nxt = 0
+    for r in range(n):
+        for c in range(m):
+            if lab[r, c] != -1:
+                continue
+            stack = [(r, c)]
+            lab[r, c] = nxt
+            while stack:
+                y, x = stack.pop()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    yy, xx = y + dy, x + dx
+                    if (0 <= yy < n and 0 <= xx < m and lab[yy, xx] == -1
+                            and grid[yy, xx] == grid[y, x]):
+                        lab[yy, xx] = nxt
+                        stack.append((yy, xx))
+            nxt += 1
+    return lab
+
+
+def test_components_match_flood_fill(spark, rng_grid):
+    n = rng_grid.shape[0]
+    tiles = _tiles_from_grid(spark, rng_grid, tr=10, tc=25)
+    rects = raster.polygonize_rects(raster.polygonize_tiles(tiles))
+    comp = raster.polygonize_components(rects)
+    from pyspark.sql import functions as F
+    rows = (rects.withColumn(
+        "nid", F.col("grow0") * (1 << 21) + F.col("gcol0"))
+        .join(comp.select("nid", "component"), "nid").collect())
+    flood = _flood_labels(rng_grid)
+    # engine component of each rect == flood label of its top-left pixel,
+    # up to relabelling: the two partitions of the rect set must be equal
+    eng, ref = {}, {}
+    for r in rows:
+        key = (int(r.grow0), int(r.gcol0))
+        eng.setdefault(int(r.component), set()).add(key)
+        fl = flood[n - 1 - int(r.grow1), int(r.gcol0)]
+        ref.setdefault(int(fl), set()).add(key)
+    assert sorted(map(sorted, eng.values())) == \
+        sorted(map(sorted, ref.values()))
+    # and every engine component is single-class (labels carry class_val)
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(int(r.component), set()).add(int(r.class_val))
+    assert all(len(vs) == 1 for vs in by_comp.values())
+
+
+def test_polygonize_wkt_areas(spark, rng_grid):
+    from balrog_spark import geometry
+    tiles = _tiles_from_grid(spark, rng_grid, tr=10, tc=25)
+    rects = raster.polygonize_wkt(
+        raster.polygonize_rects(raster.polygonize_tiles(tiles)))
+    rows = rects.collect()
+    per_class = {}
+    for r in rows:
+        polys = geometry.parse_wkt_polys(r.wkt)
+        assert len(polys) == 1
+        a = geometry.polygon_area(polys[0])
+        assert a == pytest.approx(float(r.n_pixels) * PX * PX)
+        per_class.setdefault(int(r.class_val), []).append(polys[0])
+    # rectangles of one class union to exactly the class's pixel area
+    # (disjointness + exact cover, measured through the vector core)
+    counts = {int(v): int((rng_grid == v).sum())
+              for v in np.unique(rng_grid)}
+    for v, polys in per_class.items():
+        assert geometry.union_area(polys) == \
+            pytest.approx(counts[v] * PX * PX)
