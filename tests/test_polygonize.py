@@ -191,3 +191,37 @@ def test_polygonize_wkt_areas(spark, rng_grid):
     for v, polys in per_class.items():
         assert geometry.union_area(polys) == \
             pytest.approx(counts[v] * PX * PX)
+
+
+def test_polygonize_feeds_pip_join(spark, rng_grid):
+    """Cross-plane E2E: raster -> polygonize -> WKT -> PIP join. For random
+    interior points, the joined class must equal the class of the pixel the
+    point sits on (direct array lookup) — the raster plane and the vector
+    join plane agree end to end."""
+    from pyspark.sql import functions as F
+
+    from balrog_spark import joins
+
+    n, m = rng_grid.shape
+    tiles = _tiles_from_grid(spark, rng_grid, tr=10, tc=25)
+    polys = raster.polygonize_wkt(
+        raster.polygonize_rects(raster.polygonize_tiles(tiles))) \
+        .select(F.format_string("%06d", F.monotonically_increasing_id())
+                .alias("veg_id"),
+                F.col("class_val").cast("long").alias("bal_number"), "wkt")
+
+    rng = np.random.RandomState(7)
+    px_r = rng.randint(0, n, size=200)
+    px_c = rng.randint(0, m, size=200)
+    # strictly interior offsets so no point sits on a rect boundary
+    xs = (px_c + 0.25 + 0.5 * rng.rand(200)) * PX
+    ys = ((n - 1 - px_r) + 0.25 + 0.5 * rng.rand(200)) * PX
+    pts = spark.createDataFrame(
+        pd.DataFrame({"addr_id": [f"{i:05d}" for i in range(200)],
+                      "x": xs, "y": ys}))
+
+    got = {r.addr_id: int(r.bal_number)
+           for r in joins.pip_join(pts, polys, cell_m=200.0).collect()}
+    assert len(got) == 200                    # exact cover: every point hits
+    for i in range(200):
+        assert got[f"{i:05d}"] == int(rng_grid[px_r[i], px_c[i]])
