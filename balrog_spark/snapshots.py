@@ -159,20 +159,18 @@ def read_table(spark: SparkSession, table_dir: str,
                as_of: int | None = None) -> DataFrame:
     """Read the table at ``as_of`` (default: current snapshot) — Iceberg's
     ``VERSION AS OF``. Data dirs may have different schemas (evolution):
-    they are folded with unionByName(allowMissingColumns=True), so columns
-    added later read as null for older dirs."""
+    the whole visible set is read as ONE parquet relation with
+    ``mergeSchema`` (columns added later read as null for older dirs), so
+    the plan stays a single scan node however many snapshots the table has
+    accumulated — not an O(snapshots)-deep union chain."""
     snap = current_snapshot_id(table_dir) if as_of is None else as_of
     if snap is None:
         raise KeyError(f"{table_dir} has no snapshots")
     dirs = _visible_dirs(table_dir, snap)
     if not dirs:
         raise KeyError(f"snapshot {snap} of {table_dir} is empty")
-    out = None
-    for rel in dirs:
-        part = spark.read.parquet(os.path.join(table_dir, rel))
-        out = part if out is None else out.unionByName(
-            part, allowMissingColumns=True)
-    return out
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(table_dir, rel) for rel in dirs]))
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
