@@ -92,25 +92,146 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1].copy() if flip else img.copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of non-interlaced 8-bit PNG (gray / RGB / palette /
+    gray+alpha / RGBA) — stdlib zlib inflates IDAT, the five scanline
+    filters (None/Sub/Up/Average/Paeth) are inverted here per the spec.
+    Returns (h, w, 3) uint8 RGB (alpha dropped, gray replicated)."""
+    import struct
+    import zlib
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, idat, plte = len(_PNG_SIG), b"", None
+    w = h = depth = ctype = interlace = None
+    while i < len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, i)
+        body = payload[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + crc
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth}, type={ctype}, "
+                         f"interlace={interlace})")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:                      # Up
+            cur = (line + up) & 0xFF
+        else:                             # Sub/Average/Paeth: left-recursive
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = up[x]
+                c = up[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:                     # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur
+    img = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img[:, :, 0]].copy()
+    if ch == 1:
+        return np.repeat(img, 3, axis=2).copy()
+    if ch == 2:                           # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    return img[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA by channel count,
+    non-interlaced, one filter type for all scanlines) — the sink-side
+    counterpart and the roundtrip oracle for every decoder filter path."""
+    import struct
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = img.astype(np.int32).reshape(h, stride)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros(stride, np.int32)
+        a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        c = np.concatenate([np.zeros(ch, np.int32), up[:-ch]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - a
+        elif filter_type == 2:
+            enc = cur - up
+        elif filter_type == 3:
+            enc = cur - (a + up) // 2
+        else:
+            p = a + up - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, up, c))
+            enc = cur - pred
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8)
+                     .tobytes())
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) \
+        + chunk(b"IEND", b"")
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
     """Decode an image payload to (h, w, 3) uint8.
 
-    Raw container formats decode FOR REAL (no codec library needed):
-    binary PPM/PGM (netpbm) and uncompressed 24-bit BMP. Compressed
-    formats (png/jpeg) are STUBBED in this environment — ``fake=True``
-    produces a deterministic payload-seeded array so the downstream
-    plumbing is fully exercised; on a real cluster swap in a codec.
+    Formats that decode FOR REAL (no codec library needed): binary
+    PPM/PGM (netpbm), uncompressed 24-bit BMP, and non-interlaced 8-bit
+    PNG (stdlib zlib + spec unfiltering). JPEG remains STUBBED in this
+    environment — ``fake=True`` produces a deterministic payload-seeded
+    array so the downstream plumbing is fully exercised; on a real
+    cluster swap in a codec.
     """
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "compressed-image codecs not available in this environment; "
-            "raw PPM/PGM/BMP decode for real, or pass fake=True for the "
-            "deterministic pseudo-decode")
+            "JPEG codecs not available in this environment; PPM/PGM/BMP/"
+            "PNG decode for real, or pass fake=True for the deterministic "
+            "pseudo-decode")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)

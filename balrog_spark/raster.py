@@ -771,9 +771,13 @@ def polygonize_components(rects: DataFrame, max_rounds: int = 20
     region, deterministic."""
     spark = rects.sparkSession
     BITS = 21
+    # materialize the node set once: it feeds both sides of two adjacency
+    # joins and the initial labels, which would otherwise each re-execute
+    # the whole polygonize pipeline
     nodes = rects.select(
         (F.col("grow0") * F.lit(1 << BITS) + F.col("gcol0")).alias("nid"),
-        "class_val", "grow0", "grow1", "gcol0", "gcol1")
+        "class_val", "grow0", "grow1", "gcol0", "gcol1") \
+        .localCheckpoint(eager=True)
 
     a, b = [nodes.alias(s) for s in "ab"]
     pair = [F.col("a.nid").alias("u"), F.col("b.nid").alias("v_")]
