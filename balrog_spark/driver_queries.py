@@ -2056,6 +2056,45 @@ def r14_polygonize(spark, sf_dir):
         F.col("n_pixels").cast("long").alias("n_pixels"))
 
 
+_SAMPLE_FRACS = {0: 9000, 1: 5000, 2: 2500, 3: 1000}
+
+
+def _sample_oracle_sql():
+    from . import textops as T
+    key = T.sample_key_sql("doc_id")
+    case = "CASE bucket " + " ".join(
+        f"WHEN {b} THEN {bp}" for b, bp in sorted(_SAMPLE_FRACS.items())) \
+        + " END"
+    return f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+  WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         LEAST(CAST(floor(len(string_split(trim(norm), ' ')) / 25.0)
+                    AS BIGINT), 3) AS bucket,
+         CAST({key} AS BIGINT) AS sample_key
+  FROM n)
+SELECT doc_id, bucket, sample_key FROM b
+WHERE sample_key < {case}"""
+
+
+@q("sample_stratified", _sample_oracle_sql())
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling / dataset mixing: token-length
+    strata (25-token buckets, capped at 3) keep 90/50/25/10% of their
+    documents by portable hash threshold — membership is a pure function
+    of doc_id (no RNG), so re-runs and other engines select the identical
+    subset. The core dataset-curation primitive for training-data
+    pipelines (rebalance strata, thin the long tail)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.stratified_sample(d, _SAMPLE_FRACS, bucket_tokens=25)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("bucket").cast("long").alias("bucket"),
+                      F.col("sample_key").cast("long").alias("sample_key"))
+
+
 @q("r15_components", f"""
 WITH RECURSIVE grid AS (
   SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,

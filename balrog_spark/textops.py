@@ -365,3 +365,59 @@ def lang_id(docs: DataFrame, text_col: str = "text",
         F.when(best.getField("hits") > 0, best.getField("lang"))
         .otherwise(F.lit("und")).alias("lang_guess"),
         best.getField("hits").cast("long").alias("marker_hits"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling / dataset mixing
+
+SAMPLE_MOD = 10000       # sampling resolution: fractions in basis points
+_SAMPLE_ID_W = 12
+
+
+def sample_key_col(id_col: str = "doc_id"):
+    """Deterministic per-document sample key: the portable polynomial hash
+    folded over the zero-padded id, then TWO quadratic mixing rounds
+    ((x^2 + c) mod P — int64-safe since P < 2^31), reduced mod SAMPLE_MOD.
+    The mixing matters: sequential ids land in a narrow affine band of the
+    raw polynomial hash, which would skew every threshold; squaring makes
+    consecutive ids jump ~2·h apart, uniformizing the low digits. No RNG —
+    membership is a pure function of the id, so a re-run (or another
+    engine) selects exactly the same documents, and sampling a filtered
+    table yields exactly the intersection."""
+    padded = F.lpad(F.col(id_col).cast("string"), _SAMPLE_ID_W, "0")
+    h = shingle_hash_col(padded, _SAMPLE_ID_W)
+    h = (h * h + F.lit(7919)) % F.lit(MH_P)
+    h = (h * h + F.lit(104729)) % F.lit(MH_P)
+    return F.pmod(h, F.lit(SAMPLE_MOD))
+
+
+def sample_key_sql(id_col: str = "doc_id") -> str:
+    h = shingle_hash_sql(f"lpad(CAST({id_col} AS VARCHAR), "
+                         f"{_SAMPLE_ID_W}, '0')", _SAMPLE_ID_W)
+    h = f"((({h}) * ({h}) + 7919) % {MH_P})"
+    h = f"((({h}) * ({h}) + 104729) % {MH_P})"
+    return f"(({h}) % {SAMPLE_MOD})"
+
+
+def stratified_sample(docs: DataFrame, fractions_bp: dict,
+                      bucket_tokens: int = 25, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Stratified downsampling / dataset mixing: documents are bucketed by
+    token-length stratum (bucket = min(n_tokens // bucket_tokens, max
+    bucket)) and stratum b keeps ``fractions_bp[b]`` basis points of its
+    documents by hash threshold — the standard curation move (rebalance
+    strata, thin the long tail) made exactly reproducible and
+    engine-portable. Pure column math end to end: one filtered scan, no
+    shuffle, no RNG state."""
+    max_b = max(fractions_bp)
+    n = normalize(docs, text_col, id_col).filter(F.length("norm") > 0)
+    toks = F.size(F.split(F.trim(F.col("norm")), " "))
+    bucket = F.least(F.floor(toks / F.lit(bucket_tokens)),
+                     F.lit(max_b)).cast("long")
+    sel = n.select("doc_id", bucket.alias("bucket"),
+                   sample_key_col("doc_id").alias("sample_key"))
+    thr = F.lit(None).cast("long")
+    for b in sorted(fractions_bp):
+        thr = F.when(F.col("bucket") == b,
+                     F.lit(int(fractions_bp[b]))).otherwise(thr)
+    return sel.filter(F.col("sample_key") < thr)

@@ -170,3 +170,36 @@ def test_simhash_banding_pigeonhole_complete(spark):
             exp.add((a, b))
     got = textops.simhash_neardup_pairs(d, max_hamming=3).toPandas()
     assert set(zip(got.doc_a, got.doc_b)) == exp
+
+
+def test_stratified_sample_deterministic_and_subset_invariant(spark):
+    rng = np.random.RandomState(5)
+    texts = ["w" + " w".join(str(rng.randint(9)) for _ in range(n))
+             for n in rng.randint(5, 110, size=400)]
+    d = _docs(spark, texts)
+    fr = {0: 9000, 1: 5000, 2: 2500, 3: 1000}
+
+    kept = textops.stratified_sample(d, fr, bucket_tokens=25).toPandas()
+    again = textops.stratified_sample(d, fr, bucket_tokens=25).toPandas()
+    assert sorted(kept.doc_id) == sorted(again.doc_id)   # no RNG anywhere
+
+    # membership is a pure function of doc_id: sampling a filtered table
+    # yields exactly the intersection
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    kept_half = textops.stratified_sample(half, fr, bucket_tokens=25) \
+        .toPandas()
+    assert sorted(kept_half.doc_id) == \
+        sorted(i for i in kept.doc_id if i % 2 == 0)
+
+    # per-stratum keep rates approximate the configured fractions
+    tot = textops.token_counts(d).toPandas()
+    tot["bucket"] = np.minimum(tot.n_tokens // 25, 3)
+    for b, bp in fr.items():
+        n_all = int((tot.bucket == b).sum())
+        n_kept = int((kept.bucket == b).sum())
+        assert n_all > 20, "fixture must populate every stratum"
+        # hash threshold: binomial-ish tolerance
+        assert abs(n_kept / n_all - bp / 10000) < 0.12, (b, n_kept, n_all)
+    # every kept key is under its stratum threshold (exact rule)
+    thr = kept.bucket.map({k: v for k, v in fr.items()})
+    assert (kept.sample_key < thr).all()
