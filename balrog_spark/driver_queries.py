@@ -2168,6 +2168,44 @@ def r15_components(spark, sf_dir):
                     F.col("n_pixels").cast("long").alias("n_pixels")))
 
 
+@q("chain_polygonize_dissolve", f"""
+SELECT CAST(((event_id // {_GRID_W}) // 3 + (event_id % {_GRID_W}) // 4)
+            % 3 + 1 AS BIGINT) AS class_val,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(COUNT(*) * 625.0 AS DOUBLE) AS union_area_m2
+FROM events
+GROUP BY 1""")
+def chain_polygonize_dissolve(spark, sf_dir):
+    """Operator-composition chain under the gate: raster class tiles ->
+    polygonize (runs -> rects -> WKT) -> TRUE geometric dissolve
+    (vector.dissolve_union). The dissolved per-class union area must equal
+    the class's pixel count x pixel area exactly — the polygonize output
+    is a disjoint exact cover and the slab-sweep union must measure it as
+    such. The oracle needs none of the machinery: it counts pixels per
+    class."""
+    from . import raster as raster_mod, vector
+
+    tiles, _ = _events_class_tiles(spark, sf_dir)
+    rects = raster_mod.polygonize_wkt(
+        raster_mod.polygonize_rects(raster_mod.polygonize_tiles(tiles)))
+    polys = rects.select(
+        F.col("class_val").alias("bal_number"),
+        F.format_string("%09d",
+                        F.col("grow0") * F.lit(1 << 21) + F.col("gcol0"))
+        .alias("veg_id"),
+        "wkt", "n_pixels")
+    out = vector.dissolve_union(polys, cell_m=1000.0)
+    # the SQL-comparable count is the per-class PIXEL sum (the oracle
+    # counts grid cells), not dissolve_union's rect-source count
+    npx = polys.groupBy("bal_number").agg(
+        F.sum("n_pixels").cast("long").alias("n_pixels"))
+    return (out.join(npx, "bal_number")
+            .select(F.col("bal_number").cast("long").alias("class_val"),
+                    "n_pixels",
+                    F.round("union_area_m2", 4).cast("double")
+                    .alias("union_area_m2")))
+
+
 def all_queries():
     return dict(QUERIES)
 
