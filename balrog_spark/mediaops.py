@@ -214,12 +214,13 @@ def decode_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> np.ndarray:
     """Decode an image payload to (h, w, 3) uint8.
 
-    Formats that decode FOR REAL (no codec library needed): binary
-    PPM/PGM (netpbm), uncompressed 24-bit BMP, and non-interlaced 8-bit
-    PNG (stdlib zlib + spec unfiltering). JPEG remains STUBBED in this
-    environment — ``fake=True`` produces a deterministic payload-seeded
-    array so the downstream plumbing is fully exercised; on a real
-    cluster swap in a codec.
+    Every common still format decodes FOR REAL with no codec library:
+    binary PPM/PGM (netpbm), uncompressed 24-bit BMP, non-interlaced
+    8-bit PNG (stdlib zlib + spec unfiltering), and baseline 4:4:4 /
+    grayscale JPEG (:mod:`jpegcodec`, pure numpy Huffman + IDCT).
+    Unrecognized containers (and JPEG variants outside the baseline
+    subset) raise; ``fake=True`` substitutes a deterministic
+    payload-seeded array so downstream plumbing stays exercisable.
     """
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
@@ -227,10 +228,13 @@ def decode_image(payload: bytes, width: int, height: int,
         return decode_bmp(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "JPEG codecs not available in this environment; PPM/PGM/BMP/"
-            "PNG decode for real, or pass fake=True for the deterministic "
+            "unrecognized image container; PPM/PGM/BMP/PNG/baseline-JPEG "
+            "decode for real, or pass fake=True for the deterministic "
             "pseudo-decode")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
@@ -269,17 +273,57 @@ def image_features(media: DataFrame, out_w: int = 8, out_h: int = 8,
     return media.mapInPandas(gen, schema=FEATURES)
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL decode of RIFF/WAVE PCM (8/16/32-bit int) via the stdlib
+    ``wave`` module: multi-channel is mixed down to mono; returns float32
+    in [-1, 1)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        nch, sw, _, nframes = f.getnchannels(), f.getsampwidth(), \
+            f.getframerate(), f.getnframes()
+        raw = f.readframes(nframes)
+    if sw == 1:                # unsigned 8-bit
+        x = np.frombuffer(raw, np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return x.reshape(-1, nch).mean(axis=1).astype(np.float32)
+
+
+def encode_wav(pcm: np.ndarray, rate: int = 16000) -> bytes:
+    """float32 [-1, 1) mono -> 16-bit PCM RIFF/WAVE bytes (stdlib)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(np.clip(np.round(pcm * 32768.0), -32768, 32767)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def decode_audio(payload: bytes, n_samples: int = 4096,
                  fake: bool = False) -> np.ndarray:
-    """Decode an audio payload to float32 PCM [-1, 1).
+    """Decode an audio payload to float32 mono PCM [-1, 1).
 
-    STUB like :func:`decode_image` — no audio codecs in this container;
-    ``fake=True`` yields a deterministic payload-seeded waveform so the
-    windowing/feature plumbing is fully exercised."""
+    RIFF/WAVE PCM decodes FOR REAL (stdlib ``wave``); compressed codecs
+    (mp3/aac/opus) remain the declared stub — ``fake=True`` yields a
+    deterministic payload-seeded waveform so the windowing/feature
+    plumbing is fully exercised."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     if not fake:
         raise NotImplementedError(
-            "audio codecs not available in this environment; "
-            "pass fake=True for the deterministic pseudo-decode")
+            "compressed audio codecs not available in this environment; "
+            "WAV PCM decodes for real, or pass fake=True for the "
+            "deterministic pseudo-decode")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)

@@ -1,0 +1,116 @@
+"""Baseline JPEG codec and WAV PCM decode — the last media stubs made
+real. Spec anchors: the published zigzag order, IDCT closed forms, byte
+stuffing, and refusal (not mis-decode) of out-of-subset streams."""
+
+import numpy as np
+import pytest
+
+from balrog_spark import jpegcodec as J
+from balrog_spark import mediaops as M
+
+# the standard zigzag sequence (T.81 Figure A.6), typed out independently
+ZZ_REF = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def test_zigzag_matches_standard():
+    assert list(J.ZIGZAG) == ZZ_REF
+
+
+def test_idct_closed_forms():
+    # DC-only block: flat value dc/8 (orthonormal scaling)
+    blk = np.zeros((1, 8, 8))
+    blk[0, 0, 0] = 80.0
+    assert np.allclose(J._idct2(blk), 10.0)
+    # single AC coefficient (u=0, v=3): separable cosine profile
+    blk = np.zeros((1, 8, 8))
+    blk[0, 0, 3] = 16.0
+    got = J._idct2(blk)[0]
+    x = np.arange(8)
+    prof = 16.0 * np.sqrt(1 / 8) * np.sqrt(2 / 8) \
+        * np.cos((2 * x + 1) * 3 * np.pi / 16)
+    assert np.allclose(got, np.tile(prof, (8, 1)))
+    # inverse really inverts the forward transform
+    rng = np.random.RandomState(0)
+    b = rng.randn(5, 8, 8)
+    assert np.allclose(J._idct2(J._dct2(b)), b, atol=1e-12)
+
+
+def test_jpeg_roundtrips():
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack([(x * 3 + y * 2) % 256, (x * 2) % 256,
+                    (255 - y * 4) % 256], axis=2).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    gray = ((x + y) % 256).astype(np.uint8)
+    decg = J.decode_jpeg(J.encode_jpeg(gray, quality=95))
+    assert np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+    assert (decg[:, :, 0] == decg[:, :, 1]).all()
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg(flat, 90)) == 128).all()
+
+    # worst case: q100 noise with odd (non-multiple-of-8) dimensions;
+    # only YCbCr rounding remains
+    rng = np.random.RandomState(1)
+    noisy = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    enc = J.encode_jpeg(noisy, quality=100)
+    assert b"\xff\x00" in enc            # byte stuffing exercised
+    decn = J.decode_jpeg(enc)
+    assert np.abs(decn.astype(int) - noisy.astype(int)).max() <= 3
+
+
+def test_jpeg_refuses_out_of_subset():
+    img = np.full((8, 8), 7, np.uint8)
+    enc = bytearray(J.encode_jpeg(img, 90))
+    sof = bytes(enc).index(b"\xff\xc0")
+    # progressive DCT marker
+    prog = bytes(enc[:sof + 1]) + b"\xc2" + bytes(enc[sof + 2:])
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(prog)
+    # subsampled component (2x2 sampling factors)
+    sub = bytearray(enc)
+    sub[sof + 11] = 0x22                 # hv byte of component 1
+    with pytest.raises(ValueError, match="subsampled"):
+        J.decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"nope")
+
+
+def test_decode_image_dispatches_jpeg():
+    x, y = np.meshgrid(np.arange(16), np.arange(16))
+    img = ((x * 8 + y) % 256).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    dec = M.decode_image(J.encode_jpeg(rgb, 95), 16, 16)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_wav_roundtrip_and_mixdown():
+    t = np.arange(2048) / 16000.0
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = M.decode_wav(M.encode_wav(pcm))
+    assert out.dtype == np.float32 and out.shape == pcm.shape
+    assert np.abs(out - pcm).max() <= 1.5 / 32768  # 16-bit quantization
+
+    # stereo mixes down to the channel mean (hand-built 2-channel file)
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        inter = np.zeros(8, "<i2")
+        inter[0::2] = [1000, 2000, 3000, 4000]
+        inter[1::2] = [3000, 4000, 5000, 6000]
+        f.writeframes(inter.tobytes())
+    got = M.decode_audio(buf.getvalue())
+    assert np.allclose(got * 32768.0, [2000, 3000, 4000, 5000])
+
+    # compressed audio still refuses without fake=True
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"\xff\xfb mp3ish")

@@ -282,8 +282,11 @@ def test_real_png_palette_and_guards():
     with pytest.raises(ValueError, match="unsupported PNG"):
         M.decode_png(bad)
 
-    # dispatch: PNG routes through the real decoder; JPEG still stubs
+    # dispatch: PNG routes through the real decoder; a corrupt JPEG
+    # payload fails parsing (ValueError), an unknown container stubs
     rgb = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     assert (M.decode_image(M.encode_png(rgb), 3, 3) == rgb).all()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0jpegish", 3, 3)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"unknowncontainer", 3, 3)
