@@ -402,3 +402,35 @@ def synthetic_media(spark, n: int = 8) -> DataFrame:
             "payload": bytearray(payload),
         })
     return spark.createDataFrame(rows, schema=MEDIA)
+
+
+def synthetic_media_real(spark, n: int = 9) -> DataFrame:
+    """Media rows whose payloads are REAL encoded formats — deterministic
+    PNG images (seeded gradient+noise), 16-bit WAV tones, and baseline
+    JPEG images — so image/audio pipelines run the true decoders end to
+    end (no ``fake`` flag anywhere)."""
+    from .jpegcodec import encode_jpeg
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "image")[i % 3]
+        rng = np.random.default_rng(1000 + i)
+        if kind == "image":
+            h, w = 12 + (i % 2) * 8, 16 + (i % 3) * 8
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            img = np.stack([(x * 5 + i) % 256, (y * 7) % 256,
+                            rng.integers(0, 256, (h, w))],
+                           axis=2).astype(np.uint8)
+            if i % 3 == 0:
+                payload, mime = encode_png(img), "image/png"
+            else:
+                payload, mime = encode_jpeg(img, 95), "image/jpeg"
+        else:
+            h = w = 0
+            t = np.arange(2048, dtype=np.float64)
+            freq = 0.01 + 0.005 * i
+            pcm = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+            payload, mime = encode_wav(pcm), "audio/wav"
+        rows.append({"media_id": f"m-{i:04d}", "kind": kind, "mime": mime,
+                     "width": w, "height": h, "n_frames": None,
+                     "payload": bytearray(payload)})
+    return spark.createDataFrame(rows, schema=MEDIA)

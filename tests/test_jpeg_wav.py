@@ -114,3 +114,33 @@ def test_wav_roundtrip_and_mixdown():
     # compressed audio still refuses without fake=True
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"\xff\xfb mp3ish")
+
+
+def test_real_media_pipeline_end_to_end(spark):
+    """The Spark media pipeline over REAL payloads — PNG and JPEG through
+    image_features, WAV through audio_features — with no fake flag; the
+    features must match a driver-side numpy recomputation of the same
+    decode + resize / window math."""
+    media = M.synthetic_media_real(spark, n=9)
+    rows = {r.media_id: r for r in media.collect()}
+
+    feats = {r.media_id: np.array(r.feat)
+             for r in M.image_features(media, out_w=4, out_h=4,
+                                       fake_decode=False).collect()}
+    n_img = sum(1 for r in rows.values() if r.kind == "image")
+    assert len(feats) == n_img > 0
+    for mid, f in feats.items():
+        img = M.decode_image(bytes(rows[mid].payload), 0, 0)
+        small = M.resize_nearest(img, 4, 4)
+        want = (small.astype(np.float32) / 255.0).mean(axis=2).ravel()
+        assert np.allclose(f, want, atol=1e-6)
+
+    af = M.audio_features(media, window=512, fake_decode=False).collect()
+    assert {r.media_id for r in af} == \
+        {m for m, r in rows.items() if r.kind == "audio"}
+    for r in af:
+        pcm = M.decode_wav(bytes(rows[r.media_id].payload))
+        w = pcm[r.window_idx * 512:(r.window_idx + 1) * 512]
+        assert r.rms == pytest.approx(
+            float(np.sqrt((w.astype(np.float64) ** 2).mean())), rel=1e-5)
+        assert r.peak == pytest.approx(float(np.abs(w).max()), rel=1e-5)
