@@ -72,10 +72,10 @@ def test_jpeg_refuses_out_of_subset():
     prog = bytes(enc[:sof + 1]) + b"\xc2" + bytes(enc[sof + 2:])
     with pytest.raises(ValueError, match="baseline"):
         J.decode_jpeg(prog)
-    # subsampled component (2x2 sampling factors)
+    # out-of-range sampling factors
     sub = bytearray(enc)
-    sub[sof + 11] = 0x22                 # hv byte of component 1
-    with pytest.raises(ValueError, match="subsampled"):
+    sub[sof + 11] = 0x55                 # hv byte of component 1
+    with pytest.raises(ValueError, match="bad sampling"):
         J.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError, match="not a JPEG"):
         J.decode_jpeg(b"nope")
@@ -144,3 +144,31 @@ def test_real_media_pipeline_end_to_end(spark):
         assert r.rms == pytest.approx(
             float(np.sqrt((w.astype(np.float64) ** 2).mean())), rel=1e-5)
         assert r.peak == pytest.approx(float(np.abs(w).max()), rel=1e-5)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — the layout virtually every real JPEG uses. Luma stays as
+    tight as 4:4:4; chroma carries the inherent 2x2-averaging loss, so the
+    check compares against the chroma-downsampled reference."""
+    x, y = np.meshgrid(np.arange(41), np.arange(27))
+    img = np.stack([(x * 3 + y * 2) % 256, (x * 2 + 60) % 256,
+                    (255 - y * 4) % 256], axis=2).astype(np.uint8)
+    enc = J.encode_jpeg(img, quality=95, subsample=True)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    # luma of the decode matches luma of the source tightly
+    def luma(a):
+        return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                + 0.114 * a[:, :, 2])
+    assert np.abs(luma(dec) - luma(img)).max() <= 3.0
+    # whole-image error bounded by the chroma averaging
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    # flat-chroma image: 4:2:0 loses almost nothing
+    img2 = np.stack([((x + y) * 3) % 256, np.full_like(x, 90),
+                     np.full_like(x, 170)], axis=2).astype(np.uint8)
+    d2 = J.decode_jpeg(J.encode_jpeg(img2, 95, subsample=True))
+    assert np.abs(d2.astype(int) - img2.astype(int)).max() <= 4
+    # and decode_image dispatches it like any JPEG
+    from balrog_spark import mediaops as MM
+    assert (MM.decode_image(enc, 0, 0) == dec).all()
