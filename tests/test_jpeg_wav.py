@@ -172,3 +172,30 @@ def test_jpeg_420_subsampled_roundtrip():
     # and decode_image dispatches it like any JPEG
     from balrog_spark import mediaops as MM
     assert (MM.decode_image(enc, 0, 0) == dec).all()
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: markers every N MCUs, byte alignment, DC predictor reset
+    — decode must be identical to the no-restart stream, and a stream with
+    the WRONG restart marker ordinal must be refused."""
+    x, y = np.meshgrid(np.arange(41), np.arange(27))
+    img = np.stack([(x * 3 + y * 2) % 256, (x * 2 + 60) % 256,
+                    (255 - y * 4) % 256], axis=2).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, 95))
+    for sub in (False, True):
+        for ri in (1, 3):
+            enc = J.encode_jpeg(img, 95, subsample=sub,
+                                restart_interval=ri)
+            assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+            dec = J.decode_jpeg(enc)
+            if not sub:
+                assert (dec == base).all()   # same data path, same pixels
+            else:
+                assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    # corrupt the first restart marker's ordinal -> refused
+    enc = bytearray(J.encode_jpeg(img, 95, restart_interval=2))
+    p = bytes(enc).index(b"\xff\xd0")
+    enc[p + 1] = 0xD5
+    with pytest.raises(ValueError, match="expected RST"):
+        J.decode_jpeg(bytes(enc))
