@@ -97,6 +97,37 @@ def streaming_address_counts(spark: SparkSession, drop_dir: str):
     return addrs.groupBy("fdi").count()
 
 
+def start_snapshot_ingest(spark: SparkSession, drop_dir: str,
+                          table_dir: str, checkpoint_dir: str):
+    """Stream -> versioned-table sink: each micro-batch of valid documents
+    commits ONE snapshot (metrics carry the batch id and row count) — the
+    canonical foreachBatch + idempotent-commit pattern for exactly-once
+    streaming writes into an Iceberg-style table. Idempotence is by batch
+    id: a batch replayed after a checkpoint rollback or crash finds its
+    snapshot already committed and skips, so the table never double-counts
+    (Structured Streaming guarantees replays keep their batch id). History
+    doubles as the ingest ledger: time travel to snapshot N shows the
+    corpus exactly as of batch N."""
+    from . import snapshots
+
+    src = with_span_violations(read_document_stream(spark, drop_dir))
+    ok = src.filter(F.col("n_violations") == 0).drop("n_violations")
+
+    def commit(batch_df, batch_id: int):
+        stage = f"stream-batch-{batch_id}"
+        if any(rec.get("stage") == stage
+               for rec in snapshots.history(table_dir)):
+            return                     # replayed batch: already committed
+        snapshots.commit_append(
+            batch_df, table_dir, stage=stage,
+            metrics={"batch_id": int(batch_id),
+                     "rows": batch_df.count()})
+
+    return (ok.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 # ---------------------------------------------------------------------------
 # event-time processing: a nightly/quarterly drop carries a release
 # timestamp per document; TIMED_DOCUMENTS is DOCUMENTS + that event time

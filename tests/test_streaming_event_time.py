@@ -95,3 +95,43 @@ def test_dedup_stream_across_batches_and_restart(spark, tmp_path):
     run()
     emitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert emitted == ["A", "B", "C", "D", "E"]
+
+
+def test_snapshot_ingest_exactly_once_and_time_travel(spark, tmp_path):
+    """foreachBatch -> snapshot commits: one snapshot per micro-batch with
+    batch metrics, exactly-once across checkpoint loss (replayed batch ids
+    are skipped), and time travel shows the corpus as of each batch."""
+    import shutil
+
+    from balrog_spark import corpus, snapshots
+
+    drop = str(tmp_path / "drop3")
+    table = str(tmp_path / "table3")
+    ckpt = str(tmp_path / "ckpt3")
+
+    d1 = corpus.spark_documents(spark, 1, 1)
+    d1.coalesce(1).write.mode("append").parquet(drop)
+    n1 = d1.count()
+    q = streaming.start_snapshot_ingest(spark, drop, table, ckpt)
+    q.awaitTermination(180)
+    assert snapshots.read_table(spark, table).count() == n1
+    h = snapshots.history(table)
+    assert [r["stage"] for r in h] == ["stream-batch-0"]
+    assert h[0]["metrics"]["rows"] == n1
+
+    # second drop appends batch 1; table = both, snapshot 1 = first only
+    d2 = corpus.spark_documents(spark, 2, 2)
+    d2.coalesce(1).write.mode("append").parquet(drop)
+    n2 = d2.count()
+    q = streaming.start_snapshot_ingest(spark, drop, table, ckpt)
+    q.awaitTermination(180)
+    assert snapshots.read_table(spark, table).count() == n1 + n2
+    assert snapshots.read_table(spark, table, as_of=1).count() == n1
+
+    # checkpoint loss: Structured Streaming replays EVERYTHING from batch
+    # 0 — the batch-id ledger must swallow the replay without duplicating
+    shutil.rmtree(ckpt)
+    q = streaming.start_snapshot_ingest(spark, drop, table, ckpt)
+    q.awaitTermination(180)
+    assert snapshots.read_table(spark, table).count() == n1 + n2
+    assert len(snapshots.history(table)) == 2
