@@ -105,6 +105,12 @@ def _visible_dirs(table_dir: str, snapshot_id: int | None) -> list[str]:
     return _load(table_dir, snapshot_id)["data_dirs"]
 
 
+def _rows_on_disk(spark: SparkSession, table_dir: str, rel: str) -> int:
+    """Row count of a written data dir from its parquet footers — describes
+    what is actually on disk without re-executing the writing plan."""
+    return spark.read.parquet(os.path.join(table_dir, rel)).count()
+
+
 def _write_data(df: DataFrame, table_dir: str, tag: str) -> str:
     """Write df to a fresh immutable data dir; returns the dir name
     (relative to table_dir). Overwrite keeps a crashed previous attempt
@@ -128,7 +134,9 @@ def commit_append(df: DataFrame, table_dir: str, stage: str = "",
         dirs = dirs + [rel]
     return _publish(table_dir, {
         "operation": "append", "stage": stage, "data_dirs": dirs,
-        "schema": df.schema.jsonValue(), "metrics": metrics or {},
+        "schema": df.schema.jsonValue(),
+        "metrics": dict(metrics or {}, rows_written=_rows_on_disk(
+            df.sparkSession, table_dir, rel)),
     })
 
 
@@ -140,7 +148,9 @@ def commit_overwrite(df: DataFrame, table_dir: str, stage: str = "",
     rel = _write_data(df, table_dir, f"snap-{attempt:05d}")
     return _publish(table_dir, {
         "operation": "overwrite", "stage": stage, "data_dirs": [rel],
-        "schema": df.schema.jsonValue(), "metrics": metrics or {},
+        "schema": df.schema.jsonValue(),
+        "metrics": dict(metrics or {}, rows_written=_rows_on_disk(
+            df.sparkSession, table_dir, rel)),
     })
 
 

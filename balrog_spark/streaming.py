@@ -118,10 +118,10 @@ def start_snapshot_ingest(spark: SparkSession, drop_dir: str,
         if any(rec.get("stage") == stage
                for rec in snapshots.history(table_dir)):
             return                     # replayed batch: already committed
-        snapshots.commit_append(
-            batch_df, table_dir, stage=stage,
-            metrics={"batch_id": int(batch_id),
-                     "rows": batch_df.count()})
+        # rows_written is derived inside commit_append from the files on
+        # disk — the batch plan executes exactly once (the write)
+        snapshots.commit_append(batch_df, table_dir, stage=stage,
+                                metrics={"batch_id": int(batch_id)})
 
     return (ok.writeStream.foreachBatch(commit)
             .option("checkpointLocation", checkpoint_dir)

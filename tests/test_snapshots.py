@@ -34,7 +34,9 @@ def test_append_time_travel_history(spark, tmp_path):
     h = S.history(t)
     assert [r["snapshot_id"] for r in h] == [1, 2, 3]
     assert [r["parent_id"] for r in h] == [None, 1, 2]
-    assert h[0]["metrics"] == {"rows": 2}
+    assert h[0]["metrics"] == {"rows": 2, "rows_written": 2}
+    # every commit records what actually landed on disk
+    assert [r["metrics"]["rows_written"] for r in h] == [2, 1, 1]
     assert all(r["operation"] == "append" for r in h)
 
 

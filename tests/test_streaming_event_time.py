@@ -117,7 +117,7 @@ def test_snapshot_ingest_exactly_once_and_time_travel(spark, tmp_path):
     assert snapshots.read_table(spark, table).count() == n1
     h = snapshots.history(table)
     assert [r["stage"] for r in h] == ["stream-batch-0"]
-    assert h[0]["metrics"]["rows"] == n1
+    assert h[0]["metrics"]["rows_written"] == n1
 
     # second drop appends batch 1; table = both, snapshot 1 = first only
     d2 = corpus.spark_documents(spark, 2, 2)
