@@ -412,8 +412,23 @@ def synthetic_media_real(spark, n: int = 9) -> DataFrame:
     from .jpegcodec import encode_jpeg
     rows = []
     for i in range(n):
-        kind = ("image", "audio", "image")[i % 3]
+        kind = ("image", "audio", "video")[i % 3]
         rng = np.random.default_rng(1000 + i)
+        if kind == "video":
+            # MJPEG: concatenated baseline-JPEG frames
+            h, w = 16, 16
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            frames = []
+            for fi in range(6):
+                frm = np.stack([(xx * 9 + fi * 40) % 256, (yy * 11) % 256,
+                                np.full_like(xx, 30 * fi)],
+                               axis=2).astype(np.uint8)
+                frames.append(encode_jpeg(frm, 95))
+            rows.append({"media_id": f"m-{i:04d}", "kind": kind,
+                         "mime": "video/x-motion-jpeg", "width": w,
+                         "height": h, "n_frames": 6,
+                         "payload": bytearray(b"".join(frames))})
+            continue
         if kind == "image":
             h, w = 12 + (i % 2) * 8, 16 + (i % 3) * 8
             x, y = np.meshgrid(np.arange(w), np.arange(h))
@@ -434,3 +449,52 @@ def synthetic_media_real(spark, n: int = 9) -> DataFrame:
                      "width": w, "height": h, "n_frames": None,
                      "payload": bytearray(payload)})
     return spark.createDataFrame(rows, schema=MEDIA)
+
+
+def split_mjpeg(payload: bytes) -> list:
+    """Split an MJPEG stream (concatenated JPEG frames — the wire format of
+    motion-JPEG cameras) into per-frame byte ranges. Exact: inside JPEG
+    entropy data every 0xFF is followed by 0x00 or RSTn, so an EOI marker
+    (FFD9) can only be a real frame end."""
+    frames, i = [], 0
+    while True:
+        start = payload.find(b"\xff\xd8", i)
+        if start < 0:
+            break
+        end = payload.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            break
+        frames.append(payload[start:end + 2])
+        i = end + 2
+    return frames
+
+
+def decode_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling WITH real decode: split each video payload's
+    MJPEG stream, keep every ``every_n``-th frame, decode it with the
+    baseline JPEG codec, and emit the same grayscale thumbnail features
+    image_features emits — the full sample->decode->featurize path of a
+    video curation pipeline, one Arrow batch per task."""
+    from .jpegcodec import decode_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.kind != "video":
+                    continue
+                frames = split_mjpeg(bytes(r.payload))
+                for fi in range(0, len(frames), every_n):
+                    img = decode_jpeg(frames[fi])
+                    small = resize_nearest(img, 8, 8)
+                    feat = (small.astype(np.float32) / 255.0) \
+                        .mean(axis=2).ravel()
+                    rows.append({"media_id": r.media_id, "feat": feat,
+                                 "out_w": 8, "out_h": 8,
+                                 "frame_idx": fi})
+            cols = [f.name for f in FEATURES] + ["frame_idx"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = StructType(list(FEATURES.fields)
+                        + [StructField("frame_idx", LongType(), False)])
+    return media.mapInPandas(gen, schema=schema)

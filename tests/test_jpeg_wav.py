@@ -199,3 +199,28 @@ def test_jpeg_restart_intervals():
     enc[p + 1] = 0xD5
     with pytest.raises(ValueError, match="expected RST"):
         J.decode_jpeg(bytes(enc))
+
+
+def test_mjpeg_video_frame_decode(spark):
+    """Video is real now too: MJPEG payloads split exactly at EOI markers,
+    sampled frames decode through the JPEG codec inside Spark, and each
+    feature row matches a driver-side recompute."""
+    media = M.synthetic_media_real(spark, n=9)
+    vids = {r.media_id: bytes(r.payload)
+            for r in media.collect() if r.kind == "video"}
+    assert vids
+    got = M.decode_frames(media, every_n=2).collect()
+    assert {r.media_id for r in got} == set(vids)
+    for r in got:
+        frames = M.split_mjpeg(vids[r.media_id])
+        assert len(frames) == 6
+        from balrog_spark.jpegcodec import decode_jpeg
+        img = decode_jpeg(frames[r.frame_idx])
+        small = M.resize_nearest(img, 8, 8)
+        want = (small.astype(np.float32) / 255.0).mean(axis=2).ravel()
+        assert np.allclose(np.array(r.feat), want, atol=1e-6)
+    # every_n=2 over 6 frames -> frames 0, 2, 4
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 2, 4] for v in by_vid.values())
