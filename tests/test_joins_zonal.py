@@ -191,3 +191,19 @@ def test_zonal_batching_matches_per_address_semantics(spark, corpus_dfs):
         .sort_values("addr_id").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_join_exact_at_tiny_ring_budget(corpus_dfs, flat):
+    """max_ring=1 starves the ring expansion, forcing most points through
+    the bounded exact straggler pass — the result must still equal the
+    brute force (and hence the default-budget run) exactly."""
+    docs, _ = corpus_dfs
+    addrs, vegs = flat
+    got = joins.knn_join(
+        docparse.addresses_from_documents(docs).select("addr_id", "x", "y"),
+        docparse.veg_from_documents(docs), max_ring=1).toPandas()
+    assert len(got) == len(addrs)
+    exp = brute_force_nearest(addrs, vegs)
+    for r in got.itertuples():
+        ev, ed = exp[r.addr_id]
+        assert r.veg_id == ev and abs(r.distance_m - ed) < 1e-9

@@ -220,3 +220,46 @@ def test_cell_pack_unpack_roundtrip(cxy):
     # cells are distinct
     keys = cells.morton_key(cx, cy)
     assert len(set(zip(cx, cy))) == len(set(keys.tolist()))
+
+
+@st.composite
+def int_holed_boxes(draw):
+    """1-4 integer boxes, each with an integer hole strictly inside where
+    the box is big enough."""
+    n = draw(st.integers(min_value=1, max_value=4))
+    polys = []
+    for _ in range(n):
+        x0 = draw(st.integers(min_value=-12, max_value=8))
+        y0 = draw(st.integers(min_value=-12, max_value=8))
+        w = draw(st.integers(min_value=1, max_value=9))
+        h = draw(st.integers(min_value=1, max_value=9))
+        rings = [_box_ring(x0, y0, x0 + w, y0 + h)]
+        if w >= 3 and h >= 3:
+            hx = draw(st.integers(min_value=x0 + 1, max_value=x0 + w - 2))
+            hy = draw(st.integers(min_value=y0 + 1, max_value=y0 + h - 2))
+            rings.append(_box_ring(hx, hy, hx + 1, hy + 1))
+        polys.append(rings)
+    return polys
+
+
+@given(int_holed_boxes())
+def test_union_area_exact_with_holes_on_integer_grid(polys):
+    """union_area over HOLED, overlapping polygons == exact unit-cell count
+    where each polygon covers (exterior minus its holes, even-odd) and the
+    union is the boolean OR — one polygon's hole may be filled by another
+    polygon's exterior, which the oracle paints naturally."""
+    got = geometry.union_area(polys)
+    grid = np.zeros((60, 60), dtype=bool)
+    for rings in polys:
+        cover = np.zeros_like(grid)
+        x0, y0, x1, y1 = (int(v) for v in
+                          (rings[0][:, 0].min(), rings[0][:, 1].min(),
+                           rings[0][:, 0].max(), rings[0][:, 1].max()))
+        cover[x0 + 20:x1 + 20, y0 + 20:y1 + 20] = True
+        for hole in rings[1:]:
+            hx0, hy0, hx1, hy1 = (int(v) for v in
+                                  (hole[:, 0].min(), hole[:, 1].min(),
+                                   hole[:, 0].max(), hole[:, 1].max()))
+            cover[hx0 + 20:hx1 + 20, hy0 + 20:hy1 + 20] = False
+        grid |= cover
+    assert np.isclose(got, float(grid.sum()), rtol=0, atol=1e-6)
