@@ -2206,6 +2206,40 @@ def chain_polygonize_dissolve(spark, sf_dir):
                     .alias("union_area_m2")))
 
 
+@q("a5_salted_agg", """
+SELECT l_returnflag AS rf, l_linestatus AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(MAX(l_extendedprice), 2) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY 1, 2""")
+def a5_salted_agg(spark, sf_dir):
+    """A5 under the gate: the hot-key SALTED two-level aggregate
+    (skew.salted_aggregate — pre-count, salt hot keys across [0,n_salt),
+    partial per (key, salt), final merge per key) must equal a plain
+    GROUP BY for algebraic aggregates. threshold=100 makes every lineitem
+    (returnflag, linestatus) key hot at sf0.01, so the salting path — not
+    the cold bypass — is what the oracle checks. Quantities are integral
+    doubles, so the salted partial-sum order cannot perturb the sum
+    (exact in fp); max is order-free."""
+    from . import skew
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        "l_quantity", "l_extendedprice")
+    out = skew.salted_aggregate(
+        li, ["rf", "ls"],
+        partial_aggs={"pn": F.count("*"), "ps": F.sum("l_quantity"),
+                      "pm": F.max("l_extendedprice")},
+        final_aggs={"n_rows": F.sum("pn"), "sum_qty": F.sum("ps"),
+                    "max_price": F.max("pm")},
+        threshold=100, n_salt=8)
+    return out.select(
+        "rf", "ls", F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_qty", 2).cast("double").alias("sum_qty"),
+        F.round("max_price", 2).cast("double").alias("max_price"))
+
+
 def all_queries():
     return dict(QUERIES)
 
