@@ -277,7 +277,10 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     """
     spark = points.sparkSession
     cover = polygon_cover(polys, cell_m).cache()
-    cover_b = _maybe_broadcast(cover, broadcast_cover)
+    if broadcast_cover is None:
+        broadcast_cover = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
+                           .count() <= AUTO_BROADCAST_MAX_COVER_ROWS)
+    cover_b = F.broadcast(cover) if broadcast_cover else cover
     # one count of the probe side up front (pre-shuffle plan) replaces a
     # full anti-join isEmpty scan of it per ring round below
     n_pts = points.count()
@@ -343,7 +346,10 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
             # shuffle AQE coalesces to ONE partition; without a re-spread
             # the annulus explode (hundreds of offsets per point) and its
             # refine UDF would run as a single task (measured 6x on the
-            # whole join at sf0.1)
+            # whole join at sf0.1). This holds for BOTH cover strategies:
+            # AQE coalesces the shuffle-cover join's output by bytes too,
+            # so skipping the re-spread there was measured 6x slower —
+            # don't "optimize" this away.
             unresolved = unresolved.repartition(n_par)
         offs = [(dx, dy) for dx in range(-r, r + 1)
                 for dy in range(-r, r + 1)
