@@ -2240,6 +2240,37 @@ def a5_salted_agg(spark, sf_dir):
         F.round("max_price", 2).cast("double").alias("max_price"))
 
 
+@q("s3_point_sample", f"""
+SELECT CAST(event_id // {_GRID_W} AS BIGINT) AS r,
+       CAST(event_id % {_GRID_W} AS BIGINT) AS c,
+       CAST(((event_id // {_GRID_W}) // 3 + (event_id % {_GRID_W}) // 4)
+            % 3 + 1 AS BIGINT) AS val
+FROM events WHERE event_id % 7 = 0""")
+def s3_point_sample(spark, sf_dir):
+    """S3 point sampling ("raster value at this point") through the
+    PURE-COLUMN path: tile ids from point coordinates -> equi-join ->
+    element_at pixel lookup — no UDF anywhere, whole-stage codegen end to
+    end (raster.sample_tiles_at_points). Points are pixel centres of every
+    7th event; the sampled value must be exactly that pixel's class."""
+    from . import raster as raster_mod
+
+    tiles, n_rows = _events_class_tiles(spark, sf_dir)
+    TR, TC, px = 10, 25, 25.0
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0) \
+        .selectExpr("event_id", f"event_id DIV {_GRID_W} AS r",
+                    f"event_id % {_GRID_W} AS c")
+    pts = ev.select(
+        "r", "c",
+        ((F.col("c") + F.lit(0.5)) * px).alias("x"),
+        ((F.lit(n_rows - 1) - F.col("r") + F.lit(0.5)) * px).alias("y"))
+    out = raster_mod.sample_tiles_at_points(pts, tiles,
+                                           tile_w_m=TC * px,
+                                           tile_h_m=TR * px)
+    return out.select(F.col("r").cast("long").alias("r"),
+                      F.col("c").cast("long").alias("c"),
+                      F.round("value").cast("long").alias("val"))
+
+
 def all_queries():
     return dict(QUERIES)
 

@@ -826,3 +826,29 @@ def polygonize_components(rects: DataFrame, max_rounds: int = 20
             break
     return labels.select("nid", "class_val",
                          F.col("label").alias("component"))
+
+
+def sample_tiles_at_points(points: DataFrame, tiles: DataFrame,
+                           tile_w_m: float, tile_h_m: float | None = None,
+                           x="x", y="y") -> DataFrame:
+    """Point sampling (the "raster value at this address" primitive,
+    reference: testing/xx_get_elevation_aspect_slope.py point lookups) as
+    PURE column math: tile ids from point coordinates -> equi-join on
+    (tile_x, tile_y) -> pixel index arithmetic -> ``element_at`` on the
+    tile's data array. No UDF, no explode — the whole operator stays
+    inside whole-stage codegen, and the join broadcasts or hash-partitions
+    like any other equi-join. Data row 0 is the tile's northernmost row
+    (the engine's tile convention)."""
+    if tile_h_m is None:
+        tile_h_m = tile_w_m
+    pts = points.withColumn(
+        "tile_x", F.floor(F.col(x) / F.lit(tile_w_m)).cast("int")) \
+        .withColumn("tile_y",
+                    F.floor(F.col(y) / F.lit(tile_h_m)).cast("int"))
+    j = pts.join(tiles, ["tile_x", "tile_y"])
+    col_i = F.floor((F.col(x) - F.col("x0")) / F.col("pixel_m"))
+    row_i = (F.col("nrows") - 1
+             - F.floor((F.col(y) - F.col("y0")) / F.col("pixel_m")))
+    idx = (row_i * F.col("ncols") + col_i + 1).cast("int")  # 1-based
+    return j.select(*points.columns, "layer",
+                    F.element_at("data", idx).alias("value"))
