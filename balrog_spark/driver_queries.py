@@ -2271,6 +2271,61 @@ def s3_point_sample(spark, sf_dir):
                       F.round("value").cast("long").alias("val"))
 
 
+_BM25_TERMS = ("join", "window", "scan")
+
+
+def _bm25_oracle_sql():
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS)))
+    terms = " + ".join(
+        f"""ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5)
+               / (CAST(df_{i} AS DOUBLE) + 0.5))
+            * CAST(tf_{i} AS DOUBLE) * CAST(2.2 AS DOUBLE)
+            / (CAST(tf_{i} AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+                 * (0.25 + CAST(0.75 AS DOUBLE) * dl / avgdl))"""
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                      ' ') AS toks
+  FROM documents
+  WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM n),
+g AS (
+  SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl,
+         {df_cols}
+  FROM d)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(round(0.0 + {terms}, 4) AS DOUBLE) AS bm25
+FROM d, g"""
+
+
+@q("text_bm25", _bm25_oracle_sql())
+def text_bm25(spark, sf_dir):
+    """BM25 relevance of every document against a fixed query (terms:
+    join/window/scan; k1=1.2, b=0.75) — the retrieval-style relevance
+    score a curation pipeline ranks with. Engine plan: one pass of
+    per-doc term frequencies (pure array columns), corpus stats (N,
+    avgdl, per-term df) as ONE aggregate row broadcast back, then codegen
+    math; the oracle evaluates the identical formula with the identical
+    literal and operation order so the doubles agree past the 4-dp
+    rounding."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.bm25_scores(d, _BM25_TERMS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("dl").cast("long").alias("dl"),
+                      F.round("bm25", 4).cast("double").alias("bm25"))
+
+
 def all_queries():
     return dict(QUERIES)
 

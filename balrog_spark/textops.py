@@ -421,3 +421,41 @@ def stratified_sample(docs: DataFrame, fractions_bp: dict,
         thr = F.when(F.col("bucket") == b,
                      F.lit(int(fractions_bp[b]))).otherwise(thr)
     return sel.filter(F.col("sample_key") < thr)
+
+
+def bm25_scores(docs: DataFrame, terms, k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term list —
+    the classic retrieval/quality score a curation pipeline ranks with.
+    One pass computes per-doc term frequencies and length (pure columns);
+    the corpus statistics (N, avgdl, per-term document frequency) are ONE
+    aggregate row broadcast back onto the docs (scalar-subquery shape), so
+    the whole operator is a scan + one tiny aggregate + codegen math —
+    no UDF, no per-term join."""
+    n = normalize(docs, text_col, id_col).filter(F.length("norm") > 0)
+    toks = F.split(F.trim(F.col("norm")), " ")
+
+    def tf_of(term):
+        # NB: a single-arg lambda; a (w, t=term) default would make pyspark
+        # treat it as the two-arg (value, index) form and bind the INDEX
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    d = n.select("doc_id", F.size(toks).alias("dl"),
+                 *[tf_of(t).alias(f"tf_{i}")
+                   for i, t in enumerate(terms)])
+    g = d.agg(F.count("*").alias("n_docs"),
+              F.avg("dl").alias("avgdl"),
+              *[F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+                .alias(f"df_{i}") for i in range(len(terms))])
+    j = d.crossJoin(F.broadcast(g))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5))
+                    / (df + F.lit(0.5)))
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    return j.select("doc_id", "dl", score.alias("bm25"))
