@@ -453,19 +453,53 @@ def synthetic_media_real(spark, n: int = 9) -> DataFrame:
 
 def split_mjpeg(payload: bytes) -> list:
     """Split an MJPEG stream (concatenated JPEG frames — the wire format of
-    motion-JPEG cameras) into per-frame byte ranges. Exact: inside JPEG
-    entropy data every 0xFF is followed by 0x00 or RSTn, so an EOI marker
-    (FFD9) can only be a real frame end."""
-    frames, i = [], 0
+    motion-JPEG cameras) into per-frame byte ranges. Exact for well-formed
+    streams: marker SEGMENTS (APPn/EXIF/COM/DQT/...) are skipped by their
+    length fields — their payloads may legally contain the FF D9 byte pair,
+    so a naive find() can split mid-frame on real camera output — while in
+    entropy-coded data every 0xFF is stuffed (FF 00) or a restart marker,
+    so the first bare FF D9 after SOS is the true frame end."""
+    frames, i, n = [], 0, len(payload)
     while True:
         start = payload.find(b"\xff\xd8", i)
         if start < 0:
             break
-        end = payload.find(b"\xff\xd9", start + 2)
-        if end < 0:
+        p, end = start + 2, None
+        while p + 1 < n:
+            if payload[p] != 0xFF:
+                p += 1  # tolerate junk between segments
+                continue
+            m = payload[p + 1]
+            if m == 0xD9:  # EOI
+                end = p + 2
+                break
+            if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD8:
+                # fill byte / TEM / RSTn / stray SOI: no length field
+                p += 1 if m == 0xFF else 2
+                continue
+            if p + 3 >= n:
+                break
+            seglen = (payload[p + 2] << 8) | payload[p + 3]
+            if m != 0xDA:  # ordinary segment: skip its payload wholesale
+                p += 2 + seglen
+                continue
+            # SOS: skip the header, then walk entropy data (FF00-stuffed,
+            # RSTn allowed) until the next real marker
+            q = p + 2 + seglen
+            while q + 1 < n:
+                if payload[q] != 0xFF:
+                    q += 1
+                elif payload[q + 1] == 0x00 or 0xD0 <= payload[q + 1] <= 0xD7:
+                    q += 2
+                elif payload[q + 1] == 0xFF:
+                    q += 1
+                else:
+                    break
+            p = q
+        if end is None:
             break
-        frames.append(payload[start:end + 2])
-        i = end + 2
+        frames.append(payload[start:end])
+        i = end
     return frames
 
 

@@ -850,5 +850,11 @@ def sample_tiles_at_points(points: DataFrame, tiles: DataFrame,
     row_i = (F.col("nrows") - 1
              - F.floor((F.col(y) - F.col("y0")) / F.col("pixel_m")))
     idx = (row_i * F.col("ncols") + col_i + 1).cast("int")  # 1-based
-    return j.select(*points.columns, "layer",
-                    F.element_at("data", idx).alias("value"))
+    # bounds guard: a point inside the tile's GRID cell but outside its
+    # DATA extent (short tile at a layer edge) must sample null — a
+    # negative element_at index silently reads from the END of the array
+    value = F.when(
+        row_i.between(F.lit(0), F.col("nrows") - 1)
+        & col_i.between(F.lit(0), F.col("ncols") - 1),
+        F.element_at("data", idx))
+    return j.select(*points.columns, "layer", value.alias("value"))

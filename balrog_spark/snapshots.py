@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,13 +51,20 @@ def _version_path(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(_log_dir(table_dir), f"v-{snapshot_id:05d}.json")
 
 
-def current_snapshot_id(table_dir: str) -> int | None:
+def _all_ids(table_dir: str) -> list[int]:
+    """Snapshot ids that actually exist on disk, ascending. Expiry deletes
+    old version files, so the log need not start at 1 — never iterate
+    range(1, current); enumerate."""
     log = _log_dir(table_dir)
     if not os.path.isdir(log):
-        return None
-    ids = [int(fn[2:-5]) for fn in os.listdir(log)
-           if fn.startswith("v-") and fn.endswith(".json")]
-    return max(ids) if ids else None
+        return []
+    return sorted(int(fn[2:-5]) for fn in os.listdir(log)
+                  if fn.startswith("v-") and fn.endswith(".json"))
+
+
+def current_snapshot_id(table_dir: str) -> int | None:
+    ids = _all_ids(table_dir)
+    return ids[-1] if ids else None
 
 
 def _load(table_dir: str, snapshot_id: int) -> dict:
@@ -68,11 +76,10 @@ def _load(table_dir: str, snapshot_id: int) -> dict:
 
 
 def history(table_dir: str) -> list[dict]:
-    """All snapshots oldest-first (id, parent, operation, metrics, ...)."""
-    cur = current_snapshot_id(table_dir)
-    if cur is None:
-        return []
-    return [_load(table_dir, i) for i in range(1, cur + 1)]
+    """All RETAINED snapshots oldest-first (id, parent, operation, metrics,
+    ...). Enumerates existing version files rather than 1..current, so an
+    expired table (or resume over one) never KeyErrors on the gap."""
+    return [_load(table_dir, i) for i in _all_ids(table_dir)]
 
 
 def _publish(table_dir: str, rec: dict) -> int:
@@ -111,11 +118,19 @@ def _rows_on_disk(spark: SparkSession, table_dir: str, rel: str) -> int:
     return spark.read.parquet(os.path.join(table_dir, rel)).count()
 
 
-def _write_data(df: DataFrame, table_dir: str, tag: str) -> str:
+def _write_data(df: DataFrame, table_dir: str, tag: str,
+                unique: bool = True) -> str:
     """Write df to a fresh immutable data dir; returns the dir name
-    (relative to table_dir). Overwrite keeps a crashed previous attempt
-    from wedging the retry — the dir is invisible until a commit names
-    it."""
+    (relative to table_dir). ``unique`` appends a writer-unique suffix
+    (pid + uuid) so two racing writers can NEVER stage into the same dir:
+    only the version-file publish may race (and it conflicts loudly).
+    Without the suffix, the loser's ``mode(overwrite)`` stage could clobber
+    the winner's already-published data dir. Orphan dirs from the loser
+    stay invisible (no snapshot names them) and are never reclaimed by
+    expire_snapshots — the same garbage Iceberg leaves for
+    remove_orphan_files."""
+    if unique:
+        tag = f"{tag}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     rel = os.path.join("data", tag)
     df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
     return rel
@@ -124,9 +139,10 @@ def _write_data(df: DataFrame, table_dir: str, tag: str) -> str:
 def commit_append(df: DataFrame, table_dir: str, stage: str = "",
                   metrics: dict | None = None) -> int:
     """Append ``df`` as a new snapshot: parent's visible dirs + one new
-    immutable dir. Re-appending an identical tag is impossible (tags are
-    derived from the version being attempted), so concurrent appends
-    conflict at publish time instead of corrupting each other."""
+    immutable dir. Each writer stages to its own unique dir and the
+    published snapshot records that exact dir, so concurrent appends
+    conflict at publish time instead of corrupting each other; the loser's
+    staged dir is an invisible orphan."""
     attempt = (current_snapshot_id(table_dir) or 0) + 1
     rel = _write_data(df, table_dir, f"snap-{attempt:05d}")
     dirs = _visible_dirs(table_dir, current_snapshot_id(table_dir))
@@ -187,16 +203,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots and DELETE data dirs
     no retained snapshot references (Iceberg ``expire_snapshots``) —
     the storage-reclaim half of the versioning contract. Returns the
-    expired snapshot ids."""
-    cur = current_snapshot_id(table_dir)
-    if cur is None:
+    expired snapshot ids. Enumerates existing ids, so repeated expiry on an
+    already-expired table is a no-op, not a KeyError."""
+    ids = _all_ids(table_dir)
+    if not ids:
         return []
-    cutoff = max(1, cur - keep_last + 1)
+    retained = ids[max(0, len(ids) - keep_last):] if keep_last > 0 else []
     keep_dirs: set[str] = set()
-    for i in range(cutoff, cur + 1):
+    for i in retained:
         keep_dirs.update(_visible_dirs(table_dir, i))
     expired = []
-    for i in range(1, cutoff):
+    for i in ids:
+        if i in retained:
+            continue
         for rel in _visible_dirs(table_dir, i):
             if rel not in keep_dirs:
                 shutil.rmtree(os.path.join(table_dir, rel),

@@ -224,3 +224,32 @@ def test_mjpeg_video_frame_decode(spark):
     for r in got:
         by_vid.setdefault(r.media_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 2, 4] for v in by_vid.values())
+
+
+def test_mjpeg_split_survives_ffd9_inside_marker_segments():
+    """Regression: real camera MJPEG carries APPn/COM/DQT segments whose
+    binary payloads can contain the FF D9 byte pair; a naive find() split
+    mid-frame there. The splitter must walk marker segments by their
+    length fields and only treat a bare post-SOS FF D9 as EOI."""
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+           * 7 % 256).astype(np.uint8)
+    plain = J.encode_jpeg(img, 90)
+    assert plain[:2] == b"\xff\xd8"
+
+    # inject an EXIF-ish APP1 segment containing FF D9 right after SOI
+    evil = b"Exif\x00\x00" + b"\xff\xd9" * 3 + b"\x00\xff\xd9tail"
+    app1 = b"\xff\xe1" + (len(evil) + 2).to_bytes(2, "big") + evil
+    framed = plain[:2] + app1 + plain[2:]
+
+    # and a COM segment with FF D9 in a second frame
+    com = b"\xff\xfe" + (12).to_bytes(2, "big") + b"ab\xff\xd9cdefgh"
+    frame2 = plain[:2] + com + plain[2:]
+
+    stream = framed + frame2 + plain
+    frames = M.split_mjpeg(stream)
+    assert len(frames) == 3
+    assert frames[0] == framed and frames[1] == frame2 and frames[2] == plain
+    # every recovered frame still decodes to the same pixels
+    base = J.decode_jpeg(plain)
+    for f in frames:
+        assert (J.decode_jpeg(f) == base).all()

@@ -232,3 +232,31 @@ def test_extent_mask_matches_reference_expected_shapefile(spark):
     assert abs(got.ymin - ymin) < 1e-3
     assert abs(got.xmax - xmax) < 1e-3
     assert abs(got.ymax - ymax) < 1e-3
+
+
+def test_point_sample_out_of_extent_is_null(spark):
+    """Regression: a point inside a tile's GRID cell but outside its DATA
+    extent (short edge tile) produced a negative row index, and a negative
+    element_at silently read a pixel from the END of the array. Out-of-
+    extent samples must be null."""
+    from balrog_spark import raster as R
+
+    # tile cell is 100x100 m, but the stored raster is only 2 rows x 3 cols
+    # of 10 m pixels anchored at (0, 0): data extent x in [0,30), y in [0,20)
+    data = [float(v) for v in [1, 2, 3,
+                               4, 5, 6]]
+    tiles = spark.createDataFrame(
+        [("t", "dem", 0, 0, 0.0, 0.0, 10.0, 2, 3, data)],
+        "media_ref string, layer string, tile_x int, tile_y int, "
+        "x0 double, y0 double, pixel_m double, nrows int, ncols int, "
+        "data array<float>")
+    pts = spark.createDataFrame(
+        [("in00", 5.0, 5.0),     # row 1, col 0 -> 4
+         ("in21", 25.0, 15.0),   # row 0, col 2 -> 3
+         ("oob_x", 55.0, 5.0),   # inside cell, east of data extent
+         ("oob_y", 5.0, 75.0)],  # inside cell, north of data extent
+        "pid string, x double, y double")
+    got = {r.pid: r.value
+           for r in R.sample_tiles_at_points(pts, tiles, 100.0).collect()}
+    assert got["in00"] == 4.0 and got["in21"] == 3.0
+    assert got["oob_x"] is None and got["oob_y"] is None

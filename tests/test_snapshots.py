@@ -100,9 +100,11 @@ def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tmp_path):
     S.commit_append(_mk(spark, [(1, 10)]), t)
     S.commit_overwrite(_mk(spark, [(2, 20)]), t)
     S.commit_append(_mk(spark, [(3, 30)]), t)
+    # capture snapshot 1's (writer-unique) data dir before it is expired
+    v1_dirs = S._visible_dirs(t, 1)
     assert S.expire_snapshots(t, keep_last=2) == [1]
     # snapshot 1's dir is referenced by nothing retained -> deleted
-    assert not os.path.isdir(os.path.join(t, "data", "snap-00001"))
+    assert all(not os.path.isdir(os.path.join(t, rel)) for rel in v1_dirs)
     # retained versions still read exactly
     assert _rows(S.read_table(spark, t)) == [(2, 20), (3, 30)]
     assert _rows(S.read_table(spark, t, as_of=2)) == [(2, 20)]
@@ -153,3 +155,52 @@ def test_lineage_into_snapshots_resumes_mid_run(spark, tmp_path):
         n = S.read_table(spark, t, as_of=i).count()
         assert n >= n_prev
         n_prev = n
+
+
+def test_history_and_resume_survive_expiry(spark, tmp_path):
+    """Regression: history() used range(1, current) and KeyError'd on any
+    expired table, breaking run_partitioned_snapshots resume and the
+    streaming sink's batch idempotence. It must enumerate retained ids."""
+    t = str(tmp_path / "tbl")
+    for k in range(1, 5):
+        S.commit_append(_mk(spark, [(k, k * 10)]), t, stage="load")
+    assert S.expire_snapshots(t, keep_last=2) == [1, 2]
+    h = S.history(t)  # raised KeyError before the fix
+    assert [r["snapshot_id"] for r in h] == [3, 4]
+    # repeated expiry on an already-expired table is a clean no-op
+    assert S.expire_snapshots(t, keep_last=2) == []
+    # appends keep working over the id gap
+    S.commit_append(_mk(spark, [(9, 90)]), t, stage="load")
+    assert [r["snapshot_id"] for r in S.history(t)] == [3, 4, 5]
+    assert S.expire_snapshots(t, keep_last=1) == [3, 4]
+    assert _rows(S.read_table(spark, t)) == [(1, 10), (2, 20), (3, 30),
+                                             (4, 40), (9, 90)]
+
+
+def test_racing_writers_never_clobber_staged_data(spark, tmp_path):
+    """Regression: both racing appenders derived the same staged dir name
+    from the attempted version and the loser's mode('overwrite') write
+    clobbered the winner's published data. Staging is now writer-unique;
+    only the version publish races (loudly)."""
+    t = str(tmp_path / "tbl")
+    S.commit_append(_mk(spark, [(1, 10)]), t)
+    # two writers race toward version 2: both stage BEFORE either publishes
+    rel_a = S._write_data(_mk(spark, [(2, 20)]), t, "snap-00002")
+    rel_b = S._write_data(_mk(spark, [(666, 666)]), t, "snap-00002")
+    assert rel_a != rel_b  # unique staging — clobber impossible
+    base = S._visible_dirs(t, S.current_snapshot_id(t))
+    S._publish(t, {"operation": "append", "stage": "",
+                   "data_dirs": base + [rel_a], "schema": {},
+                   "metrics": {}})
+    # the loser publishes from its stale current-snapshot read -> conflict
+    orig = S.current_snapshot_id
+    S.current_snapshot_id = lambda _t: 1
+    try:
+        with pytest.raises(S.CommitConflict):
+            S._publish(t, {"operation": "append", "stage": "",
+                           "data_dirs": base + [rel_b], "schema": {},
+                           "metrics": {}})
+    finally:
+        S.current_snapshot_id = orig
+    # the winner's committed rows are exactly its staged data
+    assert _rows(S.read_table(spark, t)) == [(1, 10), (2, 20)]
