@@ -36,7 +36,11 @@ def get_spark(app: str = "balrog_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves startup + port churn in tests); the
+        # shuffle-volume measurement tools set SPARK_GRAFT_UI=true to read
+        # per-stage metrics from the UI REST endpoint
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI",
+                                                   "false"))
         .config("spark.sql.session.timeZone", "UTC")
     )
     # shuffle to tmpfs when available: local-mode shuffles are tiny vs RAM

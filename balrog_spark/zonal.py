@@ -50,11 +50,20 @@ DEFAULT_BATCH_M = 2 * TILE_M
 
 
 def tiles_for_buffers(points: DataFrame, tiles: DataFrame,
-                      radius_m: float, tile_m: float = TILE_M) -> DataFrame:
+                      radius_m: float, tile_m: float = TILE_M,
+                      crop: bool = True) -> DataFrame:
     """LEFT-join each point to every tile its buffer bbox touches —
     sequence + explode keeps the fan-out in codegen; the join is a plain
     equi-join that AQE can broadcast when the tile side is small. Points
-    whose candidate tiles are absent keep a null-tile row (sentinel path)."""
+    whose candidate tiles are absent keep a null-tile row (sentinel path).
+
+    ``crop=True`` (default) immediately slices each joined tile's ``data``
+    down to the point's buffer-bbox window (see _crop_to_buffer_window):
+    the (address x tile) rows that cross the downstream batch-groupBy
+    shuffle then carry ~(2r/pixel)^2 values instead of the full tile^2 —
+    at 14M addresses x 64^2..256^2-pixel tiles that is the difference
+    between shuffling hundreds of GB and a few GB. ``crop=False`` keeps
+    the full tiles (measurement / debugging only)."""
     pts = points.select(
         "addr_id", "x", "y",
         F.explode(F.sequence(
@@ -71,8 +80,63 @@ def tiles_for_buffers(points: DataFrame, tiles: DataFrame,
         F.col("ty").cast("int").alias("tile_y"))
     n = pts.sparkSession.sparkContext.defaultParallelism
     # spread the probe side: broadcast tile joins keep its partitioning
-    return pts.repartition(n, "addr_id") \
+    joined = pts.repartition(n, "addr_id") \
         .join(tiles, ["tile_x", "tile_y"], "left")
+    return _crop_to_buffer_window(joined, radius_m) if crop else joined
+
+
+def _crop_to_buffer_window(joined: DataFrame, radius_m: float) -> DataFrame:
+    """Project each (address, tile) row's ``data`` array down to the
+    sub-window of pixels whose centres can possibly fall inside the buffer
+    circle — PURE column expressions (sequence/transform/slice/flatten, all
+    codegen), no UDF, evaluated BEFORE the batch-cell groupBy so the
+    shuffle ships windows, not tiles.
+
+    The window is deliberately one pixel generous on every side (floor-1 /
+    ceil+1): correctness never depends on the bounds because the exact
+    centre-in-circle mask is re-applied downstream (_in_buffer_values) on
+    the cropped tile's own x0/y0/nrows/ncols, which this projection
+    rewrites to describe the window. Left-join miss rows (null tile) pass
+    through null; a degenerate window yields an EMPTY tile (nrows=ncols=0),
+    which downstream treats as zero surviving pixels."""
+    r = F.lit(float(radius_m))
+    px = F.col("pixel_m")
+    n_, m_ = F.col("nrows"), F.col("ncols")
+    # pixel-centre column/row ranges intersecting the buffer bbox,
+    # clamped to the tile (data row 0 is the NORTH edge: y of row i is
+    # y0 + (nrows - i - 0.5) * pixel_m)
+    c0 = F.greatest(F.lit(0),
+                    (F.floor((F.col("x") - r - F.col("x0")) / px) - 1)
+                    .cast("int"))
+    c1 = F.least(m_, (F.ceil((F.col("x") + r - F.col("x0")) / px) + 1)
+                 .cast("int"))
+    r0 = F.greatest(F.lit(0),
+                    (F.floor(n_ - (F.col("y") + r - F.col("y0")) / px) - 1)
+                    .cast("int"))
+    r1 = F.least(n_, (F.ceil(n_ - (F.col("y") - r - F.col("y0")) / px) + 1)
+                 .cast("int"))
+    width = c1 - c0
+
+    def row_slice(rr):
+        return F.slice(F.col("data"), rr * m_ + c0 + F.lit(1), width)
+
+    data_t = joined.schema["data"].dataType
+    valid = F.col("data").isNotNull() & (r1 > r0) & (c1 > c0)
+    window = F.flatten(F.transform(F.sequence(r0, r1 - 1), row_slice))
+    cropped = F.when(valid, window).otherwise(
+        F.when(F.col("data").isNotNull(), F.array().cast(data_t)))
+    zero_if_empty = lambda col: F.when(  # noqa: E731
+        valid, col).otherwise(
+        F.when(F.col("data").isNotNull(), F.lit(0)).cast("int"))
+    passthrough = [c for c in joined.columns
+                   if c not in ("data", "nrows", "ncols", "x0", "y0")]
+    return joined.select(
+        *passthrough,
+        cropped.alias("data"),
+        zero_if_empty(r1 - r0).alias("nrows"),
+        zero_if_empty(width).alias("ncols"),
+        (F.col("x0") + c0.cast("double") * px).alias("x0"),
+        (F.col("y0") + (n_ - r1).cast("double") * px).alias("y0"))
 
 
 def _in_buffer_values(r, x: float, y: float, radius_m: float,
@@ -103,9 +167,10 @@ def _batched(joined: DataFrame, per_batch, out_schema,
 def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
                 circular: bool = False, sentinel: float = -9999.0,
                 nodata: float = -99.0,
-                batch_m: float = DEFAULT_BATCH_M) -> DataFrame:
+                batch_m: float = DEFAULT_BATCH_M,
+                crop: bool = True) -> DataFrame:
     """Per-point stats of one raster layer within a circular buffer."""
-    joined = tiles_for_buffers(points, tiles, radius_m)
+    joined = tiles_for_buffers(points, tiles, radius_m, crop=crop)
 
     def stats(key, group: pd.DataFrame):
         rows = []
@@ -132,14 +197,15 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
                       layer_specs: dict,
                       sentinel: float = -9999.0,
                       nodata: float = -99.0,
-                      batch_m: float = DEFAULT_BATCH_M) -> DataFrame:
+                      batch_m: float = DEFAULT_BATCH_M,
+                      crop: bool = True) -> DataFrame:
     """Multi-layer zonal stats in ONE shuffle: ``layer_specs`` maps layer
     name -> {"circular": bool}; output has one column group per layer
     (<layer>_min .. <layer>_pixel_count). Halves the join/groupBy cost of
     running slope and aspect separately — the dominant fixed cost of the
     per-address pipeline."""
     layers = sorted(layer_specs)
-    joined = tiles_for_buffers(points, tiles, radius_m)
+    joined = tiles_for_buffers(points, tiles, radius_m, crop=crop)
 
     fields = [StructField("addr_id", StringType(), False),
               StructField("buffer_size_m", DoubleType(), False)]

@@ -207,3 +207,33 @@ def test_knn_join_exact_at_tiny_ring_budget(corpus_dfs, flat):
     for r in got.itertuples():
         ev, ed = exp[r.addr_id]
         assert r.veg_id == ev and abs(r.distance_m - ed) < 1e-9
+
+
+def test_zonal_crop_equals_full_tiles(spark):
+    """The buffer-window crop (production shuffle shape) must be
+    bit-identical to shuffling full tiles: random addresses plus
+    tile-boundary and out-of-coverage corners, both layers."""
+    import random
+
+    import pandas as pd
+
+    from balrog_spark import corpus, raster, zonal
+
+    tiles = corpus.spark_tiles(spark, 3, 3)
+    sa = raster.slope_aspect_tiles(tiles, classify=False)
+    rng = random.Random(7)
+    world = 3 * corpus.TILE_M
+    rows = [(f"{i:05d}", rng.uniform(0, world), rng.uniform(0, world))
+            for i in range(120)]
+    rows += [("edge1", float(corpus.TILE_M), float(corpus.TILE_M)),
+             ("edge2", 2 * corpus.TILE_M - 0.5, 0.5),
+             ("edge3", 0.0, world),            # NW corner of coverage
+             ("out1", world + 5000.0, 100.0)]  # sentinel path
+    pts = spark.createDataFrame(rows, "addr_id string, x double, y double")
+    specs = {"slope": {"circular": False}, "aspect": {"circular": True}}
+    a = zonal.zonal_stats_multi(pts, sa, 100.0, specs, crop=True) \
+        .toPandas().sort_values("addr_id").reset_index(drop=True)
+    b = zonal.zonal_stats_multi(pts, sa, 100.0, specs, crop=False) \
+        .toPandas().sort_values("addr_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a[a.addr_id == "out1"].slope_med.iloc[0] == -9999
