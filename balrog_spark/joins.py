@@ -45,19 +45,35 @@ def _geom_of(wkt: str):
     return polys
 
 
-# auto broadcast threshold: above this many cover ROWS the full-WKT cover is
-# too big to ship to every executor (reference scale: 9.4M NVIS polygons);
-# the join falls back to a shuffle hash/SMJ on cell_id, which distributes
-# the cover bytes instead of replicating them per executor
+# auto broadcast thresholds: the decision is by estimated BYTES (cover rows
+# x mean WKT length), not rows alone — 300k rows of multi-KB subdivided
+# multipolygon WKT is a multi-GB replicate-per-executor broadcast that a
+# row count waves through. Above either bound the join falls back to a
+# shuffle hash/SMJ on cell_id, which distributes the cover bytes instead
+# of replicating them (reference scale: 9.4M NVIS polygons).
 AUTO_BROADCAST_MAX_COVER_ROWS = 300_000
+AUTO_BROADCAST_MAX_COVER_BYTES = 512 << 20
+_WKT_ROW_OVERHEAD_B = 64  # ids + struct framing per cover row
+
+
+def _cover_fits_broadcast(cover: DataFrame) -> bool:
+    """ONE truncated job over the (tiny vs points) cover side: count rows
+    up to the row cap and average the WKT length over that same prefix;
+    broadcast only if both the row AND estimated-byte bounds hold."""
+    probe = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
+             .agg(F.count("*").alias("n"),
+                  F.avg(F.length("wkt")).alias("w")).collect()[0])
+    if probe.n > AUTO_BROADCAST_MAX_COVER_ROWS:
+        return False
+    est = probe.n * ((probe.w or 0.0) + _WKT_ROW_OVERHEAD_B)
+    return est <= AUTO_BROADCAST_MAX_COVER_BYTES
 
 
 def _maybe_broadcast(cover: DataFrame, broadcast_cover):
-    """broadcast_cover True/False forces the strategy; None = auto by a
-    cheap cover-row count (one lightweight job over the tiny polygon side)."""
+    """broadcast_cover True/False forces the strategy; None = auto by the
+    byte-based estimate above (one lightweight job over the cover side)."""
     if broadcast_cover is None:
-        broadcast_cover = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
-                           .count() <= AUTO_BROADCAST_MAX_COVER_ROWS)
+        broadcast_cover = _cover_fits_broadcast(cover)
     return F.broadcast(cover) if broadcast_cover else cover
 
 
@@ -154,6 +170,12 @@ def _refine_schema(extra_cols):
     return StructType(fields)
 
 
+# a straggler frontier at or below this many points is cheap to broadcast
+# as the SMALL side of the final exact cross join (~40 B/point -> ~2 MB);
+# above it, ring doubling keeps shrinking the frontier first
+STRAGGLER_DIRECT_MAX = 50_000
+
+
 def _spread(df: DataFrame, key: str = "addr_id") -> DataFrame:
     """Repartition the (large) probe side across the cluster. Broadcast
     joins preserve the probe side's partitioning, so a single-file parquet
@@ -170,13 +192,19 @@ def pip_join(points: DataFrame, polys: DataFrame,
 
     ``broadcast_cover``: True broadcasts the full-WKT cover (small layers);
     False shuffle-joins a cell-CLIPPED cover (bounded per-cell bytes — the
-    9.4M-polygon path); None auto-selects by cover row count."""
+    9.4M-polygon path); None auto-selects by estimated cover bytes."""
     if broadcast_cover is None:
-        broadcast_cover = (
-            polygon_cover(polys, cell_m)
-            .limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1).count()
-            <= AUTO_BROADCAST_MAX_COVER_ROWS)
-    cover = polygon_cover(polys, cell_m, clip=not broadcast_cover)
+        # cache the unclipped cover for the probe: if the decision is
+        # "broadcast" the cached rows are reused as the real build side
+        # (no second cover computation); only the shuffle path pays for a
+        # second (clip-aware) cover build, where it is unavoidable —
+        # clipped and unclipped covers are different data
+        probe_cover = polygon_cover(polys, cell_m).cache()
+        broadcast_cover = _cover_fits_broadcast(probe_cover)
+        cover = probe_cover if broadcast_cover \
+            else polygon_cover(polys, cell_m, clip=True)
+    else:
+        cover = polygon_cover(polys, cell_m, clip=not broadcast_cover)
     if broadcast_cover:
         cover = F.broadcast(cover)
     pts = _spread(with_cell(points, cell_m))
@@ -278,8 +306,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     spark = points.sparkSession
     cover = polygon_cover(polys, cell_m).cache()
     if broadcast_cover is None:
-        broadcast_cover = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
-                           .count() <= AUTO_BROADCAST_MAX_COVER_ROWS)
+        broadcast_cover = _cover_fits_broadcast(cover)
     cover_b = F.broadcast(cover) if broadcast_cover else cover
     # one count of the probe side up front (pre-shuffle plan) replaces a
     # full anti-join isEmpty scan of it per ring round below
@@ -296,6 +323,10 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         StructField("near_x", DoubleType(), False),
         StructField("near_y", DoubleType(), False),
     ])
+    if cover.limit(1).count() == 0:
+        # no polygons at all: there is no nearest neighbour to find, and
+        # the straggler ring-doubling below could never terminate
+        return spark.createDataFrame([], out_schema)
 
     def best_candidates(cand: DataFrame) -> DataFrame:
         def refine(batches):
@@ -395,16 +426,56 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         unresolved = unresolved.join(done.select("addr_id"), "addr_id",
                                      "left_anti")
         best_so_far = pending
+    # ring budget exhausted. NEVER broadcast the polygon set to finish
+    # the stragglers (9.4M full-WKT rows replicated per executor kills
+    # the driver on a pathological far-from-everything point set).
+    # Instead: (1) while the frontier is too big to be a broadcast small
+    # side itself, keep DOUBLING the ring with column-generated annuli
+    # (explode(sequence) x2 — plan size O(1) however wide the ring, unlike
+    # the literal offset arrays of the scheduled rounds) joined against
+    # the distributed cover; (2) once the frontier is small, finish it
+    # exactly with a cross join that broadcasts the SMALL (point) side and
+    # streams the polygon partitions.
+    while (best_so_far is not None and n_resolved < n_pts
+           and (n_pts - n_resolved) > STRAGGLER_DIRECT_MAX):
+        r = prev * 2
+        unresolved = unresolved.repartition(n_par)
+        ann = (unresolved
+               .select("addr_id", "x", "y", "cell_id",
+                       F.explode(F.sequence(F.lit(-r), F.lit(r)))
+                       .alias("dx"))
+               .select("addr_id", "x", "y", "cell_id", "dx",
+                       F.explode(F.sequence(F.lit(-r), F.lit(r)))
+                       .alias("dy"))
+               .filter(F.greatest(F.abs("dx"), F.abs("dy")) > F.lit(prev))
+               .select("addr_id", "x", "y",
+                       (F.col("cell_id") + F.col("dx") * F.lit(1 << 20)
+                        + F.col("dy")).alias("probe_cell")))
+        cand = ann.join(
+            cover_b.withColumnRenamed("cell_id", "probe_cell"),
+            "probe_cell")
+        scored = best_candidates(cand).unionByName(best_so_far)
+        best = _argmin_per_addr(scored, out_schema).localCheckpoint(
+            eager=True)
+        bound = r * cell_m
+        done = best.filter(F.col("distance_m") <= F.lit(bound))
+        pending = best.filter(F.col("distance_m") > F.lit(bound))
+        resolved_parts.append(done)
+        n_resolved += done.count()
+        unresolved = unresolved.join(done.select("addr_id"), "addr_id",
+                                     "left_anti")
+        best_so_far = pending
+        prev = r
+        if n_resolved >= n_pts:
+            best_so_far = None
     if best_so_far is not None:
-        # ring budget exhausted: finish the stragglers exactly with a
-        # cross join against the (distinct) polygon set — by now the
-        # unresolved set is tiny, so the product is bounded
-        polys = cover.select("veg_id", "bal_number", "wkt").distinct() \
-            .withColumn("probe_cell", F.lit(0))
-        far = unresolved.repartition(n_par) \
-            .withColumn("probe_cell", F.lit(0)) \
-            .join(F.broadcast(polys), "probe_cell")
-        scored = best_candidates(far).unionByName(best_so_far)
+        polys_all = cover.select("veg_id", "bal_number", "wkt").distinct() \
+            .repartition(n_par)
+        far = F.broadcast(
+            unresolved.select("addr_id", "x", "y").localCheckpoint(
+                eager=True))
+        scored = best_candidates(polys_all.crossJoin(far)) \
+            .unionByName(best_so_far)
         resolved_parts.append(_argmin_per_addr(scored, out_schema))
 
     out = resolved_parts[0]

@@ -158,3 +158,120 @@ def test_clipped_cover_pip_matches_full_cover(spark):
     dy = np.abs(pts[:, 1] - 500)
     exp = ((dx < 450) & (dy < 450)) & ~((dx < 200) & (dy < 200))
     assert set(a.addr_id) == {f"{i:04d}" for i in np.nonzero(exp)[0]}
+
+
+def _box_wkt(x1, y1, x2, y2):
+    return (f"POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, "
+            f"{x1} {y2}, {x1} {y1}))")
+
+
+def _rect_nearest(pts, boxes):
+    """Expected nearest box per point: exact rectangle distance."""
+    exp = {}
+    for i, (px, py) in enumerate(pts):
+        best = None
+        for b in boxes:
+            dx = max(b["x1"] - px, 0.0, px - b["x2"])
+            dy = max(b["y1"] - py, 0.0, py - b["y2"])
+            d = float(np.hypot(dx, dy))
+            key = (d, b["veg_id"])
+            if best is None or key < best:
+                best = key
+        exp[f"{i:04d}"] = best
+    return exp
+
+
+def _far_fixture(spark):
+    """Vegetation clustered in one corner, addresses ~10 km away: every
+    point starves a max_ring=1 budget and lands in the straggler machinery
+    (ring doubling needs ~5 rounds at 400 m cells before anything is in
+    range)."""
+    boxes = []
+    rng = np.random.default_rng(11)
+    for i in range(6):
+        x1, y1 = rng.uniform(0, 600, 2)
+        w, h = rng.uniform(40, 160, 2)
+        boxes.append({"veg_id": f"{i:03d}", "bal_number": i + 1,
+                      "x1": x1, "y1": y1, "x2": x1 + w, "y2": y1 + h})
+    pts = np.column_stack([rng.uniform(9_000, 11_000, 25),
+                           rng.uniform(9_000, 11_000, 25)])
+    sp = spark.createDataFrame(pd.DataFrame(
+        {"addr_id": [f"{i:04d}" for i in range(len(pts))],
+         "x": pts[:, 0], "y": pts[:, 1]}))
+    sv = spark.createDataFrame(pd.DataFrame(
+        [{"veg_id": b["veg_id"], "bal_number": b["bal_number"],
+          "wkt": _box_wkt(b["x1"], b["y1"], b["x2"], b["y2"])}
+         for b in boxes]))
+    return sp, sv, _rect_nearest(pts, boxes)
+
+
+def test_knn_straggler_ring_doubling_resolves_far_points(spark, monkeypatch):
+    """Verdict corner: ring exhaustion on a NON-broadcast cover must not
+    broadcast the polygon set. With the direct-pass threshold pinned to 0
+    the engine may ONLY use column-generated ring doubling — it must still
+    terminate and match the exact rectangle-distance answer."""
+    sp, sv, exp = _far_fixture(spark)
+    monkeypatch.setattr(joins, "STRAGGLER_DIRECT_MAX", 0)
+    got = joins.knn_join(sp, sv, max_ring=1,
+                         broadcast_cover=False).toPandas()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        ed, ev = exp[r.addr_id]
+        assert r.veg_id == ev and abs(r.distance_m - ed) < 1e-9
+
+
+def test_knn_straggler_cross_pass_broadcasts_points_not_polygons(spark):
+    """The final exact pass cross-joins with the POINT side broadcast and
+    polygon partitions streamed (never a full-polygon broadcast). Forced
+    here by max_ring=1 + far points + a shuffle cover."""
+    sp, sv, exp = _far_fixture(spark)
+    got = joins.knn_join(sp, sv, max_ring=1,
+                         broadcast_cover=False).toPandas()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        ed, ev = exp[r.addr_id]
+        assert r.veg_id == ev and abs(r.distance_m - ed) < 1e-9
+
+
+def test_knn_empty_cover_returns_empty(spark):
+    sp, _, _ = _far_fixture(spark)
+    sv = spark.createDataFrame(
+        [], "veg_id string, bal_number long, wkt string")
+    assert joins.knn_join(sp, sv, max_ring=1).count() == 0
+
+
+def test_broadcast_threshold_is_byte_based(spark, monkeypatch):
+    """Verdict corner: the auto broadcast decision must estimate BYTES
+    (rows x mean WKT length), not rows — a cover far under the row cap but
+    over the byte cap must take the shuffle path, and that path must agree
+    with the forced-broadcast result."""
+    rng = np.random.default_rng(5)
+    polys = []
+    for i in range(8):
+        cx, cy = rng.uniform(200, 1800, 2)
+        # ~200-vertex ring -> several KB of WKT per row
+        ang = np.linspace(0, 2 * np.pi, 201)[:-1]
+        rad = 60 + 10 * np.sin(5 * ang)
+        ring = ", ".join(f"{cx + rad[k] * np.cos(ang[k]):.6f} "
+                         f"{cy + rad[k] * np.sin(ang[k]):.6f}"
+                         for k in range(len(ang)))
+        first = ring.split(",")[0].strip()
+        polys.append({"veg_id": f"{i:03d}", "bal_number": i + 1,
+                      "wkt": f"POLYGON (({ring}, {first}))"})
+    sv = spark.createDataFrame(pd.DataFrame(polys))
+    pts = _rng_points(80, 0, 2000, 9)
+    sp = spark.createDataFrame(pd.DataFrame(
+        {"addr_id": [f"{i:04d}" for i in range(len(pts))],
+         "x": pts[:, 0], "y": pts[:, 1]}))
+
+    cover = joins.polygon_cover(sv)
+    assert joins._cover_fits_broadcast(cover)  # default caps: fits fine
+    monkeypatch.setattr(joins, "AUTO_BROADCAST_MAX_COVER_BYTES", 16_000)
+    assert not joins._cover_fits_broadcast(cover)  # rows alone said yes
+    # auto now routes to the shuffle/clipped path; results identical
+    a = joins.pip_join(sp, sv).toPandas()
+    b = joins.pip_join(sp, sv, broadcast_cover=True).toPandas()
+    assert set(zip(a.addr_id, a.veg_id)) == set(zip(b.addr_id, b.veg_id))
+    d1 = joins.dwithin_join(sp, sv, 120.0).toPandas()
+    d2 = joins.dwithin_join(sp, sv, 120.0, broadcast_cover=True).toPandas()
+    assert set(zip(d1.addr_id, d1.veg_id)) == set(zip(d2.addr_id, d2.veg_id))
