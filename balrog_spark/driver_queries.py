@@ -2326,6 +2326,321 @@ def text_bm25(spark, sf_dir):
                       F.round("bm25", 4).cast("double").alias("bm25"))
 
 
+# ---------------------------------------------------------------------------
+# flagship full-chain value oracle: kNN distance/azimuth + raster zonal
+# medians + AS 3959 lookup in ONE gate-checked query (the reference's whole
+# per-address lifecycle, reference: data_prep/vegetation/
+# xx_fiona_testing.py:88-172). entry() smoke-checks rows>0; this is the
+# value-hash check of the same composition over SQL-replicable inputs: the
+# DEM comes from the events grid (the r4 closed form, incl. the engine's
+# float32 tile storage, mirrored with CAST(.. AS REAL)), addresses/boxes
+# are hashed into the grid world.
+# ---------------------------------------------------------------------------
+
+_FLAG_TILE_PX = 10  # 10x10-px (250 m) square DEM tiles
+
+
+def _flag_dem_tiles(spark, sf_dir):
+    """Pack the events grid's closed-form DEM (z = 300 + 150 sin(.21c)
+    cos(.17r)) into square 10x10-px float32 'dem' tiles — the same tile
+    convention corpus tiles use (row 0 north, tile_y from the south)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, StringType, StructField,
+                                   StructType)
+
+    T = _FLAG_TILE_PX
+    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    n_ty = max(R // T, 1)
+    used = n_ty * T
+    ev = _load(spark, sf_dir, "events").selectExpr(
+        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id % {_GRID_W} AS c").filter(F.col("r") < used)
+
+    tile_schema = StructType([
+        StructField("media_ref", StringType(), False),
+        StructField("layer", StringType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("pixel_m", DoubleType(), False),
+        StructField("nrows", IntegerType(), False),
+        StructField("ncols", IntegerType(), False),
+        StructField("data", ArrayType(FloatType()), False)])
+
+    def pack(key, pdf: pd.DataFrame):
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros((T, T), dtype=np.float64)
+        lr = (pdf.r.values % T).astype(int)
+        lc = (pdf.c.values % T).astype(int)
+        arr[lr, lc] = (300.0 + 150.0 * np.sin(pdf.c.values * 0.21)
+                       * np.cos(pdf.r.values * 0.17))
+        return pd.DataFrame([{
+            "media_ref": f"dem/{tx}/{ty}", "layer": "dem",
+            "tile_x": tx, "tile_y": ty,
+            "x0": tx * T * 25.0, "y0": ty * T * 25.0, "pixel_m": 25.0,
+            "nrows": T, "ncols": T,
+            "data": arr.astype(np.float32).ravel()}])
+
+    return ev.groupBy(
+        (F.col("c") / T).cast("int").alias("_tx"),
+        (F.lit(n_ty - 1) - (F.col("r") / T).cast("int")).alias("_ty")) \
+        .applyInPandas(pack, schema=tile_schema)
+
+
+def _flagship_oracle_sql() -> str:
+    T = _FLAG_TILE_PX
+    sc_chain = _remap_cte_chain(slope_remap(90.0), "zstats", "addr_id",
+                                "slope_med", "sc")
+    ac_chain = _remap_cte_chain(ASPECT_REMAP, "zstats", "addr_id",
+                                "aspect_med", "ac")
+    return f"""
+WITH consts AS (
+  SELECT ((count(*) // {_GRID_W}) // {T}) * {T} AS used,
+         (count(*) // {_GRID_W}) * 25 AS hm
+  FROM events),
+points AS (
+  SELECT c_custkey AS addr_id,
+         CAST((c_custkey * 2654435761) % 2500 AS DOUBLE) + 0.125 AS x,
+         CAST((c_custkey * 2246822519) % (SELECT hm FROM consts)
+              AS DOUBLE) + 0.625 AS y,
+         CASE (c_custkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80
+              WHEN 2 THEN 50 ELSE 40 END AS fdi
+  FROM customer),
+boxes AS (
+  SELECT s_suppkey AS veg_id,
+         CAST((s_suppkey * 3266489917) % 2500 AS DOUBLE) + 0.5 AS cx,
+         CAST((s_suppkey * 668265263) % (SELECT hm FROM consts)
+              AS DOUBLE) + 0.5 AS cy,
+         CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw,
+         CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh,
+         CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number
+  FROM supplier),
+scored AS (
+  SELECT p.addr_id, p.x, p.y, p.fdi, b.veg_id, b.bal_number,
+         b.cx, b.cy, b.hw, b.hh, {_BOX_DIST} AS d
+  FROM points p CROSS JOIN boxes b),
+nearest AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY addr_id
+                             ORDER BY d ASC, veg_id ASC) = 1),
+-- nearest boundary point: clamp outside; inside, perpendicular foot on
+-- the closest edge with the engine's segment-order tie-break
+-- (bottom, right, top, left — WKT ring order, argmin keeps the first)
+npt AS (
+  SELECT *,
+         (abs(x - cx) <= hw AND abs(y - cy) <= hh) AS ins,
+         x - (cx - hw) AS dl, (cx + hw) - x AS dr,
+         y - (cy - hh) AS db, (cy + hh) - y AS dt
+  FROM nearest),
+azi AS (
+  SELECT addr_id, fdi, veg_id, bal_number, d, x, y,
+         CASE WHEN NOT ins THEN greatest(cx - hw, least(cx + hw, x))
+              WHEN db <= dr AND db <= dt AND db <= dl THEN x
+              WHEN dr <= dt AND dr <= dl THEN cx + hw
+              WHEN dt <= dl THEN x
+              ELSE cx - hw END AS nx,
+         CASE WHEN NOT ins THEN greatest(cy - hh, least(cy + hh, y))
+              WHEN db <= dr AND db <= dt AND db <= dl THEN cy - hh
+              WHEN dr <= dt AND dr <= dl THEN y
+              WHEN dt <= dl THEN cy + hh
+              ELSE y END AS ny
+  FROM npt),
+dircls AS (
+  SELECT addr_id, fdi, veg_id, bal_number, d,
+         ((CAST(round(degrees(atan2(nx - x, ny - y)) / 45.0) AS BIGINT)
+           % 8) + 8) % 8 + 1 AS dir_class
+  FROM azi),
+-- DEM -> slope/aspect, float32 tile storage mirrored with REAL casts
+grid AS (
+  SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         CAST(CAST(300.0 + 150.0 * sin((event_id % {_GRID_W}) * 0.21)
+                   * cos((event_id // {_GRID_W}) * 0.17) AS REAL)
+              AS DOUBLE) AS z
+  FROM events
+  WHERE event_id // {_GRID_W} < (SELECT used FROM consts)),
+g2 AS (
+  SELECT r, c,
+         CASE WHEN r = 0 THEN (lead(z) OVER wc - z) / 25.0
+              WHEN r = (SELECT max(r) FROM grid)
+                   THEN (z - lag(z) OVER wc) / 25.0
+              ELSE (lead(z) OVER wc - lag(z) OVER wc) / 50.0 END AS dzdx,
+         CASE WHEN c = 0 THEN (lead(z) OVER wr - z) / 25.0
+              WHEN c = {_GRID_W - 1} THEN (z - lag(z) OVER wr) / 25.0
+              ELSE (lead(z) OVER wr - lag(z) OVER wr) / 50.0 END AS dzdy
+  FROM grid
+  WINDOW wc AS (PARTITION BY c ORDER BY r),
+         wr AS (PARTITION BY r ORDER BY c)),
+g3 AS (
+  SELECT r, c,
+         CAST(CAST(atan(sqrt(dzdx * dzdx + dzdy * dzdy)) / {_RADC!r}
+                   AS REAL) AS DOUBLE) AS sv,
+         CAST(CAST(
+           CASE WHEN dzdy = 0 AND dzdx = 0 THEN
+                ((450.0 - atan2(0.0, -0.0) / {_RADC!r}) % 360.0 + 360.0)
+                % 360.0
+           ELSE ((450.0 - atan2(dzdy, -dzdx) / {_RADC!r}) % 360.0 + 360.0)
+                % 360.0 END AS REAL) AS DOUBLE) AS av
+  FROM g2),
+pix AS (
+  SELECT (c + 0.5) * 25.0 AS xc,
+         ((SELECT used FROM consts) - r - 0.5) * 25.0 AS yc, sv, av
+  FROM g3),
+zjoin AS (
+  SELECT p.addr_id, t.sv, t.av
+  FROM points p JOIN pix t
+    ON t.xc BETWEEN p.x - 100.0 AND p.x + 100.0
+   AND t.yc BETWEEN p.y - 100.0 AND p.y + 100.0
+   AND (t.xc - p.x) * (t.xc - p.x) + (t.yc - p.y) * (t.yc - p.y)
+       <= 10000.0),
+zslope AS (
+  SELECT addr_id, CAST(floor(median(sv)) AS BIGINT) AS slope_med
+  FROM zjoin GROUP BY addr_id),
+zrange AS (
+  SELECT addr_id, min(av) AS mn, max(av) AS mx FROM zjoin
+  GROUP BY addr_id),
+zadj AS (
+  SELECT j.addr_id,
+         CASE WHEN r.mn < 90 AND r.mx > 270 AND j.av < 90.0
+              THEN j.av + 360.0 ELSE j.av END AS av
+  FROM zjoin j JOIN zrange r ON j.addr_id = r.addr_id),
+zaspect AS (
+  SELECT addr_id,
+         CAST(floor(CASE WHEN median(av) > 360.0 THEN median(av) - 360.0
+                         ELSE median(av) END) AS BIGINT) AS aspect_med
+  FROM zadj GROUP BY addr_id),
+zstats AS (
+  SELECT p.addr_id,
+         COALESCE(s.slope_med, -9999) AS slope_med,
+         COALESCE(a.aspect_med, -9999) AS aspect_med
+  FROM points p
+  LEFT JOIN zslope s ON p.addr_id = s.addr_id
+  LEFT JOIN zaspect a ON p.addr_id = a.addr_id),
+{sc_chain},
+{ac_chain},
+factors AS (
+  SELECT d.addr_id, d.fdi, d.veg_id, d.bal_number AS veg_code,
+         d.d AS distance_m, d.dir_class, z.slope_med, z.aspect_med,
+         CASE WHEN z.slope_med = -9999 THEN -99 ELSE sc.v END
+             AS slope_class,
+         CASE WHEN z.aspect_med = -9999 THEN -99 ELSE ac.v END
+             AS aspect_class
+  FROM dircls d
+  JOIN zstats z ON d.addr_id = z.addr_id
+  JOIN sc ON d.addr_id = sc.addr_id
+  JOIN ac ON d.addr_id = ac.addr_id),
+eff AS (
+  SELECT *, CASE WHEN slope_class = -99 THEN -99
+                 WHEN aspect_class = dir_class THEN slope_class
+                 ELSE -1 END AS eff_slope_code
+  FROM factors),
+{_bal_lookup_values_sql()}
+SELECT CAST(x.addr_id AS BIGINT) AS addr_id,
+       CAST(x.fdi AS BIGINT) AS fdi,
+       CAST(x.veg_id AS BIGINT) AS veg_id,
+       CAST(x.veg_code AS BIGINT) AS veg_code,
+       CAST(round(x.distance_m, 4) AS DOUBLE) AS distance_m,
+       CAST(x.dir_class AS BIGINT) AS dir_class,
+       CAST(x.slope_med AS BIGINT) AS slope_med,
+       CAST(x.aspect_med AS BIGINT) AS aspect_med,
+       CAST(x.slope_class AS BIGINT) AS slope_class,
+       CAST(x.aspect_class AS BIGINT) AS aspect_class,
+       CAST(x.eff_slope_code AS BIGINT) AS eff_slope_code,
+       CAST({_BAL_CASE} AS DOUBLE) AS bal
+FROM eff x LEFT JOIN ballookup lk
+  ON x.fdi = lk.fdi AND x.eff_slope_code = lk.slope_code
+ AND x.veg_code = lk.veg_code"""
+
+
+@q("flagship_bal", _flagship_oracle_sql())
+def flagship_bal(spark, sf_dir):
+    """The complete per-address BAL chain as ONE value-hash-checked gate
+    query: kNN nearest-vegetation (distance + azimuth + dir sector) +
+    slope/aspect zonal medians over real raster tiles (halo-exact
+    slope_aspect_tiles -> zonal_stats_multi) + reclass + AS 3959 lookup
+    (reference lifecycle: data_prep/vegetation/xx_fiona_testing.py:88-172).
+    Every stage is the PRODUCTION operator — nothing is stubbed down for
+    the oracle's sake."""
+    from . import joins as J
+    from . import raster as raster_mod
+    from . import zonal as zonal_mod
+    from .pipeline import classify_bal, direction_class, remap_column
+
+    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    H = R * 25
+    pts = _load(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS STRING) AS addr_id",
+        "CAST((c_custkey * 2654435761) % 2500 AS DOUBLE) + 0.125 AS x",
+        f"CAST((c_custkey * 2246822519) % {H} AS DOUBLE) + 0.625 AS y",
+        "CASE (c_custkey % 4) WHEN 0 THEN 100 WHEN 1 THEN 80 "
+        "WHEN 2 THEN 50 ELSE 40 END AS fdi")
+    boxes = _load(spark, sf_dir, "supplier").selectExpr(
+        "format_string('%06d', s_suppkey) AS veg_id",
+        "CAST((s_suppkey * 3266489917) % 2500 AS DOUBLE) + 0.5 AS cx",
+        f"CAST((s_suppkey * 668265263) % {H} AS DOUBLE) + 0.5 AS cy",
+        "CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw",
+        "CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh",
+        "CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number")
+    vegs = boxes.withColumn(
+        "wkt",
+        F.format_string(
+            "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
+            "%.2f %.2f))",
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"))) \
+        .select("veg_id", "bal_number", "wkt")
+
+    knn = J.knn_join(pts.select("addr_id", "x", "y"), vegs, max_ring=16)
+    sa = raster_mod.slope_aspect_tiles(_flag_dem_tiles(spark, sf_dir),
+                                       classify=False)
+    z = zonal_mod.zonal_stats_multi(
+        pts.select("addr_id", "x", "y"), sa, 100.0,
+        {"slope": {"circular": False}, "aspect": {"circular": True}},
+        tile_m=_FLAG_TILE_PX * 25.0, batch_m=500.0)
+
+    f = pts.join(knn, "addr_id").join(
+        z.select("addr_id", "slope_med", "aspect_med"), "addr_id", "left")
+    f = (f.withColumn(
+            "slope_class",
+            F.when(F.col("slope_med").isNull()
+                   | (F.col("slope_med") == -9999), F.lit(-99))
+            .otherwise(remap_column(F.col("slope_med").cast("double"),
+                                    slope_remap(90.0))))
+         .withColumn(
+            "aspect_class",
+            F.when(F.col("aspect_med").isNull()
+                   | (F.col("aspect_med") == -9999), F.lit(-99))
+            .otherwise(remap_column(F.col("aspect_med").cast("double"),
+                                    ASPECT_REMAP)))
+         .withColumn("dir_class", direction_class(F.col("azimuth_deg"))))
+    f = f.withColumn(
+        "eff_slope_code",
+        F.when(F.col("slope_class") == -99, F.lit(-99))
+        .when(F.col("aspect_class") == F.col("dir_class"),
+              F.col("slope_class"))
+        .otherwise(F.lit(-1)))
+    out = classify_bal(f.withColumn("veg_code",
+                                    F.col("bal_number").cast("long")),
+                       spark, fdi_col="fdi", slope_col="eff_slope_code",
+                       veg_col="veg_code", dist_col="distance_m")
+    return out.select(
+        F.col("addr_id").cast("long").alias("addr_id"),
+        F.col("fdi").cast("long").alias("fdi"),
+        F.col("veg_id").cast("long").alias("veg_id"),
+        F.col("veg_code").cast("long").alias("veg_code"),
+        F.round("distance_m", 4).cast("double").alias("distance_m"),
+        F.col("dir_class").cast("long").alias("dir_class"),
+        F.col("slope_med").cast("long").alias("slope_med"),
+        F.col("aspect_med").cast("long").alias("aspect_med"),
+        F.col("slope_class").cast("long").alias("slope_class"),
+        F.col("aspect_class").cast("long").alias("aspect_class"),
+        F.col("eff_slope_code").cast("long").alias("eff_slope_code"),
+        F.col("bal").cast("double").alias("bal"))
+
+
 def all_queries():
     return dict(QUERIES)
 

@@ -168,9 +168,12 @@ def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
                 circular: bool = False, sentinel: float = -9999.0,
                 nodata: float = -99.0,
                 batch_m: float = DEFAULT_BATCH_M,
-                crop: bool = True) -> DataFrame:
-    """Per-point stats of one raster layer within a circular buffer."""
-    joined = tiles_for_buffers(points, tiles, radius_m, crop=crop)
+                crop: bool = True, tile_m: float = TILE_M) -> DataFrame:
+    """Per-point stats of one raster layer within a circular buffer.
+    ``tile_m`` must match the tile grid of ``tiles`` (world metres per
+    tile side)."""
+    joined = tiles_for_buffers(points, tiles, radius_m, tile_m=tile_m,
+                               crop=crop)
 
     def stats(key, group: pd.DataFrame):
         rows = []
@@ -198,14 +201,15 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
                       sentinel: float = -9999.0,
                       nodata: float = -99.0,
                       batch_m: float = DEFAULT_BATCH_M,
-                      crop: bool = True) -> DataFrame:
+                      crop: bool = True, tile_m: float = TILE_M) -> DataFrame:
     """Multi-layer zonal stats in ONE shuffle: ``layer_specs`` maps layer
     name -> {"circular": bool}; output has one column group per layer
     (<layer>_min .. <layer>_pixel_count). Halves the join/groupBy cost of
     running slope and aspect separately — the dominant fixed cost of the
     per-address pipeline."""
     layers = sorted(layer_specs)
-    joined = tiles_for_buffers(points, tiles, radius_m, crop=crop)
+    joined = tiles_for_buffers(points, tiles, radius_m, tile_m=tile_m,
+                               crop=crop)
 
     fields = [StructField("addr_id", StringType(), False),
               StructField("buffer_size_m", DoubleType(), False)]
