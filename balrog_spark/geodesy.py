@@ -85,3 +85,214 @@ def spherical_ring_area_m2(lon, lat):
     # spherical shoelace (Girard-style summation)
     area = np.sum((lon2 - lon) * (2.0 + np.sin(lat) + np.sin(lat2))) / 2.0
     return float(abs(area) * EARTH_RADIUS_M ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal geodesy (WGS84/GRS80) — the reference's pyproj surfaces are
+# ellipsoidal (Geod.inv azimuth/distance, MGA/Albers projected CRSs:
+# reference: data_prep/vegetation/xx_fiona_testing.py:212, bal.py:352-368,
+# examples/input/*/prj.adf). Everything below is vectorized numpy built
+# from public formulas: Karney 2011 (transverse Mercator series),
+# Snyder 1987 USGS PP-1395 (Albers equal-area conic, conformal-latitude
+# series), Vincenty 1975 (inverse geodesic). The spherical helpers above
+# remain the default engine contract; these are the parity-grade options.
+# ---------------------------------------------------------------------------
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+def _tm_consts(a: float, f: float):
+    n = f / (2.0 - f)
+    A = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+    alpha = (n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+             13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+             61.0 * n ** 3 / 240.0)
+    beta = (n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0,
+            n ** 2 / 48.0 + n ** 3 / 15.0,
+            17.0 * n ** 3 / 480.0)
+    return n, A, alpha, beta
+
+
+def tm_forward(lon, lat, lon0: float, k0: float = 0.9996,
+               fe: float = 500000.0, fn: float = 10000000.0,
+               a: float = GRS80_A, f: float = GRS80_F):
+    """Ellipsoidal transverse Mercator forward (Karney 2011 series, ~nm
+    accuracy over a UTM/MGA zone). Degrees in, projected metres out —
+    e.g. MGA zone 50 is lon0=117 with the GDA defaults here."""
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    dlon = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    e = np.sqrt(f * (2.0 - f))
+    _, A, alpha, _ = _tm_consts(a, f)
+    tau = np.tan(lat)
+    sigma = np.sinh(e * np.arctanh(e * np.sin(lat)))
+    taup = tau * np.sqrt(1.0 + sigma ** 2) - sigma * np.sqrt(1.0 + tau ** 2)
+    xi0 = np.arctan2(taup, np.cos(dlon))
+    eta0 = np.arcsinh(np.sin(dlon)
+                      / np.sqrt(taup ** 2 + np.cos(dlon) ** 2))
+    xi, eta = xi0, eta0
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + aj * np.sin(2 * j * xi0) * np.cosh(2 * j * eta0)
+        eta = eta + aj * np.cos(2 * j * xi0) * np.sinh(2 * j * eta0)
+    return fe + k0 * A * eta, fn + k0 * A * xi
+
+
+def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
+               fe: float = 500000.0, fn: float = 10000000.0,
+               a: float = GRS80_A, f: float = GRS80_F):
+    """Ellipsoidal transverse Mercator inverse; returns (lon, lat) deg."""
+    e = np.sqrt(f * (2.0 - f))
+    e2 = f * (2.0 - f)
+    _, A, _, beta = _tm_consts(a, f)
+    xi = (np.asarray(y, dtype=np.float64) - fn) / (k0 * A)
+    eta = (np.asarray(x, dtype=np.float64) - fe) / (k0 * A)
+    xi0, eta0 = xi, eta
+    for j, bj in enumerate(beta, start=1):
+        xi0 = xi0 - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta0 = eta0 - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    taup = np.sin(xi0) / np.sqrt(np.sinh(eta0) ** 2 + np.cos(xi0) ** 2)
+    dlon = np.arctan2(np.sinh(eta0), np.cos(xi0))
+    # Newton-invert the conformal tangent (Karney 2011 eq. 19-21)
+    tau = np.array(taup, dtype=np.float64, copy=True)
+    for _ in range(6):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau ** 2)))
+        taupi = (tau * np.sqrt(1.0 + sigma ** 2)
+                 - sigma * np.sqrt(1.0 + tau ** 2))
+        tau = tau + ((taup - taupi) * (1.0 + (1.0 - e2) * tau ** 2)
+                     / ((1.0 - e2) * np.sqrt(1.0 + taupi ** 2)
+                        * np.sqrt(1.0 + tau ** 2)))
+    return lon0 + np.degrees(dlon), np.degrees(np.arctan(tau))
+
+
+def _albers_q(sin_lat, e: float):
+    return (1.0 - e * e) * (
+        sin_lat / (1.0 - e * e * sin_lat ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sin_lat)
+                                     / (1.0 + e * sin_lat)))
+
+
+def _albers_consts(lat1: float, lat2: float, lat0: float, a: float,
+                   f: float):
+    e = np.sqrt(f * (2.0 - f))
+    s1, s2, s0 = (np.sin(np.radians(v)) for v in (lat1, lat2, lat0))
+    c1, c2 = (np.cos(np.radians(v)) for v in (lat1, lat2))
+    m1 = c1 / np.sqrt(1.0 - e * e * s1 ** 2)
+    m2 = c2 / np.sqrt(1.0 - e * e * s2 ** 2)
+    q1, q2, q0 = (_albers_q(s, e) for s in (s1, s2, s0))
+    n = (m1 ** 2 - m2 ** 2) / (q2 - q1)
+    C = m1 ** 2 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    return e, n, C, rho0
+
+
+def albers_forward(lon, lat, lat1: float = -18.0, lat2: float = -36.0,
+                   lon0: float = 132.0, lat0: float = 0.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = GRS80_A, f: float = GRS80_F):
+    """Ellipsoidal Albers equal-area conic forward (Snyder 14-1..14-6).
+    Defaults are GDA94 Australian Albers (EPSG:3577), the reference's
+    vegetation CRS (examples/input/jerram_veg/prj.adf)."""
+    e, n, C, rho0 = _albers_consts(lat1, lat2, lat0, a, f)
+    q = _albers_q(np.sin(np.radians(np.asarray(lat, dtype=np.float64))), e)
+    rho = a * np.sqrt(C - n * q) / n
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(x, y, lat1: float = -18.0, lat2: float = -36.0,
+                   lon0: float = 132.0, lat0: float = 0.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = GRS80_A, f: float = GRS80_F):
+    """Ellipsoidal Albers inverse (Snyder 14-8..14-11 + 3-16 iteration)."""
+    e, n, C, rho0 = _albers_consts(lat1, lat2, lat0, a, f)
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xs, ys) * np.sign(n)
+    theta = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
+    q = (C - (rho * n / a) ** 2) / n
+    lat = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = lat + ((1.0 - e * e * s ** 2) ** 2 / (2.0 * np.cos(lat))) * (
+            q / (1.0 - e * e)
+            - s / (1.0 - e * e * s ** 2)
+            + np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+    return lon0 + np.degrees(theta / n), np.degrees(lat)
+
+
+def geod_inverse(lon1, lat1, lon2, lat2, a: float = WGS84_A,
+                 f: float = WGS84_F, iters: int = 64):
+    """Vincenty inverse geodesic on the ellipsoid: (fwd_azimuth_deg in
+    (-180, 180], back_azimuth_deg, distance_m) — the pyproj Geod.inv twin
+    the reference calls for nearest-vegetation bearings (reference:
+    data_prep/vegetation/xx_fiona_testing.py:212). Vectorized; converges
+    < 1e-12 everywhere except exactly-antipodal pairs (returned via the
+    last iterate)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64))
+                              for v in (lon1, lat1, lon2, lat2))
+    b = a * (1.0 - f)
+    U1 = np.arctan((1.0 - f) * np.tan(lat1))
+    U2 = np.arctan((1.0 - f) * np.tan(lat2))
+    L = lon2 - lon1
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    lam = np.array(L, dtype=np.float64, copy=True)
+    for _ in range(iters):
+        sl, cl = np.sin(lam), np.cos(lam)
+        sin_sig = np.sqrt((cU2 * sl) ** 2 + (cU1 * sU2 - sU1 * cU2 * cl) ** 2)
+        cos_sig = sU1 * sU2 + cU1 * cU2 * cl
+        sig = np.arctan2(sin_sig, cos_sig)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sig != 0.0,
+                                 cU1 * cU2 * sl / np.where(sin_sig == 0.0,
+                                                           1.0, sin_sig),
+                                 0.0)
+        cos2_alpha = 1.0 - sin_alpha ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_2sigm = np.where(cos2_alpha != 0.0,
+                                 cos_sig - 2.0 * sU1 * sU2
+                                 / np.where(cos2_alpha == 0.0, 1.0,
+                                            cos2_alpha),
+                                 0.0)
+        Cc = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_new = L + (1.0 - Cc) * f * sin_alpha * (
+            sig + Cc * sin_sig * (cos_2sigm + Cc * cos_sig
+                                  * (-1.0 + 2.0 * cos_2sigm ** 2)))
+        if np.all(np.abs(lam_new - lam) < 1e-13):
+            lam = lam_new
+            break
+        lam = lam_new
+    sl, cl = np.sin(lam), np.cos(lam)
+    sin_sig = np.sqrt((cU2 * sl) ** 2 + (cU1 * sU2 - sU1 * cU2 * cl) ** 2)
+    cos_sig = sU1 * sU2 + cU1 * cU2 * cl
+    sig = np.arctan2(sin_sig, cos_sig)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sin_alpha = np.where(sin_sig != 0.0,
+                             cU1 * cU2 * sl / np.where(sin_sig == 0.0, 1.0,
+                                                       sin_sig), 0.0)
+    cos2_alpha = 1.0 - sin_alpha ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos_2sigm = np.where(cos2_alpha != 0.0,
+                             cos_sig - 2.0 * sU1 * sU2
+                             / np.where(cos2_alpha == 0.0, 1.0, cos2_alpha),
+                             0.0)
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    Aa = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2
+                                              * (320.0 - 175.0 * u2)))
+    Bb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = Bb * sin_sig * (cos_2sigm + Bb / 4.0 * (
+        cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+        - Bb / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig ** 2)
+        * (-3.0 + 4.0 * cos_2sigm ** 2)))
+    dist = b * Aa * (sig - dsig)
+    az1 = np.degrees(np.arctan2(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl))
+    # Vincenty's alpha2 is the azimuth of the geodesic CONTINUING at point
+    # 2; pyproj's back azimuth points from 2 back to 1 — flip 180 degrees
+    # and keep the (-180, 180] range
+    az2_cont = np.degrees(np.arctan2(cU1 * sl,
+                                     -sU1 * cU2 + cU1 * sU2 * cl))
+    az2 = np.mod(az2_cont, 360.0) - 180.0
+    az2 = np.where(az2 == -180.0, 180.0, az2)
+    return az1, az2, dist

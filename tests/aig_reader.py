@@ -29,18 +29,26 @@ def _read(path):
         return f.read()
 
 
+def read_aig_bounds(cov_dir: str):
+    """(xmin, ymin, xmax, ymax) world bounds of a coverage."""
+    return struct.unpack(">4d", _read(os.path.join(cov_dir, "dblbnd.adf")))
+
+
 def read_aig(cov_dir: str) -> np.ndarray:
     """Decode a coverage directory -> (rows, cols) float64 array with
     nodata mapped to -99 (the reference's RasterToNumPyArray contract)."""
     hdr = _read(os.path.join(cov_dir, "hdr.adf"))
     celltype = struct.unpack(">i", hdr[16:20])[0]  # 1=int, 2=float
+    # header word 5: 0 = tile payloads carry a (type, min) header and may
+    # be RLE-compressed; 1 = uncompressed coverage, tiles are raw value
+    # words with no per-tile header (GDAL aigrid's bCompressed flag)
+    uncompressed = struct.unpack(">i", hdr[20:24])[0] == 1
     ps_x = struct.unpack(">d", hdr[256:264])[0]
     ps_y = struct.unpack(">d", hdr[264:272])[0]
     tiles_per_row, _tiles_per_col, tile_xs = struct.unpack(
         ">3i", hdr[288:300])
     tile_ys = struct.unpack(">i", hdr[304:308])[0]
-    xmin, ymin, xmax, ymax = struct.unpack(
-        ">4d", _read(os.path.join(cov_dir, "dblbnd.adf")))
+    xmin, ymin, xmax, ymax = read_aig_bounds(cov_dir)
     ncols = int(round((xmax - xmin) / ps_x))
     nrows = int(round((ymax - ymin) / ps_y))
 
@@ -56,8 +64,21 @@ def read_aig(cov_dir: str) -> np.ndarray:
         r0, c0 = trow * tile_ys, tcol * tile_xs
         if r0 >= nrows or c0 >= ncols:
             continue
-        tile = _decode_tile(dat, off_words * 2, size_words, celltype,
-                            tile_xs, tile_ys)
+        if celltype == 1 and uncompressed:
+            # raw big-endian int32 after the 2-byte size prefix; the index
+            # size field is unused in uncompressed coverages
+            tile = np.full((tile_ys, tile_xs), NODATA_OUT,
+                           dtype=np.float64)
+            p = off_words * 2 + 2
+            cnt = min(tile_xs * tile_ys, max((len(dat) - p) // 4, 0))
+            if cnt > 0:
+                raw = np.frombuffer(dat, dtype=">i4", count=cnt, offset=p) \
+                    .astype(np.float64)
+                raw[raw == float(_INT_NODATA)] = NODATA_OUT
+                tile.ravel()[:cnt] = raw
+        else:
+            tile = _decode_tile(dat, off_words * 2, size_words, celltype,
+                                tile_xs, tile_ys)
         rr = min(tile_ys, nrows - r0)
         cc = min(tile_xs, ncols - c0)
         out[r0:r0 + rr, c0:c0 + cc] = tile[:rr, :cc]

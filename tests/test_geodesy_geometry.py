@@ -113,3 +113,58 @@ def test_geodesic_buffer_vertices_on_circle(spark):
         lon0, lat0 = centers[r.addr_id]
         d = geodesy.haversine_m(lon0, lat0, r.lon, r.lat)
         assert abs(d - 100.0) < 1e-6
+
+
+# --- ellipsoidal geodesy (parity-grade option, round-3) ---------------------
+
+def test_vincenty_inverse_matches_published_gda_vector():
+    """The GDA technical manual's classic Flinders Peak -> Buninyong pair
+    on GRS80: ellipsoidal distance 54,972.271 m, forward azimuth
+    306 deg 52' 05.37"."""
+    from balrog_spark import geodesy as G
+    fp_lon = 144 + 25 / 60 + 29.52440 / 3600
+    fp_lat = -(37 + 57 / 60 + 3.72030 / 3600)
+    bn_lon = 143 + 55 / 60 + 35.38390 / 3600
+    bn_lat = -(37 + 39 / 60 + 10.15610 / 3600)
+    az1, az2, d = G.geod_inverse(fp_lon, fp_lat, bn_lon, bn_lat,
+                                 a=G.GRS80_A, f=G.GRS80_F)
+    assert abs(d - 54972.271) < 1e-3
+    want_fwd = 306 + 52 / 60 + 5.37 / 3600
+    assert abs((az1 % 360) - want_fwd) < 0.01 / 3600  # 0.01 arcsec
+    # back azimuth (pyproj convention: from point 2 to point 1)
+    want_back = 127 + 10 / 60 + 25.07 / 3600
+    assert abs((az2 % 360) - want_back) < 0.01 / 3600
+
+
+def test_tm_and_albers_roundtrip_and_consistency():
+    """MGA50 and Australian Albers forward/inverse agree to sub-mm across
+    the continent's south-west, and the MGA eastings/northings are in the
+    documented zone ranges."""
+    import numpy as np
+
+    from balrog_spark import geodesy as G
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(114.0, 120.0, 200)
+    lat = rng.uniform(-35.5, -28.0, 200)
+    x, y = G.tm_forward(lon, lat, 117.0)
+    lo, la = G.tm_inverse(x, y, 117.0)
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    assert (x > 160_000).all() and (x < 840_000).all()
+    assert (y > 6_000_000).all() and (y < 7_000_000).all()
+    ax, ay = G.albers_forward(lon, lat)
+    alo, ala = G.albers_inverse(ax, ay)
+    assert np.abs(alo - lon).max() < 1e-9
+    assert np.abs(ala - lat).max() < 1e-9
+
+
+def test_vincenty_vs_spherical_sanity():
+    """Ellipsoidal and spherical distances agree to ~0.5% (the flattening
+    scale) and azimuths to a fraction of a degree over 100 km."""
+    import numpy as np
+
+    from balrog_spark import geodesy as G
+    az, _, d = G.geod_inverse(117.0, -34.0, 117.8, -33.4)
+    ds = G.haversine_m(117.0, -34.0, 117.8, -33.4)
+    azs = G.forward_azimuth_deg(117.0, -34.0, 117.8, -33.4)
+    assert abs(d - ds) / d < 0.006
+    assert abs(az - azs) < 0.3

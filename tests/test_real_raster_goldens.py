@@ -169,3 +169,137 @@ def test_extract_by_mask_tiles_engine_path(spark):
                                      [poly]).reshape(h, w)
     exp = np.where(inside, vm, -99.0)
     assert_array_equal(got, exp)
+
+
+# --- the reference's full WORKED EXAMPLE (Jerramungup AOI) ------------------
+# examples/input/jerram_dem (MGA50 25 m) + jerram_veg (GDA94 Australia
+# Albers 100 m) -> examples/output/bal_{n,ne,e,se,s,sw,w,nw,max}.img, with
+# the documented parameters (docs/userguide/examples.rst: remap string,
+# FDI 80, default extent). The vegetation reprojection is replicated from
+# scratch: clean-room ellipsoidal Albers<->MGA transforms (geodesy.py) and
+# the reference's own grid plumbing (ProjectRaster's projected-envelope
+# origin + sa_tools.clip_array round() indexing), nearest-neighbour at the
+# intermediate 25 m grid's pixel centres — then the engine kernels.
+
+_EX = "/root/reference/examples"
+_JERRAM_REMAP = ("1 6;2 1;3 1;4 1;5 13 2;14 5;15 18 3;19 22 7;23 4;"
+                 "24 25 NODATA;26 4;27 28 NODATA;29 4;30 1;31 2;32 5;"
+                 "99 NODATA")
+_ASPECT_9 = ("-1 0 9;0 22.5 1;22.5 67.5 2;67.5 112.5 3;112.5 157.5 4;"
+             "157.5 202.5 5;202.5 247.5 6;247.5 292.5 7;292.5 337.5 8;"
+             "337.5 360 1")
+
+jerram_present = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(_EX, "input", "jerram_dem")),
+    reason="reference examples not present")
+
+
+def _jerram_classified():
+    """(veg_c, slope_c, aspect_c) on the DEM grid — the reference
+    bal_calc() front half (reference: bal.py:202-231)."""
+    import math
+
+    from tests.aig_reader import read_aig_bounds
+
+    from balrog_spark import geodesy as G
+
+    veg = read_aig(f"{_EX}/input/jerram_veg")
+    vb = read_aig_bounds(f"{_EX}/input/jerram_veg")
+    dem = read_aig(f"{_EX}/input/jerram_dem")
+    db = read_aig_bounds(f"{_EX}/input/jerram_dem")
+    R, C = dem.shape
+
+    # reclass in the native Albers grid (reference: bal.py:52)
+    veg_r = kernels.reclassify_vec(veg, _JERRAM_REMAP)
+
+    # arcpy ProjectRaster's output grid originates at the projected
+    # envelope of the source extent (densified boundary); clip_array then
+    # pairs output index (i, j) with the intermediate-grid pixel centre —
+    # a sub-cell offset from the DEM centres that nearest-neighbour
+    # sampling must honour (reference: utilities/sa_tools.py:34-43)
+    t = np.linspace(0.0, 1.0, 2001)
+    ex = np.concatenate([vb[0] + t * (vb[2] - vb[0]),
+                         np.full_like(t, vb[2]),
+                         vb[0] + t * (vb[2] - vb[0]),
+                         np.full_like(t, vb[0])])
+    ey = np.concatenate([np.full_like(t, vb[1]),
+                         vb[1] + t * (vb[3] - vb[1]),
+                         np.full_like(t, vb[3]),
+                         vb[1] + t * (vb[3] - vb[1])])
+    lon, lat = G.albers_inverse(ex, ey)
+    mx, my = G.tm_forward(lon, lat, 117.0)
+    x_start = int(np.around((db[0] - mx.min()) / 25.0))
+    y_start = int(np.around((my.max() - db[3]) / 25.0))
+    X = mx.min() + (x_start + np.arange(C) + 0.5) * 25.0
+    Y = my.max() - (y_start + np.arange(R) + 0.5) * 25.0
+    xg, yg = np.meshgrid(X, Y)
+    lon, lat = G.tm_inverse(xg, yg, 117.0)
+    ax, ay = G.albers_forward(lon, lat)
+    col = np.floor((ax - vb[0]) / 100.0).astype(int)
+    row = np.floor((vb[3] - ay) / 100.0).astype(int)
+    ok = ((col >= 0) & (col < veg.shape[1])
+          & (row >= 0) & (row < veg.shape[0]))
+    veg_c = np.where(ok, veg_r[np.clip(row, 0, veg.shape[0] - 1),
+                               np.clip(col, 0, veg.shape[1] - 1)], -99.0)
+
+    # slope/aspect + reclass with the dynamic slope maximum
+    # (reference: bal.py:76-133)
+    slope, aspect = kernels.cal_slope_aspect_vec(dem, 25.0, 25.0)
+    asp_c = kernels.reclassify_vec(aspect, _ASPECT_9)
+    vmax = slope[slope != -99].max()
+    if vmax < 20:
+        vmax = 20.0001
+    slp_c = kernels.reclassify_vec(
+        slope, "0 0 1;0.0001 5 2;5.0001 10 3;10.0001 15 4;"
+               f"15.0001 20 5;20.0001 {math.ceil(float(vmax))} 6")
+    return veg_c, slp_c, asp_c
+
+
+def _jerram_golden(name):
+    g = read_img(f"{_EX}/output/bal_{name}.img")
+    return np.where(g < -1e30, -99.0, g)
+
+
+@jerram_present
+def test_jerram_worked_example_all_nine_goldens_global():
+    """Every published output raster of the worked example — the 8
+    direction BALs and the maximum — must be PIXEL-EXACT."""
+    veg_c, slp_c, asp_c = _jerram_classified()
+    outs = kernels.bal_all_directions(veg_c, slp_c, asp_c, 25.0, 80)
+    for name in ("n", "ne", "e", "se", "s", "sw", "w", "nw", "max"):
+        assert_array_equal(outs[name], _jerram_golden(name)), name
+
+
+@jerram_present
+def test_jerram_worked_example_through_tiles(spark):
+    """The same worked example through the PRODUCTION tiled plan
+    (border-strip halos, 2x2 tile split over the 71x86 AOI)."""
+    import pandas as pd
+    veg_c, slp_c, asp_c = _jerram_classified()
+    R, C = veg_c.shape
+    rows = []
+    row_bands = [(0, 36), (36, R)]
+    col_bands = [(0, 43), (43, C)]
+    for tx, (c0, c1) in enumerate(col_bands):
+        for ty, (r0, r1) in enumerate(row_bands):
+            for lay, arr in (("veg_r", veg_c), ("slope_r", slp_c),
+                             ("aspect_r", asp_c)):
+                band = arr[r0:r1, c0:c1]
+                rows.append({
+                    "media_ref": f"{lay}/{tx}/{1 - ty}", "layer": lay,
+                    "tile_x": tx, "tile_y": 1 - ty,
+                    "x0": c0 * PIXEL_M, "y0": (R - r1) * PIXEL_M,
+                    "pixel_m": PIXEL_M,
+                    "nrows": r1 - r0, "ncols": c1 - c0,
+                    "data": band.astype(np.float32).ravel().tolist()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = raster.bal_tiles_classified(tiles, 80).toPandas()
+    got = np.full((R, C), np.nan)
+    for r in out.itertuples():
+        band = row_bands[1 - r.tile_y]
+        cb = col_bands[r.tile_x]
+        got[band[0]:band[1], cb[0]:cb[1]] = \
+            np.asarray(r.bal_max, dtype=np.float64).reshape(
+                r.nrows, cb[1] - cb[0])
+    assert not np.isnan(got).any()
+    assert_array_equal(got, _jerram_golden("max"))
