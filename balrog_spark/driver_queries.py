@@ -2552,6 +2552,71 @@ FROM eff x LEFT JOIN ballookup lk
  AND x.veg_code = lk.veg_code"""
 
 
+@q("a1_zonal_touched", f"""
+WITH consts AS (
+  SELECT ((count(*) // {_GRID_W}) // {_FLAG_TILE_PX}) * {_FLAG_TILE_PX}
+             AS used,
+         (count(*) // {_GRID_W}) * 25 AS hm
+  FROM events),
+points AS (
+  SELECT c_custkey AS addr_id,
+         CAST((c_custkey * 2654435761) % 2500 AS DOUBLE) + 0.125 AS x,
+         CAST((c_custkey * 2246822519) % (SELECT hm FROM consts)
+              AS DOUBLE) + 0.625 AS y
+  FROM customer),
+pix AS (
+  SELECT (event_id % {_GRID_W} + 0.5) * 25.0 AS xc,
+         ((SELECT used FROM consts) - event_id // {_GRID_W} - 0.5) * 25.0
+             AS yc,
+         CAST(CAST(300.0 + 150.0 * sin((event_id % {_GRID_W}) * 0.21)
+                   * cos((event_id // {_GRID_W}) * 0.17) AS REAL)
+              AS DOUBLE) AS v
+  FROM events
+  WHERE event_id // {_GRID_W} < (SELECT used FROM consts)),
+tj AS (
+  SELECT p.addr_id, t.v
+  FROM points p JOIN pix t
+    ON t.xc BETWEEN p.x - 115.0 AND p.x + 115.0
+   AND t.yc BETWEEN p.y - 115.0 AND p.y + 115.0
+   AND power(greatest(abs(t.xc - p.x) - 12.5, 0.0), 2)
+       + power(greatest(abs(t.yc - p.y) - 12.5, 0.0), 2) <= 10000.0),
+agg AS (
+  SELECT addr_id, CAST(floor(min(v)) AS BIGINT) AS stat_min,
+         CAST(floor(max(v)) AS BIGINT) AS stat_max,
+         CAST(floor(median(v)) AS BIGINT) AS stat_med,
+         CAST(count(*) AS BIGINT) AS pixel_count
+  FROM tj GROUP BY addr_id)
+SELECT p.addr_id, COALESCE(a.stat_min, -9999) AS stat_min,
+       COALESCE(a.stat_max, -9999) AS stat_max,
+       COALESCE(a.stat_med, -9999) AS stat_med,
+       COALESCE(a.pixel_count, -9999) AS pixel_count
+FROM points p LEFT JOIN agg a ON p.addr_id = a.addr_id""")
+def a1_zonal_touched(spark, sf_dir):
+    """A1 zonal stats with the reference's ``all_touched=True`` inclusion
+    rule, through the REAL raster path (tile join + crop + batched
+    applyInPandas) over the events-grid DEM — every pixel whose square
+    intersects the 100 m buffer circle (reference:
+    testing/02_get_slope_from_buffer.py:219). Complements a1 (relational
+    twin, centre rule) and flagship_bal (raster path, centre rule)."""
+    from . import zonal as zonal_mod
+
+    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    H = R * 25
+    pts = _load(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS STRING) AS addr_id",
+        "CAST((c_custkey * 2654435761) % 2500 AS DOUBLE) + 0.125 AS x",
+        f"CAST((c_custkey * 2246822519) % {H} AS DOUBLE) + 0.625 AS y")
+    out = zonal_mod.zonal_stats(
+        pts, _flag_dem_tiles(spark, sf_dir), 100.0,
+        tile_m=_FLAG_TILE_PX * 25.0, batch_m=500.0, include="touched")
+    return out.select(
+        F.col("addr_id").cast("long").alias("addr_id"),
+        F.col("stat_min").cast("long").alias("stat_min"),
+        F.col("stat_max").cast("long").alias("stat_max"),
+        F.col("stat_med").cast("long").alias("stat_med"),
+        F.col("pixel_count").cast("long").alias("pixel_count"))
+
+
 @q("flagship_bal", _flagship_oracle_sql())
 def flagship_bal(spark, sf_dir):
     """The complete per-address BAL chain as ONE value-hash-checked gate

@@ -14,10 +14,12 @@ Sentinel contract: the tile join is a LEFT join, so an address whose buffer
 touches no stored tile still yields a row with the reference's -9999
 sentinel stats instead of silently disappearing.
 
-Pixel inclusion rule: pixel *centre* within the buffer circle. (The reference
-uses rasterio ``all_touched=True``; without GDAL in the stack the engine
-defines centre-in-circle as its contract and the DuckDB oracles use the same
-rule, so parity is exact against the engine's own published semantics.)
+Pixel inclusion rule: default is pixel *centre* within the buffer circle
+(the engine contract, what the DuckDB oracles of a1/a2/flagship use).
+``include='touched'`` switches to the reference's rasterio/arcpy
+``all_touched=True`` rule — every pixel whose square intersects the circle
+(exact circle-vs-rectangle test) — for parity runs against
+reference-computed stats; it has its own gate oracle (a1_zonal_touched).
 """
 
 from __future__ import annotations
@@ -140,9 +142,17 @@ def _crop_to_buffer_window(joined: DataFrame, radius_m: float) -> DataFrame:
 
 
 def _in_buffer_values(r, x: float, y: float, radius_m: float,
-                      nodata: float) -> np.ndarray:
-    """Values of one joined tile row whose pixel centres fall in the buffer
-    circle; empty for a null (left-join miss) tile."""
+                      nodata: float, include: str = "centre") -> np.ndarray:
+    """Values of one joined tile row whose pixels fall in the buffer
+    circle; empty for a null (left-join miss) tile.
+
+    ``include``: 'centre' (default engine contract) keeps pixels whose
+    CENTRE is inside the circle; 'touched' keeps every pixel whose SQUARE
+    intersects the circle — rasterio/arcpy ``all_touched=True``, the
+    reference's inclusion rule (reference:
+    testing/02_get_slope_from_buffer.py:219), for parity runs against
+    reference-computed stats. The touched test is exact circle-vs-square:
+    distance from the centre point to the pixel rectangle <= radius."""
     if r.data is None or (np.isscalar(r.nrows) and pd.isna(r.nrows)):
         return np.array([])
     n, m = int(r.nrows), int(r.ncols)
@@ -150,8 +160,13 @@ def _in_buffer_values(r, x: float, y: float, radius_m: float,
     px = float(r.pixel_m)
     xs = r.x0 + (np.arange(m) + 0.5) * px
     ys = r.y0 + (n - np.arange(n) - 0.5) * px
-    mask = ((xs[None, :] - x) ** 2
-            + (ys[:, None] - y) ** 2) <= radius_m ** 2
+    if include == "touched":
+        dx = np.maximum(np.abs(xs[None, :] - x) - px / 2.0, 0.0)
+        dy = np.maximum(np.abs(ys[:, None] - y) - px / 2.0, 0.0)
+        mask = dx ** 2 + dy ** 2 <= radius_m ** 2
+    else:
+        mask = ((xs[None, :] - x) ** 2
+                + (ys[:, None] - y) ** 2) <= radius_m ** 2
     v = arr[mask]
     return v[v != nodata]
 
@@ -168,10 +183,15 @@ def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
                 circular: bool = False, sentinel: float = -9999.0,
                 nodata: float = -99.0,
                 batch_m: float = DEFAULT_BATCH_M,
-                crop: bool = True, tile_m: float = TILE_M) -> DataFrame:
+                crop: bool = True, tile_m: float = TILE_M,
+                include: str = "centre") -> DataFrame:
     """Per-point stats of one raster layer within a circular buffer.
     ``tile_m`` must match the tile grid of ``tiles`` (world metres per
-    tile side)."""
+    tile side); ``include`` picks the pixel inclusion rule (see
+    _in_buffer_values — 'centre' contract or 'touched' reference
+    parity). The crop window's one-pixel margin already covers the
+    half-pixel the touched rule can add, so both rules ride the slim
+    shuffle."""
     joined = tiles_for_buffers(points, tiles, radius_m, tile_m=tile_m,
                                crop=crop)
 
@@ -180,7 +200,7 @@ def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
         for addr_id, g in group.groupby("addr_id", sort=False):
             x = float(g.x.iloc[0])
             y = float(g.y.iloc[0])
-            vals = [_in_buffer_values(r, x, y, radius_m, nodata)
+            vals = [_in_buffer_values(r, x, y, radius_m, nodata, include)
                     for r in g.itertuples()]
             flat = np.concatenate(vals) if vals else np.array([])
             s = kernels.zonal_stats_1d(flat, circular=circular,
@@ -201,7 +221,8 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
                       sentinel: float = -9999.0,
                       nodata: float = -99.0,
                       batch_m: float = DEFAULT_BATCH_M,
-                      crop: bool = True, tile_m: float = TILE_M) -> DataFrame:
+                      crop: bool = True, tile_m: float = TILE_M,
+                      include: str = "centre") -> DataFrame:
     """Multi-layer zonal stats in ONE shuffle: ``layer_specs`` maps layer
     name -> {"circular": bool}; output has one column group per layer
     (<layer>_min .. <layer>_pixel_count). Halves the join/groupBy cost of
@@ -227,7 +248,8 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
             row = {"addr_id": addr_id, "buffer_size_m": float(radius_m)}
             for lay in layers:
                 sub = g[g.layer == lay]
-                vals = [_in_buffer_values(r, x, y, radius_m, nodata)
+                vals = [_in_buffer_values(r, x, y, radius_m, nodata,
+                                          include)
                         for r in sub.itertuples()]
                 flat = np.concatenate(vals) if vals else np.array([])
                 s = kernels.zonal_stats_1d(

@@ -237,3 +237,34 @@ def test_zonal_crop_equals_full_tiles(spark):
         .toPandas().sort_values("addr_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert a[a.addr_id == "out1"].slope_med.iloc[0] == -9999
+
+
+def test_zonal_touched_rule_supersets_centre(spark):
+    """all_touched zonal: the touched pixel set must contain the centre
+    set for every address (a square intersecting the circle whenever its
+    centre is inside), strictly more on buffers that graze pixel edges,
+    and both rules must agree through crop and no-crop paths."""
+    import pandas as pd
+
+    from balrog_spark import corpus, zonal
+
+    tiles = corpus.spark_tiles(spark, 2, 2).where(F.col("layer") == "dem")
+    rng = __import__("random").Random(3)
+    world = 2 * corpus.TILE_M
+    rows = [(f"{i:04d}", rng.uniform(0, world), rng.uniform(0, world))
+            for i in range(60)]
+    pts = spark.createDataFrame(rows, "addr_id string, x double, y double")
+    c = zonal.zonal_stats(pts, tiles, 100.0).toPandas() \
+        .set_index("addr_id").sort_index()
+    t = zonal.zonal_stats(pts, tiles, 100.0, include="touched").toPandas() \
+        .set_index("addr_id").sort_index()
+    both = c.join(t, lsuffix="_c", rsuffix="_t")
+    live = both[both.pixel_count_c > 0]
+    assert (live.pixel_count_t >= live.pixel_count_c).all()
+    assert (live.pixel_count_t > live.pixel_count_c).any()
+    assert (live.stat_min_t <= live.stat_min_c).all()
+    assert (live.stat_max_t >= live.stat_max_c).all()
+    t2 = zonal.zonal_stats(pts, tiles, 100.0, include="touched",
+                           crop=False).toPandas() \
+        .set_index("addr_id").sort_index()
+    pd.testing.assert_frame_equal(t, t2)
