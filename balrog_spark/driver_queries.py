@@ -2552,6 +2552,99 @@ FROM eff x LEFT JOIN ballookup lk
  AND x.veg_code = lk.veg_code"""
 
 
+_SPAN_W = 40   # text span width (chars)
+_SPAN_K = 3    # a media_ref span after every 3rd text span
+
+
+@q("doc_span_roundtrip", f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(ceil(length(text) / {_SPAN_W}.0) AS BIGINT) AS n_text
+  FROM documents),
+idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(CAST(0 AS BIGINT),
+                                CAST(n_text - 1 AS BIGINT))) AS i
+  FROM base),
+tspans AS (
+  SELECT doc_id, i,
+         substring(text, CAST(i * {_SPAN_W} + 1 AS BIGINT), {_SPAN_W})
+             AS chunk
+  FROM idx),
+reassembled AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY i) AS back
+  FROM tspans GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_text AS BIGINT) AS n_text_spans,
+       CAST((b.n_text + {_SPAN_K} - 1) // {_SPAN_K} AS BIGINT)
+           AS n_media_spans,
+       CAST(b.n_text + (b.n_text + {_SPAN_K} - 1) // {_SPAN_K} AS BIGINT)
+           AS n_spans,
+       CAST(r.back = b.text AS BOOLEAN) AS text_roundtrips,
+       md5(r.back) AS span_text_hash
+FROM base b JOIN reassembled r ON b.doc_id = r.doc_id
+WHERE b.n > 0""")
+def doc_span_roundtrip(spark, sf_dir):
+    """The north rule's interleaved-document contract as a gate query:
+    build each document's span sequence (kind/text/media_ref/offset
+    structs — text chunks interleaved with a media_ref span after every
+    3rd chunk) in PURE column expressions, then verify the invariant by
+    CONSUMING the spans: offsets equal positions, per-kind counts match,
+    and the text spans reassemble to the original document byte-for-byte
+    (hash-checked by the oracle). This is the corpus schema's span
+    invariant (input contract: doc_id + spans
+    array<struct<kind,text,media_ref,offset>>) as a value-hashed row per
+    document — no UDF anywhere."""
+    d = _load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    W, K = _SPAN_W, _SPAN_K
+    n_text = F.ceil(F.length("text") / float(W)).cast("long")
+
+    def grp(i):
+        return F.floor(i / K).cast("long")
+
+    def tspan(i):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr((i * W + 1).cast("int"), F.lit(W))
+            .alias("text"),
+            F.lit("").alias("media_ref"),
+            (i + grp(i)).cast("int").alias("offset"))
+
+    def mspan(i):
+        return F.struct(
+            F.lit("media_ref").alias("kind"),
+            F.lit("").alias("text"),
+            F.format_string("img/%d/%d", F.col("doc_id"), grp(i))
+            .alias("media_ref"),
+            (i + grp(i) + 1).cast("int").alias("offset"))
+
+    group_end = lambda i: ((i % K) == K - 1) | (i == n_text - 1)  # noqa
+    spans = F.flatten(F.transform(
+        F.sequence(F.lit(0).cast("long"), n_text - 1),
+        lambda i: F.when(group_end(i), F.array(tspan(i), mspan(i)))
+        .otherwise(F.array(tspan(i)))))
+
+    doc = d.select("doc_id", "text", spans.alias("spans"))
+    text_chunks = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+        lambda s: s["text"])
+    back = F.array_join(text_chunks, "")
+    offsets_ok = F.forall(
+        F.zip_with(F.col("spans"),
+                   F.sequence(F.lit(0), F.size("spans") - 1),
+                   lambda s, j: s["offset"] == j),
+        lambda b: b)
+    n_media = F.size(F.filter(
+        F.col("spans"), lambda s: s["kind"] == F.lit("media_ref")))
+    return doc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(text_chunks).cast("long").alias("n_text_spans"),
+        n_media.cast("long").alias("n_media_spans"),
+        F.size("spans").cast("long").alias("n_spans"),
+        ((back == F.col("text")) & offsets_ok).alias("text_roundtrips"),
+        F.md5(back).alias("span_text_hash"))
+
+
 @q("a1_zonal_touched", f"""
 WITH consts AS (
   SELECT ((count(*) // {_GRID_W}) // {_FLAG_TILE_PX}) * {_FLAG_TILE_PX}

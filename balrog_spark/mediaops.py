@@ -320,6 +320,16 @@ def decode_audio(payload: bytes, n_samples: int = 4096,
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if not fake:
+        # Deliberate stub, not an omission: a conforming mp3/aac decoder
+        # requires the ISO 11172-3 / 13818-7 fixed code tables (34 Layer
+        # III Huffman tables, the 512-tap synthesis window) which are
+        # spec-published DATA, not derivable from first principles, and no
+        # codec library ships in this environment to lift them from. An
+        # approximated table would silently mis-decode real files —
+        # refusal beats mis-decode (the same stance the JPEG codec takes
+        # for progressive/arithmetic streams). WAV PCM and MJPEG decode
+        # for real; a crawl pipeline routes compressed-audio blobs here
+        # and gets a loud, catchable signal.
         raise NotImplementedError(
             "compressed audio codecs not available in this environment; "
             "WAV PCM decodes for real, or pass fake=True for the "
