@@ -96,37 +96,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """REAL decode of non-interlaced 8-bit PNG (gray / RGB / palette /
-    gray+alpha / RGBA) — stdlib zlib inflates IDAT, the five scanline
-    filters (None/Sub/Up/Average/Paeth) are inverted here per the spec.
-    Returns (h, w, 3) uint8 RGB (alpha dropped, gray replicated)."""
-    import struct
-    import zlib
-    if not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG payload")
-    i, idat, plte = len(_PNG_SIG), b"", None
-    w = h = depth = ctype = interlace = None
-    while i < len(payload):
-        ln, tag = struct.unpack_from(">I4s", payload, i)
-        body = payload[i + 8:i + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body)
-        elif tag == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        i += 12 + ln  # len + tag + crc
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG (depth={depth}, type={ctype}, "
-                         f"interlace={interlace})")
-    ch = _PNG_CHANNELS[ctype]
+# Adam7 interlace pattern: (start_row, start_col, row_inc, col_inc) per
+# pass, from the PNG specification
+_ADAM7 = ((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+          (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+
+
+def _png_defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Invert the five PNG scanline filters over one (sub-)image of
+    ``h`` rows x ``w`` pixels x ``ch`` channels; ``raw`` is the
+    decompressed byte stream (filter byte + scanline per row)."""
     stride = w * ch
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    raw = raw.reshape(h, stride + 1)
+    raw = np.asarray(raw[:h * (stride + 1)]).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
         f, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
@@ -152,7 +133,57 @@ def decode_png(payload: bytes) -> np.ndarray:
                         (b if pb <= pc else c)
                 cur[x] = (line[x] + pred) & 0xFF
         out[y] = cur
-    img = out.reshape(h, w, ch)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of 8-bit PNG (gray / RGB / palette / gray+alpha /
+    RGBA; non-interlaced AND Adam7-interlaced) — stdlib zlib inflates
+    IDAT, the five scanline filters (None/Sub/Up/Average/Paeth) are
+    inverted here per the spec, interlaced images defilter each of the
+    seven Adam7 passes independently. Returns (h, w, 3) uint8 RGB
+    (alpha dropped, gray replicated)."""
+    import struct
+    import zlib
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, idat, plte = len(_PNG_SIG), b"", None
+    w = h = depth = ctype = interlace = None
+    while i < len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, i)
+        body = payload[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + crc
+    if depth != 8 or interlace not in (0, 1) \
+            or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth}, type={ctype}, "
+                         f"interlace={interlace})")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if interlace == 0:
+        img = _png_defilter(raw, h, w, ch).reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered onto
+        # the full grid by the spec's fixed start/increment pattern
+        img = np.zeros((h, w, ch), np.uint8)
+        pos = 0
+        for (r0, c0, ri, ci) in _ADAM7:
+            pw = (w - c0 + ci - 1) // ci
+            ph = (h - r0 + ri - 1) // ri
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (pw * ch + 1)
+            sub = _png_defilter(raw[pos:pos + n], ph, pw, ch)
+            pos += n
+            img[r0::ri, c0::ci] = sub.reshape(ph, pw, ch)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -164,20 +195,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, :3].copy()
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal PNG encoder (8-bit gray/RGB/RGBA by channel count,
-    non-interlaced, one filter type for all scanlines) — the sink-side
-    counterpart and the roundtrip oracle for every decoder filter path."""
-    import struct
-    import zlib
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    ctype = {1: 0, 3: 2, 4: 6}[ch]
-    stride = w * ch
-    flat = img.astype(np.int32).reshape(h, stride)
+def _png_filter_sub(sub: np.ndarray, filter_type: int) -> bytes:
+    """Apply one PNG filter type to every scanline of a (ph, pw, ch)
+    sub-image; returns the filtered byte stream (filter byte + line)."""
+    ph, pw, ch = sub.shape
+    stride = pw * ch
+    flat = sub.astype(np.int32).reshape(ph, stride)
     lines = []
-    for y in range(h):
+    for y in range(ph):
         cur = flat[y]
         up = flat[y - 1] if y else np.zeros(stride, np.int32)
         a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
@@ -198,14 +223,37 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             enc = cur - pred
         lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8)
                      .tobytes())
+    return b"".join(lines)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA by channel count, one
+    filter type for all scanlines; ``interlace=True`` writes Adam7 —
+    seven independently-filtered passes) — the sink-side counterpart and
+    the roundtrip oracle for every decoder filter/interlace path."""
+    import struct
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    if interlace:
+        stream = b"".join(
+            _png_filter_sub(img[r0::ri, c0::ci], filter_type)
+            for (r0, c0, ri, ci) in _ADAM7
+            if img[r0::ri, c0::ci].size)
+    else:
+        stream = _png_filter_sub(img, filter_type)
 
     def chunk(tag, body):
         crc = zlib.crc32(tag + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + tag + body \
             + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
+    idat = zlib.compress(stream)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) \
         + chunk(b"IEND", b"")
 
@@ -327,7 +375,7 @@ def decode_audio(payload: bytes, n_samples: int = 4096,
         # codec library ships in this environment to lift them from. An
         # approximated table would silently mis-decode real files —
         # refusal beats mis-decode (the same stance the JPEG codec takes
-        # for progressive/arithmetic streams). WAV PCM and MJPEG decode
+        # for arithmetic-coded streams). WAV PCM and MJPEG decode
         # for real; a crawl pipeline routes compressed-audio blobs here
         # and gets a loud, catchable signal.
         raise NotImplementedError(

@@ -68,8 +68,8 @@ def test_jpeg_refuses_out_of_subset():
     img = np.full((8, 8), 7, np.uint8)
     enc = bytearray(J.encode_jpeg(img, 90))
     sof = bytes(enc).index(b"\xff\xc0")
-    # progressive DCT marker
-    prog = bytes(enc[:sof + 1]) + b"\xc2" + bytes(enc[sof + 2:])
+    # lossless DCT marker (progressive SOF2 decodes for real now)
+    prog = bytes(enc[:sof + 1]) + b"\xc3" + bytes(enc[sof + 2:])
     with pytest.raises(ValueError, match="baseline"):
         J.decode_jpeg(prog)
     # out-of-range sampling factors
@@ -253,3 +253,53 @@ def test_mjpeg_split_survives_ffd9_inside_marker_segments():
     base = J.decode_jpeg(plain)
     for f in frames:
         assert (J.decode_jpeg(f) == base).all()
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Progressive (SOF2) decodes for real: the default 10-scan
+    successive-approximation script over identical quantized coefficients
+    must reproduce the baseline decode BIT-FOR-BIT — 4:4:4, 4:2:0 and
+    grayscale, odd dimensions, smooth and noisy content."""
+    rng = np.random.default_rng(6)
+    x, y = np.meshgrid(np.arange(37), np.arange(29))
+    smooth = np.stack([(x * 5 + y * 3) % 256, (x * 2 + y * 7) % 256,
+                       (255 - x * 3) % 256], axis=2).astype(np.uint8)
+    noisy = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    for img in (smooth, noisy):
+        for q in (75, 95):
+            assert (J.decode_jpeg(J.encode_jpeg_progressive(img, q))
+                    == J.decode_jpeg(J.encode_jpeg(img, q))).all()
+        assert (J.decode_jpeg(J.encode_jpeg_progressive(
+                    img, 85, subsample=True))
+                == J.decode_jpeg(J.encode_jpeg(img, 85,
+                                               subsample=True))).all()
+    g = ((x * 11 + y * 13) % 256).astype(np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_progressive(g, 90))
+            == J.decode_jpeg(J.encode_jpeg(g, 90))).all()
+
+
+def test_progressive_custom_scan_scripts():
+    """Band splits, deep successive approximation and scan order are all
+    honoured: a hand-written script with three AC bands and 3-level
+    approximation still reproduces the baseline decode exactly, and a
+    PARTIAL script (no final refinements) decodes without error to a
+    coarser image."""
+    x, y = np.meshgrid(np.arange(21), np.arange(18))
+    img = np.stack([(x * 9 + y * 2) % 256, (x + y * 5) % 256,
+                    (x * 4) % 256], axis=2).astype(np.uint8)
+    script = [((0, 1, 2), 0, 0, 0, 2),
+              ((0,), 1, 2, 0, 3), ((0,), 3, 20, 0, 3), ((0,), 21, 63, 0, 3),
+              ((1,), 1, 63, 0, 2), ((2,), 1, 63, 0, 2),
+              ((0, 1, 2), 0, 0, 1, 1), ((0, 1, 2), 0, 0, 2, 0),
+              ((0,), 1, 63, 3, 2), ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+              ((1,), 1, 63, 2, 1), ((1,), 1, 63, 1, 0),
+              ((2,), 1, 63, 2, 1), ((2,), 1, 63, 1, 0)]
+    enc = J.encode_jpeg_progressive(img, 90, scans=script)
+    assert (J.decode_jpeg(enc) == J.decode_jpeg(J.encode_jpeg(img, 90))) \
+        .all()
+    # truncated delivery: only the first-pass scans — still decodable,
+    # coarser but close (that is the point of progressive rendering)
+    partial = J.encode_jpeg_progressive(img, 90, scans=script[:6])
+    coarse = J.decode_jpeg(partial)
+    full = J.decode_jpeg(J.encode_jpeg(img, 90))
+    assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 40
