@@ -296,3 +296,59 @@ def geod_inverse(lon1, lat1, lon2, lat2, a: float = WGS84_A,
     az2 = np.mod(az2_cont, 360.0) - 180.0
     az2 = np.where(az2 == -180.0, 180.0, az2)
     return az1, az2, dist
+
+
+def geod_direct(lon, lat, azimuth_deg, dist_m, a: float = WGS84_A,
+                f: float = WGS84_F, iters: int = 64):
+    """Vincenty direct geodesic: destination (lon2, lat2, back_azimuth)
+    at ``dist_m`` along ``azimuth_deg`` from each start point — the
+    pyproj Geod.fwd twin (ellipsoidal st_buffer vertex generator;
+    back azimuth in pyproj's to-point-1 convention)."""
+    lon1 = np.radians(np.asarray(lon, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat, dtype=np.float64))
+    alpha1 = np.radians(np.asarray(azimuth_deg, dtype=np.float64))
+    s = np.asarray(dist_m, dtype=np.float64)
+    b = a * (1.0 - f)
+    tanU1 = (1.0 - f) * np.tan(lat1)
+    cosU1 = 1.0 / np.sqrt(1.0 + tanU1 ** 2)
+    sinU1 = tanU1 * cosU1
+    sig1 = np.arctan2(tanU1, np.cos(alpha1))
+    sin_alpha = cosU1 * np.sin(alpha1)
+    cos2_alpha = 1.0 - sin_alpha ** 2
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    Aa = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2
+                                              * (320.0 - 175.0 * u2)))
+    Bb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sig = s / (b * Aa)
+    for _ in range(iters):
+        cos_2sigm = np.cos(2.0 * sig1 + sig)
+        sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+        dsig = Bb * sin_sig * (cos_2sigm + Bb / 4.0 * (
+            cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+            - Bb / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig ** 2)
+            * (-3.0 + 4.0 * cos_2sigm ** 2)))
+        sig_new = s / (b * Aa) + dsig
+        if np.all(np.abs(sig_new - sig) < 1e-14):
+            sig = sig_new
+            break
+        sig = sig_new
+    sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+    cos_2sigm = np.cos(2.0 * sig1 + sig)
+    lat2 = np.arctan2(
+        sinU1 * cos_sig + cosU1 * sin_sig * np.cos(alpha1),
+        (1.0 - f) * np.hypot(sin_alpha,
+                             sinU1 * sin_sig
+                             - cosU1 * cos_sig * np.cos(alpha1)))
+    lam = np.arctan2(sin_sig * np.sin(alpha1),
+                     cosU1 * cos_sig - sinU1 * sin_sig * np.cos(alpha1))
+    Cc = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    L = lam - (1.0 - Cc) * f * sin_alpha * (
+        sig + Cc * sin_sig * (cos_2sigm + Cc * cos_sig
+                              * (-1.0 + 2.0 * cos_2sigm ** 2)))
+    lon2 = lon1 + L
+    az2_cont = np.arctan2(sin_alpha,
+                          -sinU1 * sin_sig + cosU1 * cos_sig
+                          * np.cos(alpha1))
+    back = np.mod(np.degrees(az2_cont), 360.0) - 180.0
+    back = np.where(back == -180.0, 180.0, back)
+    return np.degrees(lon2), np.degrees(lat2), back
