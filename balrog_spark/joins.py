@@ -175,6 +175,14 @@ def _refine_schema(extra_cols):
 # above it, ring doubling keeps shrinking the frontier first
 STRAGGLER_DIRECT_MAX = 50_000
 
+# skip remaining ring rounds and finish pending points exactly when the
+# cross-join candidate count (pending x cover rows, a conservative upper
+# bound on pending x polygons) is below this: each extra ring round costs
+# several fixed-latency jobs (annulus explode + join + argmin + checkpoint)
+# that dwarf a small distributed cross join. At production scale a large
+# pending set keeps ringing; the budget only short-circuits the tail.
+DIRECT_PAIR_BUDGET = 50_000_000
+
 
 def _spread(df: DataFrame, key: str = "addr_id") -> DataFrame:
     """Repartition the (large) probe side across the cluster. Broadcast
@@ -369,6 +377,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     unresolved = pts
     best_so_far = None  # best candidate per addr so far (may not be final)
     n_resolved = 0
+    n_cover = None
     n_par = spark.sparkContext.defaultParallelism
     prev = -1
     for r in rounds:
@@ -426,6 +435,15 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         unresolved = unresolved.join(done.select("addr_id"), "addr_id",
                                      "left_anti")
         best_so_far = pending
+        # early exact finish: when the pending tail is small enough that
+        # the distributed cross join is cheaper than another ring round,
+        # stop ringing (falls through to the final exact pass below)
+        pending_n = n_pts - n_resolved
+        if pending_n <= STRAGGLER_DIRECT_MAX:
+            if n_cover is None:
+                n_cover = cover.count()
+            if pending_n * n_cover <= DIRECT_PAIR_BUDGET:
+                break
     # ring budget exhausted. NEVER broadcast the polygon set to finish
     # the stragglers (9.4M full-WKT rows replicated per executor kills
     # the driver on a pathological far-from-everything point set).
