@@ -171,6 +171,60 @@ def _in_buffer_values(r, x: float, y: float, radius_m: float,
     return v[v != nodata]
 
 
+_EMPTY = np.array([], dtype=np.float64)
+
+
+def _segment_values(group: pd.DataFrame, key_of_row: np.ndarray,
+                    radius_m: float, nodata: float,
+                    include: str) -> dict:
+    """Vectorized window extraction for a WHOLE batch: one concatenate +
+    one mask over every (address, tile) row's cropped window instead of
+    per-address pandas groupby + per-row numpy (the former hot loop).
+    Returns {segment key: float64 values}, each segment's values in
+    exactly the order the per-row path produced (row order within the
+    group, raster order within a row, nodata dropped) — the stats stay
+    bit-identical because zonal_stats_1d still runs per address on the
+    identical arrays."""
+    valid = group["data"].notna().to_numpy() & (key_of_row >= 0)
+    if not valid.any():
+        return {}
+    g = group.loc[valid]
+    keys = key_of_row[valid]
+    arrs = [np.asarray(d, dtype=np.float64) for d in g["data"].to_numpy()]
+    lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+    total = int(lens.sum())
+    if total == 0:
+        return {}
+    flat = np.concatenate(arrs)
+
+    def rep(col, dt=np.float64):
+        return np.repeat(g[col].to_numpy(dt), lens)
+
+    m_e = rep("ncols", np.int64)
+    n_e = rep("nrows", np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.arange(total) - np.repeat(offs, lens)
+    r_i = idx // m_e
+    c_i = idx % m_e
+    px_e = rep("pixel_m")
+    xs = rep("x0") + (c_i + 0.5) * px_e
+    ys = rep("y0") + (n_e - r_i - 0.5) * px_e
+    xa, ya = rep("x"), rep("y")
+    if include == "touched":
+        dx = np.maximum(np.abs(xs - xa) - px_e / 2.0, 0.0)
+        dy = np.maximum(np.abs(ys - ya) - px_e / 2.0, 0.0)
+        keep = dx ** 2 + dy ** 2 <= radius_m ** 2
+    else:
+        keep = (xs - xa) ** 2 + (ys - ya) ** 2 <= radius_m ** 2
+    keep &= flat != nodata
+    kv = flat[keep]
+    kk = np.repeat(keys, lens)[keep]
+    order = np.argsort(kk, kind="stable")
+    sv, sk = kv[order], kk[order]
+    uk, starts = np.unique(sk, return_index=True)
+    return dict(zip(uk.tolist(), np.split(sv, starts[1:])))
+
+
 def _batched(joined: DataFrame, per_batch, out_schema,
              batch_m: float) -> DataFrame:
     grouped = joined.groupBy(
@@ -196,14 +250,12 @@ def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
                                crop=crop)
 
     def stats(key, group: pd.DataFrame):
+        codes, uniq = pd.factorize(group["addr_id"], sort=False)
+        segs = _segment_values(group, codes, radius_m, nodata, include)
         rows = []
-        for addr_id, g in group.groupby("addr_id", sort=False):
-            x = float(g.x.iloc[0])
-            y = float(g.y.iloc[0])
-            vals = [_in_buffer_values(r, x, y, radius_m, nodata, include)
-                    for r in g.itertuples()]
-            flat = np.concatenate(vals) if vals else np.array([])
-            s = kernels.zonal_stats_1d(flat, circular=circular,
+        for ai, addr_id in enumerate(uniq):
+            s = kernels.zonal_stats_1d(segs.get(ai, _EMPTY),
+                                       circular=circular,
                                        sentinel=sentinel)
             rows.append({
                 "addr_id": addr_id, "buffer_size_m": float(radius_m),
@@ -240,20 +292,22 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
                                       False))
     out_schema = StructType(fields)
 
+    lay_code = {lay: i for i, lay in enumerate(layers)}
+    L = len(layers)
+
     def stats(key, group: pd.DataFrame):
+        codes, uniq = pd.factorize(group["addr_id"], sort=False)
+        lcodes = group["layer"].map(lay_code).fillna(-1).to_numpy(np.int64)
+        key_of_row = np.where(lcodes >= 0, codes * L + lcodes, -1)
+        segs = _segment_values(group, key_of_row, radius_m, nodata,
+                               include)
         rows = []
-        for addr_id, g in group.groupby("addr_id", sort=False):
-            x = float(g.x.iloc[0])
-            y = float(g.y.iloc[0])
+        for ai, addr_id in enumerate(uniq):
             row = {"addr_id": addr_id, "buffer_size_m": float(radius_m)}
-            for lay in layers:
-                sub = g[g.layer == lay]
-                vals = [_in_buffer_values(r, x, y, radius_m, nodata,
-                                          include)
-                        for r in sub.itertuples()]
-                flat = np.concatenate(vals) if vals else np.array([])
+            for li, lay in enumerate(layers):
                 s = kernels.zonal_stats_1d(
-                    flat, circular=layer_specs[lay].get("circular", False),
+                    segs.get(ai * L + li, _EMPTY),
+                    circular=layer_specs[lay].get("circular", False),
                     sentinel=sentinel)
                 for stat in ("min", "max", "avg", "std", "med",
                              "pixel_count"):
