@@ -204,3 +204,50 @@ def test_racing_writers_never_clobber_staged_data(spark, tmp_path):
         S.current_snapshot_id = orig
     # the winner's committed rows are exactly its staged data
     assert _rows(S.read_table(spark, t)) == [(1, 10), (2, 20)]
+
+
+def test_flagship_chain_resumes_from_snapshots_mid_run(spark, tmp_path):
+    """The north rule's full sentence over the REAL flagship chain: the
+    per-address BAL pipeline (kNN + zonal medians + AS 3959 lookup) runs
+    per hash-bucket of documents with lineage + metrics committed as
+    snapshots, is killed mid-run, resumes, and the final table equals the
+    uninterrupted run row-for-row."""
+    from balrog_spark import corpus, docparse, pipeline
+
+    docs = corpus.spark_documents(spark, 3, 3).cache()
+    tiles = corpus.spark_tiles(spark, 3, 3).cache()
+
+    def compute(part):
+        # one bucket of address documents through the full production
+        # chain; vegetation and tiles stay GLOBAL (the spatial context
+        # cannot be bucketed by address hash), so per-bucket cost scales
+        # with the bucket, not the corpus
+        if docparse.addresses_from_documents(part).rdd.isEmpty():
+            return pipeline.address_bal_factors(spark, docs, tiles) \
+                .limit(0)
+        return pipeline.address_bal_factors(spark, part, tiles,
+                                            veg_documents=docs)
+
+    expect = sorted(
+        tuple(r) for r in pipeline.address_bal_factors(spark, docs, tiles)
+        .collect())
+
+    t = str(tmp_path / "flagship")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        S.run_partitioned_snapshots(spark, docs, ["doc_id"], compute, t,
+                                    n_buckets=4, stage="bal",
+                                    fail_after=2)
+    assert len(S.history(t)) == 2          # two buckets committed
+    S.run_partitioned_snapshots(spark, docs, ["doc_id"], compute, t,
+                                n_buckets=4, stage="bal")
+    h = S.history(t)
+    assert len(h) == 4
+    assert sorted(r["metrics"]["bucket"] for r in h) == [0, 1, 2, 3]
+    assert all("checksum" in r["metrics"] and r["metrics"]["wall_ms"] >= 0
+               for r in h)
+    got = sorted(tuple(r) for r in S.read_table(spark, t)
+                 .select(*[f.name for f in
+                           pipeline.address_bal_factors(
+                               spark, docs, tiles).schema.fields])
+                 .collect())
+    assert got == expect
