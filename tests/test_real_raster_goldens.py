@@ -303,3 +303,56 @@ def test_jerram_worked_example_through_tiles(spark):
                 r.nrows, cb[1] - cb[0])
     assert not np.isnan(got).any()
     assert_array_equal(got, _jerram_golden("max"))
+
+
+def test_get_slope_aspect_classified_goldens_with_mask():
+    """The reference's test_get_slope_aspect lifecycle end-to-end on its
+    REAL dem.img: slope/aspect derivation (float32 storage), the 9-class
+    aspect remap, the dynamic-maximum slope remap, and extraction by the
+    published test_mask.shp — the classified outputs must equal
+    expect_s_r / expect_a_r PIXEL-EXACTLY on the expected (mask-snapped)
+    grids (reference: bal.py:76-133, tests/test_get_slope_aspect.py)."""
+    import math
+
+    from balrog_spark import geometry
+    from balrog_spark.shapefile import read_shp_records
+    from tests.aig_reader import read_aig_bounds
+    from tests.hfa_reader import read_mapinfo
+
+    dem = read_img(f"{_TD}/input/dem.img")
+    dem = np.where(dem < -1e30, -99.0, dem)
+    ulx, uly, px = read_mapinfo(f"{_TD}/input/dem.img")
+    slope, aspect = kernels.cal_slope_aspect_vec(dem, px, px)
+    # arcpy stores the intermediate slope/aspect rasters as float32
+    s32 = np.where(slope == -99, -99.0,
+                   slope.astype(np.float32).astype(np.float64))
+    a32 = np.where(aspect == -99, -99.0,
+                   aspect.astype(np.float32).astype(np.float64))
+    asp_c = kernels.reclassify_vec(
+        a32, "-1 0 9;0 22.5 1;22.5 67.5 2;67.5 112.5 3;112.5 157.5 4;"
+             "157.5 202.5 5;202.5 247.5 6;247.5 292.5 7;292.5 337.5 8;"
+             "337.5 360 1")
+    vmax = s32[s32 != -99].max()
+    if vmax < 20:
+        vmax = 20.0001
+    slp_c = kernels.reclassify_vec(
+        s32, "0 0 1;0.0001 5 2;5.0001 10 3;10.0001 15 4;15.0001 20 5;"
+             f"20.0001 {math.ceil(float(vmax))} 6")
+
+    poly = geometry.parse_wkt_polys(
+        read_shp_records(f"{_TD}/input/test_mask.shp")[0][2])
+    for name, cls in (("expect_s_r", slp_c), ("expect_a_r", asp_c)):
+        exp = read_aig(f"{_TD}/reference/{name}")
+        b = read_aig_bounds(f"{_TD}/reference/{name}")
+        eh, ew = exp.shape
+        X, Y = np.meshgrid(b[0] + (np.arange(ew) + 0.5) * px,
+                           b[3] - (np.arange(eh) + 0.5) * px)
+        ci = np.round((X - ulx) / px).astype(int)
+        ri_ = np.round((uly - Y) / px).astype(int)
+        ok = ((ri_ >= 0) & (ri_ < dem.shape[0])
+              & (ci >= 0) & (ci < dem.shape[1]))
+        src = np.full(exp.shape, -99.0)
+        src[ok] = cls[ri_[ok], ci[ok]]
+        inside = geometry.points_in_geom(X.ravel(), Y.ravel(),
+                                         poly).reshape(exp.shape)
+        assert_array_equal(np.where(inside, src, -99.0), exp), name

@@ -85,3 +85,20 @@ def test_veg_reclassify_matches_published_grid():
         got, ri.reclassify_array(veg, VEG_REMAP_1))
     np.testing.assert_array_equal(
         got, read_aig(f"{_TD}/reference/expect_r_1"))
+
+
+def test_vegetation_reclassify_matches_published_grid():
+    """The reference's FIRST reclassify golden (tests/test_reclassify.py
+    case 1): the 38-rule vegetation remap over the real vege.img (132x166,
+    nodata declared as 0) must equal expect_r_1 pixel-for-pixel."""
+    from tests.hfa_reader import read_img
+    veg = read_img(f"{_TD}/input/vege.img")
+    veg = np.where((veg < -1e30) | (veg == 0.0), -99.0, veg)
+    remap = ("1 3;2 2;3 3;4 5 7;6 8 1;9 2;10 3;11 12 1;13 1;14 3;"
+             "15 6;16 7;17 3;18 19 2;20 7;21 3;22 2; 23 24 7;25 27 5;"
+             "28 2;29 30 7;31 3;32 33 1;34 7;35 3;36 37 7;38 4;39 7;"
+             "40 1;41 2;42 7;43 2;44 7;45 4;46 7;47 NODATA;97 2;98 99 1")
+    got = kernels.reclassify_vec(veg, remap)
+    np.testing.assert_array_equal(
+        got, ri.reclassify_array(veg, remap))
+    np.testing.assert_array_equal(got, read_aig(f"{_TD}/reference/expect_r_1"))
