@@ -352,3 +352,54 @@ def geod_direct(lon, lat, azimuth_deg, dist_m, a: float = WGS84_A,
     back = np.mod(np.degrees(az2_cont), 360.0) - 180.0
     back = np.where(back == -180.0, 180.0, back)
     return np.degrees(lon2), np.degrees(lat2), back
+
+
+def _lcc_t(lat_r, e: float):
+    return (np.tan(np.pi / 4.0 - lat_r / 2.0)
+            / ((1.0 - e * np.sin(lat_r))
+               / (1.0 + e * np.sin(lat_r))) ** (e / 2.0))
+
+
+def _lcc_consts(lat1: float, lat2: float, lat0: float, a: float, f: float):
+    e = np.sqrt(f * (2.0 - f))
+    p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+    m = lambda p: np.cos(p) / np.sqrt(1.0 - e * e * np.sin(p) ** 2)  # noqa
+    t1, t2, t0 = (_lcc_t(p, e) for p in (p1, p2, p0))
+    n = np.log(m(p1) / m(p2)) / np.log(t1 / t2)
+    F = m(p1) / (n * t1 ** n)
+    rho0 = a * F * t0 ** n
+    return e, n, F, rho0
+
+
+def lcc_forward(lon, lat, lat1: float = -36.0, lat2: float = -38.0,
+                lon0: float = 145.0, lat0: float = -37.0,
+                fe: float = 2500000.0, fn: float = 2500000.0,
+                a: float = GRS80_A, f: float = GRS80_F):
+    """Ellipsoidal Lambert conformal conic forward (Snyder 15-1..15-5).
+    Defaults are VICGRID94, the reference's vegetation CRS
+    (tests/test_data/input/vege.img PROJCS)."""
+    e, n, F, rho0 = _lcc_consts(lat1, lat2, lat0, a, f)
+    t = _lcc_t(np.radians(np.asarray(lat, dtype=np.float64)), e)
+    rho = a * F * t ** n
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(x, y, lat1: float = -36.0, lat2: float = -38.0,
+                lon0: float = 145.0, lat0: float = -37.0,
+                fe: float = 2500000.0, fn: float = 2500000.0,
+                a: float = GRS80_A, f: float = GRS80_F):
+    """Ellipsoidal Lambert conformal conic inverse (Snyder 15-9..15-11 +
+    7-9 iteration)."""
+    e, n, F, rho0 = _lcc_consts(lat1, lat2, lat0, a, f)
+    xs = np.asarray(x, dtype=np.float64) - fe
+    ys = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xs, ys)
+    th = np.arctan2(np.sign(n) * xs, np.sign(n) * ys)
+    t = (rho / (a * F)) ** (1.0 / n)
+    lat_r = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = e * np.sin(lat_r)
+        lat_r = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return lon0 + np.degrees(th / n), np.degrees(lat_r)

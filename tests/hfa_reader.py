@@ -36,7 +36,10 @@ def _entries(data, off, out):
 
 def read_mapinfo(path: str):
     """(upperLeftCenterX, upperLeftCenterY, pixel_size) from the layer's
-    Eprj_MapInfo node."""
+    Eprj_MapInfo node. The node layout is a pcstring (count, ptr, chars)
+    for the projection name, then (count, ptr, 2 doubles) blocks for the
+    upper-left centre, lower-right centre and pixel size — the name
+    length varies per file, so offsets are parsed, not assumed."""
     with open(path, "rb") as f:
         data = f.read()
     hdr_ptr = struct.unpack("<I", data[16:20])[0]
@@ -45,8 +48,12 @@ def read_mapinfo(path: str):
     _entries(data, root_ptr, nodes)
     _n, _t, dp, ds = next(n for n in nodes if n[1] == "Eprj_MapInfo")
     raw = data[dp:dp + ds]
-    ulx, uly = struct.unpack("<2d", raw[45:61])
-    px = struct.unpack("<d", raw[93:101])[0]
+    name_len = struct.unpack("<I", raw[0:4])[0]
+    off = 8 + name_len                       # count + ptr + name chars
+    ulx, uly = struct.unpack_from("<2d", raw, off + 8)
+    off += 8 + 16                            # ULC block
+    off += 8 + 16                            # LRC block
+    px = struct.unpack_from("<d", raw, off + 8)[0]
     return ulx, uly, px
 
 

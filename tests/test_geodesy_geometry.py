@@ -196,3 +196,20 @@ def test_vincenty_direct_inverts_inverse():
     lo, la, _ = G.geod_direct(lon1, lat1, az, dd)
     assert np.abs(lo - lon2).max() < 1e-12
     assert np.abs(la - lat2).max() < 1e-12
+
+
+def test_lcc_roundtrip_vicgrid():
+    """VICGRID94 Lambert conformal conic fwd/inverse roundtrip below
+    1e-9 deg across Victoria, and the projection origin maps to the
+    false-easting/northing point."""
+    import numpy as np
+
+    from balrog_spark import geodesy as G
+    x, y = G.lcc_forward(145.0, -37.0)
+    assert abs(x - 2500000.0) < 1e-6 and abs(y - 2500000.0) < 1e-6
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(141.0, 150.0, 200)
+    lat = rng.uniform(-39.0, -34.0, 200)
+    lo, la = G.lcc_inverse(*G.lcc_forward(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9

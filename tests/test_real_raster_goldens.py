@@ -356,3 +356,88 @@ def test_get_slope_aspect_classified_goldens_with_mask():
         inside = geometry.points_in_geom(X.ravel(), Y.ravel(),
                                          poly).reshape(exp.shape)
         assert_array_equal(np.where(inside, src, -99.0), exp), name
+
+
+def test_reclass_veg_reprojected_golden():
+    """The reference's test_reclass_veg lifecycle on its REAL rasters:
+    vege.img (VICGRID94 Lambert conformal conic, 30 m, nodata 0) is
+    reclassified with the 38-rule remap, ProjectRaster'd into the DEM's
+    MGA55 grid at 25 m (clean-room LCC inverse + TM forward, arcpy's
+    projected-envelope origin + clip_array offsets), and extracted by
+    test_mask.shp — the result must equal expect_v_r PIXEL-EXACTLY
+    (reference: bal.py:26-73, tests/test_reclass_veg.py)."""
+    from balrog_spark import geodesy as G
+    from balrog_spark import geometry
+    from balrog_spark.shapefile import read_shp_records
+    from tests.aig_reader import read_aig_bounds
+    from tests.hfa_reader import read_mapinfo
+
+    veg = read_img(f"{_TD}/input/vege.img")
+    veg = np.where((veg < -1e30) | (veg == 0.0), -99.0, veg)
+    vulx, vuly, vpx = read_mapinfo(f"{_TD}/input/vege.img")
+    remap = ("1 3;2 2;3 3;4 5 7;6 8 1;9 2;10 3;11 12 1;13 1;14 3;"
+             "15 6;16 7;17 3;18 19 2;20 7;21 3;22 2; 23 24 7;25 27 5;"
+             "28 2;29 30 7;31 3;32 33 1;34 7;35 3;36 37 7;38 4;39 7;"
+             "40 1;41 2;42 7;43 2;44 7;45 4;46 7;47 NODATA;97 2;98 99 1")
+    veg_r = kernels.reclassify_vec(veg, remap)
+    vh, vw = veg.shape
+    vxmin, vymax = vulx - vpx / 2, vuly + vpx / 2
+    vxmax, vymin = vxmin + vw * vpx, vymax - vh * vpx
+
+    t = np.linspace(0.0, 1.0, 2001)
+    ex = np.concatenate([vxmin + t * (vxmax - vxmin),
+                         np.full_like(t, vxmax),
+                         vxmin + t * (vxmax - vxmin),
+                         np.full_like(t, vxmin)])
+    ey = np.concatenate([np.full_like(t, vymin),
+                         vymin + t * (vymax - vymin),
+                         np.full_like(t, vymax),
+                         vymin + t * (vymax - vymin)])
+    lon, lat = G.lcc_inverse(ex, ey)
+    mx, my = G.tm_forward(lon, lat, 147.0)
+    vpx_min, vpy_max = mx.min(), my.max()
+
+    exp = read_aig(f"{_TD}/reference/expect_v_r")
+    b = read_aig_bounds(f"{_TD}/reference/expect_v_r")
+    eh, ew = exp.shape
+    x_start = int(np.around((b[0] - vpx_min) / 25.0))
+    y_start = int(np.around((vpy_max - b[3]) / 25.0))
+    X, Y = np.meshgrid(vpx_min + (x_start + np.arange(ew) + 0.5) * 25.0,
+                       vpy_max - (y_start + np.arange(eh) + 0.5) * 25.0)
+    lon, lat = G.tm_inverse(X, Y, 147.0)
+    ax, ay = G.lcc_forward(lon, lat)
+    ci = np.floor((ax - vxmin) / vpx).astype(int)
+    ri_ = np.floor((vymax - ay) / vpx).astype(int)
+    ok = (ci >= 0) & (ci < vw) & (ri_ >= 0) & (ri_ < vh)
+    src = np.full(exp.shape, -99.0)
+    src[ok] = veg_r[np.clip(ri_, 0, vh - 1), np.clip(ci, 0, vw - 1)][ok]
+    poly = geometry.parse_wkt_polys(
+        read_shp_records(f"{_TD}/input/test_mask.shp")[0][2])
+    inside = geometry.points_in_geom(X.ravel(), Y.ravel(),
+                                     poly).reshape(exp.shape)
+    assert_array_equal(np.where(inside, src, -99.0), exp)
+
+
+def test_get_footprint_matches_published_shapefile():
+    """get_footprint = the raster's extent rectangle as a polygon
+    (reference: bal.py:259-278); vege.img's footprint must equal
+    expect_footprint.shp's ring vertex-for-vertex."""
+    from balrog_spark import geometry
+    from balrog_spark.shapefile import read_shp_records
+    from tests.hfa_reader import read_mapinfo
+
+    ulx, uly, px = read_mapinfo(f"{_TD}/input/vege.img")
+    h, w = read_img(f"{_TD}/input/vege.img").shape
+    xmin, ymax = ulx - px / 2, uly + px / 2
+    xmax, ymin = xmin + w * px, ymax - h * px
+    exp_ring = geometry.parse_wkt_polys(
+        read_shp_records(f"{_TD}/reference/expect_footprint.shp")[0][2])[0][0]
+    got = {(round(x, 3), round(y, 3))
+           for x, y in ((xmin, ymin), (xmin, ymax), (xmax, ymax),
+                        (xmax, ymin))}
+    want = {(round(float(p[0]), 3), round(float(p[1]), 3))
+            for p in np.asarray(exp_ring)}
+    # shapefile doubles carry the same values to well under a millimetre
+    for gx, gy in got:
+        assert any(abs(gx - wx) < 1e-3 and abs(gy - wy) < 1e-3
+                   for wx, wy in want), (gx, gy)
