@@ -441,3 +441,36 @@ def test_get_footprint_matches_published_shapefile():
     for gx, gy in got:
         assert any(abs(gx - wx) < 1e-3 and abs(gy - wy) < 1e-3
                    for wx, wy in want), (gx, gy)
+
+
+def test_find_common_area_goldens():
+    """The reference's find_common_area on its real fixtures: the
+    footprint intersection of the (projected) vegetation grid and the
+    DEM-grid slope/aspect, each extracted onto its own clipped grid,
+    must equal expect_v_c / expect_s_c / expect_a_c pixel-for-pixel
+    (reference: bal.py:141-193, tests/test_find_common_area.py)."""
+    from tests.aig_reader import read_aig_bounds
+    ins = {n: (read_aig(f"{_TD}/input/{n}"),
+               read_aig_bounds(f"{_TD}/input/{n}"))
+           for n in ("veg_r", "slope_r", "aspect_r")}
+    sb, vb = ins["slope_r"][1], ins["veg_r"][1]
+    eff = (max(sb[0], vb[0]), max(sb[1], vb[1]),
+           min(sb[2], vb[2]), min(sb[3], vb[3]))
+    for name, src_key in (("expect_v_c", "veg_r"),
+                          ("expect_s_c", "slope_r"),
+                          ("expect_a_c", "aspect_r")):
+        exp = read_aig(f"{_TD}/reference/{name}")
+        b = read_aig_bounds(f"{_TD}/reference/{name}")
+        src, srcb = ins[src_key]
+        eh, ew = exp.shape
+        X, Y = np.meshgrid(b[0] + (np.arange(ew) + 0.5) * 25.0,
+                           b[3] - (np.arange(eh) + 0.5) * 25.0)
+        ci = np.round((X - srcb[0]) / 25.0 - 0.5).astype(int)
+        ri_ = np.round((srcb[3] - Y) / 25.0 - 0.5).astype(int)
+        ok = ((ci >= 0) & (ci < src.shape[1])
+              & (ri_ >= 0) & (ri_ < src.shape[0]))
+        got = np.full(exp.shape, -99.0)
+        got[ok] = src[ri_[ok], ci[ok]]
+        inrect = ((X >= eff[0]) & (X <= eff[2])
+                  & (Y >= eff[1]) & (Y <= eff[3]))
+        assert_array_equal(np.where(inrect, got, -99.0), exp), name
