@@ -36,7 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from balrog_spark.driver_queries import world_m
     n_tiles = max(math.ceil(world_m(spark, sf_dir) / corpus.TILE_M), 1)
-    tiles = corpus.spark_tiles(spark, n_tiles, n_tiles)
+    tiles = corpus.spark_tiles(spark, n_tiles, n_tiles,
+                               layers=("dem",))
 
     from balrog_spark import joins, raster, zonal
     knn = joins.knn_join(addrs.select("addr_id", "x", "y"), vegs)

@@ -102,14 +102,19 @@ def tile_arrays(tile_x: int, tile_y: int, n: int = TILE_N,
     return dem.astype(np.float64), veg_raw
 
 
-def tiles_pdf(tile_coords) -> pd.DataFrame:
-    """Build the tiles side table for an iterable of (tile_x, tile_y)."""
+def tiles_pdf(tile_coords, layers=("dem", "veg")) -> pd.DataFrame:
+    """Build the tiles side table for an iterable of (tile_x, tile_y).
+    ``layers`` restricts generation — a DEM-only consumer (the flagship
+    slope/aspect path) skips computing the vegetation hash blobs
+    entirely."""
     rows = []
     for tx, ty in tile_coords:
         dem, veg = tile_arrays(tx, ty)
         x0 = tx * TILE_M
         y0 = ty * TILE_M
         for layer, arr in (("dem", dem), ("veg", veg)):
+            if layer not in layers:
+                continue
             rows.append({
                 "media_ref": f"{layer}/{tx}/{ty}",
                 "layer": layer, "tile_x": tx, "tile_y": ty,
@@ -239,7 +244,7 @@ def grid_coords(nx: int, ny: int):
 
 # --- Spark-side distributed generation ------------------------------------------
 
-def spark_tiles(spark, nx: int, ny: int):
+def spark_tiles(spark, nx: int, ny: int, layers=("dem", "veg")):
     """Distributed tile generation: a tiny coords DataFrame fans out to
     executors; each partition generates its tiles locally (no driver-side
     data movement — the generator scales with the cluster)."""
@@ -253,7 +258,8 @@ def spark_tiles(spark, nx: int, ny: int):
     def gen(batches):
         for pdf in batches:
             if len(pdf):
-                yield tiles_pdf(list(zip(pdf.tile_x, pdf.tile_y)))
+                yield tiles_pdf(list(zip(pdf.tile_x, pdf.tile_y)),
+                                layers=layers)
 
     return coords.mapInPandas(gen, schema=TILES)
 

@@ -86,7 +86,8 @@ def main() -> None:
 
     def flagship_zonal():
         sa = raster.slope_aspect_tiles(
-            corpus.spark_tiles(spark, n_tiles, n_tiles), classify=False)
+            corpus.spark_tiles(spark, n_tiles, n_tiles,
+                               layers=("dem",)), classify=False)
         z = zonal.zonal_stats_multi(
             p3, sa, 100.0,
             {"slope": {"circular": False}, "aspect": {"circular": True}})

@@ -39,7 +39,8 @@ def child(mode: str, sf_dir: str) -> None:
         F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
     n_tiles = max(math.ceil(dq.world_m(spark, sf_dir) / corpus.TILE_M), 1)
     sa = raster.slope_aspect_tiles(corpus.spark_tiles(spark, n_tiles,
-                                                      n_tiles),
+                                                      n_tiles,
+                                                      layers=("dem",)),
                                    classify=False)
     # materialize inputs once so the measured stages are the zonal join +
     # crop + batch groupBy, not tile generation
