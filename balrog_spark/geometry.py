@@ -322,19 +322,10 @@ def clip_ring_to_box(ring, xmin, ymin, xmax, ymax):
     return np.array(poly) if poly else np.empty((0, 2))
 
 
-def union_area(polys) -> float:
-    """Exact area of the UNION of arbitrary (possibly overlapping, possibly
-    holed) polygons — the geometric core of st_union/dissolve (reference:
-    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:36-58).
-
-    Vertical slab sweep: cut the x-axis at every segment endpoint and every
-    pairwise segment-line crossing; within a slab no two segments cross and
-    no endpoint occurs, so each polygon's coverage intervals at the slab
-    midline vary linearly and never reorder — union length is linear in x
-    and the slab's union area is exactly width * length(midline). O(S^2) in
-    segment count, so callers bound S by grid-cell subdivision first.
-    """
-    # segments: (x1, y1, x2, y2, poly_idx)
+def _collect_segs(polys, pid_base: int = 0):
+    """Segments of a polygon list as (x1, y1, x2, y2, poly_idx) tuples;
+    ``pid_base`` offsets the polygon index (lets two groups share one
+    sweep with disjoint ids)."""
     segs = []
     for pi, rings in enumerate(polys):
         for ring in rings:
@@ -342,15 +333,14 @@ def union_area(polys) -> float:
             a = r
             b = np.roll(r, -1, axis=0)
             for (x1, y1), (x2, y2) in zip(a, b):
-                segs.append((x1, y1, x2, y2, pi))
-    if not segs:
-        return 0.0
-    S = np.array([s[:4] for s in segs], dtype=np.float64)
-    pid = np.array([s[4] for s in segs], dtype=np.int64)
+                segs.append((x1, y1, x2, y2, pid_base + pi))
+    return segs
 
+
+def _sweep_breakpoints(S: np.ndarray) -> np.ndarray:
+    """Sorted x breakpoints for a slab sweep: every segment endpoint plus
+    every pairwise segment-line crossing x (extra breakpoints harmless)."""
     xs = set(S[:, 0].tolist()) | set(S[:, 2].tolist())
-    # pairwise line-crossing x's (vectorized): any candidate inside both
-    # segments' x-spans is a breakpoint (extra breakpoints are harmless)
     x1, y1, x2, y2 = S[:, 0], S[:, 1], S[:, 2], S[:, 3]
     nonvert = x1 != x2
     idx = np.nonzero(nonvert)[0]
@@ -366,40 +356,174 @@ def union_area(polys) -> float:
             & (xc > lo[:, None]) & (xc < hi[:, None]) \
             & (xc > lo[None, :]) & (xc < hi[None, :])
         xs |= set(xc[ok].tolist())
+    return np.array(sorted(xs))
 
-    bks = np.array(sorted(xs))
+
+def _union_intervals(yc: np.ndarray, pc: np.ndarray) -> list:
+    """Merged union coverage intervals at one slab midline: even-odd pair
+    each polygon's boundary crossings (holes included), then merge across
+    polygons."""
+    ivs = []
+    for pi in np.unique(pc):
+        ys = np.sort(yc[pc == pi])
+        for j in range(0, len(ys) - 1, 2):
+            ivs.append((ys[j], ys[j + 1]))
+    ivs.sort()
+    merged = []
+    for lo_y, hi_y in ivs:
+        if merged and lo_y <= merged[-1][1]:
+            if hi_y > merged[-1][1]:
+                merged[-1] = (merged[-1][0], hi_y)
+        else:
+            merged.append((lo_y, hi_y))
+    return merged
+
+
+def _slab_crossings(S: np.ndarray, pid: np.ndarray, xm: float):
+    """(y-values, poly-ids) of every segment crossing the vertical x=xm."""
+    x1, y1, x2, y2 = S[:, 0], S[:, 1], S[:, 2], S[:, 3]
+    cross = ((x1 < xm) & (xm < x2)) | ((x2 < xm) & (xm < x1))
+    if not cross.any():
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    yc = y1[cross] + (xm - x1[cross]) * (y2[cross] - y1[cross]) \
+        / (x2[cross] - x1[cross])
+    return yc, pid[cross]
+
+
+def clip_ring_to_convex(ring, clip_ring):
+    """Sutherland-Hodgman clip of an arbitrary simple ring against a CONVEX
+    clip polygon — the general V12 polygon∩polygon primitive for convex
+    clips (address buffers are convex by construction, reference:
+    data_prep/vegetation/xx_fiona_testing.py:139 buffer.intersection).
+    Clip orientation is normalized to CCW internally. Returns the clipped
+    ring vertices (possibly empty). For CONCAVE subjects the SH output can
+    include zero-width bridges between pieces — the area (shoelace) is
+    still exact; callers needing separate parts split downstream."""
+    clip = _closed(np.asarray(clip_ring, dtype=np.float64))
+    if len(clip) < 3:
+        return np.empty((0, 2))
+    # signed shoelace: negative -> CW -> reverse to CCW
+    x, y = clip[:, 0], clip[:, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+        clip = clip[::-1]
+    poly = _closed(np.asarray(ring, dtype=np.float64)).tolist()
+    for k in range(len(clip)):
+        if not poly:
+            return np.empty((0, 2))
+        ax, ay = clip[k]
+        bx, by = clip[(k + 1) % len(clip)]
+        ex, ey = bx - ax, by - ay
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, nxt = poly[i], poly[(i + 1) % n]
+            cin = ex * (cur[1] - ay) - ey * (cur[0] - ax) >= 0
+            nin = ex * (nxt[1] - ay) - ey * (nxt[0] - ax) >= 0
+            if cin != nin:
+                # segment crosses the clip edge's line: parametric t along
+                # cur->nxt where cross(e, p - a) == 0
+                dx, dy = nxt[0] - cur[0], nxt[1] - cur[1]
+                denom = ex * dy - ey * dx
+                t = (ey * (cur[0] - ax) - ex * (cur[1] - ay)) / denom
+                xi = [cur[0] + t * dx, cur[1] + t * dy]
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(xi)
+            elif nin:
+                out.append(xi)
+        poly = out
+    return np.array(poly) if poly else np.empty((0, 2))
+
+
+def clip_polys_to_convex(polys, clip_ring):
+    """Clip a holed multipolygon (list of [exterior, hole, ...] ring lists)
+    against a convex clip ring: every ring is SH-clipped independently
+    (even-odd semantics survive intersection with a convex region). Parts
+    whose clipped exterior is degenerate are dropped; degenerate clipped
+    holes are dropped from their part. Returns the same polys structure."""
+    out = []
+    for rings in polys:
+        ext = clip_ring_to_convex(rings[0], clip_ring)
+        if len(ext) < 3 or ring_area(ext) <= 0.0:
+            continue
+        piece = [ext]
+        for hole in rings[1:]:
+            hc = clip_ring_to_convex(hole, clip_ring)
+            if len(hc) >= 3 and ring_area(hc) > 0.0:
+                piece.append(hc)
+        out.append(piece)
+    return out
+
+
+def union_area(polys) -> float:
+    """Exact area of the UNION of arbitrary (possibly overlapping, possibly
+    holed) polygons — the geometric core of st_union/dissolve (reference:
+    data_prep/vegetation/03_explode_multipolygons_and_classify.sql:36-58).
+
+    Vertical slab sweep: cut the x-axis at every segment endpoint and every
+    pairwise segment-line crossing; within a slab no two segments cross and
+    no endpoint occurs, so each polygon's coverage intervals at the slab
+    midline vary linearly and never reorder — union length is linear in x
+    and the slab's union area is exactly width * length(midline). O(S^2) in
+    segment count, so callers bound S by grid-cell subdivision first.
+    """
+    segs = _collect_segs(polys)
+    if not segs:
+        return 0.0
+    S = np.array([s[:4] for s in segs], dtype=np.float64)
+    pid = np.array([s[4] for s in segs], dtype=np.int64)
+    bks = _sweep_breakpoints(S)
     total = 0.0
-    npoly = int(pid.max()) + 1
+    for k in range(len(bks) - 1):
+        w = bks[k + 1] - bks[k]
+        if w <= 0:
+            continue
+        yc, pc = _slab_crossings(S, pid, 0.5 * (bks[k] + bks[k + 1]))
+        total += w * sum(hi - lo for lo, hi in _union_intervals(yc, pc))
+    return float(total)
+
+
+def intersection_area(polys_a, polys_b) -> float:
+    """Exact area of union(polys_a) ∩ union(polys_b) — the V12
+    polygon∩polygon primitive's area twin for NON-convex inputs, same slab
+    sweep as :func:`union_area` (reference clip use:
+    data_prep/vegetation/xx_fiona_testing.py:139 buffer.intersection).
+    Serves as the independent check for :func:`clip_rings_to_convex`."""
+    segs_a = _collect_segs(polys_a)
+    segs_b = _collect_segs(polys_b, pid_base=len(polys_a))
+    if not segs_a or not segs_b:
+        return 0.0
+    segs = segs_a + segs_b
+    S = np.array([s[:4] for s in segs], dtype=np.float64)
+    pid = np.array([s[4] for s in segs], dtype=np.int64)
+    in_b = pid >= len(polys_a)
+    bks = _sweep_breakpoints(S)
+    total = 0.0
     for k in range(len(bks) - 1):
         w = bks[k + 1] - bks[k]
         if w <= 0:
             continue
         xm = 0.5 * (bks[k] + bks[k + 1])
-        cross = ((x1 < xm) & (xm < x2)) | ((x2 < xm) & (xm < x1))
-        if not cross.any():
+        yca, pca = _slab_crossings(S[~in_b], pid[~in_b], xm)
+        if not len(yca):
             continue
-        yc = y1[cross] + (xm - x1[cross]) * (y2[cross] - y1[cross]) \
-            / (x2[cross] - x1[cross])
-        pc = pid[cross]
-        ivs = []
-        for pi in np.unique(pc):
-            ys = np.sort(yc[pc == pi])
-            # even-odd pairing over the polygon's full boundary (holes
-            # included) yields its coverage intervals at x=xm
-            for j in range(0, len(ys) - 1, 2):
-                ivs.append((ys[j], ys[j + 1]))
-        ivs.sort()
-        length = 0.0
-        cur_lo, cur_hi = None, None
-        for lo_y, hi_y in ivs:
-            if cur_hi is None or lo_y > cur_hi:
-                if cur_hi is not None:
-                    length += cur_hi - cur_lo
-                cur_lo, cur_hi = lo_y, hi_y
+        ycb, pcb = _slab_crossings(S[in_b], pid[in_b], xm)
+        if not len(ycb):
+            continue
+        ia = _union_intervals(yca, pca)
+        ib = _union_intervals(ycb, pcb)
+        # two sorted disjoint interval lists -> intersection length
+        length, i, j = 0.0, 0, 0
+        while i < len(ia) and j < len(ib):
+            lo = max(ia[i][0], ib[j][0])
+            hi = min(ia[i][1], ib[j][1])
+            if hi > lo:
+                length += hi - lo
+            if ia[i][1] < ib[j][1]:
+                i += 1
             else:
-                cur_hi = max(cur_hi, hi_y)
-        if cur_hi is not None:
-            length += cur_hi - cur_lo
+                j += 1
         total += w * length
     return float(total)
 

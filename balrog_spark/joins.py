@@ -209,8 +209,14 @@ def pip_join(points: DataFrame, polys: DataFrame,
         # clipped and unclipped covers are different data
         probe_cover = polygon_cover(polys, cell_m).cache()
         broadcast_cover = _cover_fits_broadcast(probe_cover)
-        cover = probe_cover if broadcast_cover \
-            else polygon_cover(polys, cell_m, clip=True)
+        if broadcast_cover:
+            cover = probe_cover
+        else:
+            # the cached probe served only the one-row byte estimate on
+            # this branch — release it immediately or repeated auto-mode
+            # calls leak executor storage across a long session
+            probe_cover.unpersist(blocking=False)
+            cover = polygon_cover(polys, cell_m, clip=True)
     else:
         cover = polygon_cover(polys, cell_m, clip=not broadcast_cover)
     if broadcast_cover:
@@ -298,6 +304,38 @@ def _argmin_per_addr(scored: DataFrame, out_schema) -> DataFrame:
                       *[F.col(f"m.{c}").alias(c) for c in payload])
 
 
+def _clamped_annulus(unresolved: DataFrame, r: int, prev: int,
+                     cov_bounds) -> DataFrame:
+    """Probe cells for one ring-doubling round: Chebyshev annulus
+    (prev, r] around each point's cell, CLAMPED to the cover's cell
+    bounding box ``cov_bounds`` (gx0/gx1/gy0/gy1). Generated row volume is
+    bounded by min(annulus, cover-bbox window) per point — a far-frontier
+    sparse world pays O(cover extent), never O(r^2). Pure column
+    explode(sequence): plan size O(1) in r."""
+    pgx = F.expr("cell_id DIV 1048576")
+    pgy = F.expr("cell_id % 1048576")
+
+    def clamped_seq(lo_bound: int, hi_bound: int, g):
+        lo = F.greatest(F.lit(-r), F.lit(int(lo_bound)) - g)
+        hi = F.least(F.lit(r), F.lit(int(hi_bound)) - g)
+        return F.when(lo <= hi, F.sequence(lo, hi)) \
+            .otherwise(F.array().cast("array<bigint>"))
+
+    return (unresolved
+            .select("addr_id", "x", "y", "cell_id",
+                    F.explode(clamped_seq(cov_bounds.gx0,
+                                          cov_bounds.gx1, pgx))
+                    .alias("dx"))
+            .select("addr_id", "x", "y", "cell_id", "dx",
+                    F.explode(clamped_seq(cov_bounds.gy0,
+                                          cov_bounds.gy1, pgy))
+                    .alias("dy"))
+            .filter(F.greatest(F.abs("dx"), F.abs("dy")) > F.lit(prev))
+            .select("addr_id", "x", "y",
+                    (F.col("cell_id") + F.col("dx") * F.lit(1 << 20)
+                     + F.col("dy")).alias("probe_cell")))
+
+
 def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
              cell_m: float = cells.DEFAULT_CELL_M,
              broadcast_cover: bool | None = None) -> DataFrame:
@@ -330,11 +368,25 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
         StructField("azimuth_deg", DoubleType(), False),
         StructField("near_x", DoubleType(), False),
         StructField("near_y", DoubleType(), False),
+        StructField("px", DoubleType(), False),
+        StructField("py", DoubleType(), False),
     ])
+
+    def with_line(df: DataFrame) -> DataFrame:
+        # evidence LineString point -> nearest boundary point, the
+        # reference's line_geom output column (reference:
+        # data_prep/vegetation/05_create_tables.sql:17) — pure column
+        # string build, no UDF
+        return df.withColumn(
+            "line_wkt",
+            F.format_string("LINESTRING (%.6f %.6f, %.6f %.6f)",
+                            F.col("px"), F.col("py"),
+                            F.col("near_x"), F.col("near_y")))
+
     if cover.limit(1).count() == 0:
         # no polygons at all: there is no nearest neighbour to find, and
         # the straggler ring-doubling below could never terminate
-        return spark.createDataFrame([], out_schema)
+        return with_line(spark.createDataFrame([], out_schema))
 
     def best_candidates(cand: DataFrame) -> DataFrame:
         def refine(batches):
@@ -356,6 +408,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
                         .astype("int64"),
                         "distance_m": d, "azimuth_deg": az,
                         "near_x": nx_, "near_y": ny_,
+                        "px": grp.x.values, "py": grp.y.values,
                     }))
                 if keep:
                     yield pd.concat(keep)
@@ -454,27 +507,57 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     # the distributed cover; (2) once the frontier is small, finish it
     # exactly with a cross join that broadcasts the SMALL (point) side and
     # streams the polygon partitions.
+    #
+    # Each annulus is CLAMPED to the cover's cell bounding box: dx/dy
+    # sequences only span offsets that can land on a cover cell, so a
+    # sparse world costs O(cover extent) generated rows per point instead
+    # of O(r^2) — at r=512 an unclamped annulus is ~1M rows per pending
+    # point, all doomed to miss the join. Once r reaches every pending
+    # point's farthest cover-bbox corner, EVERY cover cell has been
+    # probed cumulatively (clamping only ever dropped coverless cells),
+    # so the pending bests are exact and resolve unconditionally — the
+    # clamp cannot starve termination.
+    cov_bounds = None
     while (best_so_far is not None and n_resolved < n_pts
            and (n_pts - n_resolved) > STRAGGLER_DIRECT_MAX):
+        if cov_bounds is None:
+            cov_bounds = cover.agg(
+                F.min(F.expr("cell_id DIV 1048576")).alias("gx0"),
+                F.max(F.expr("cell_id DIV 1048576")).alias("gx1"),
+                F.min(F.expr("cell_id % 1048576")).alias("gy0"),
+                F.max(F.expr("cell_id % 1048576")).alias("gy1")).collect()[0]
         r = prev * 2
         unresolved = unresolved.repartition(n_par)
-        ann = (unresolved
-               .select("addr_id", "x", "y", "cell_id",
-                       F.explode(F.sequence(F.lit(-r), F.lit(r)))
-                       .alias("dx"))
-               .select("addr_id", "x", "y", "cell_id", "dx",
-                       F.explode(F.sequence(F.lit(-r), F.lit(r)))
-                       .alias("dy"))
-               .filter(F.greatest(F.abs("dx"), F.abs("dy")) > F.lit(prev))
-               .select("addr_id", "x", "y",
-                       (F.col("cell_id") + F.col("dx") * F.lit(1 << 20)
-                        + F.col("dy")).alias("probe_cell")))
+        pgx = F.expr("cell_id DIV 1048576")
+        pgy = F.expr("cell_id % 1048576")
+        # farthest cover-bbox corner over the whole frontier (cells,
+        # Chebyshev): one tiny agg per round over the small frontier
+        need = unresolved.agg(F.max(F.greatest(
+            F.abs(F.lit(cov_bounds.gx0) - pgx),
+            F.abs(F.lit(cov_bounds.gx1) - pgx),
+            F.abs(F.lit(cov_bounds.gy0) - pgy),
+            F.abs(F.lit(cov_bounds.gy1) - pgy)))).collect()[0][0]
+        final_round = need is None or r >= need
+        if need is not None and need <= prev:
+            # every cover cell already probed for every pending point:
+            # the pending bests are exact — no new candidates exist
+            resolved_parts.append(best_so_far)
+            best_so_far = None
+            break
+
+        ann = _clamped_annulus(unresolved, r, prev, cov_bounds)
         cand = ann.join(
             cover_b.withColumnRenamed("cell_id", "probe_cell"),
             "probe_cell")
         scored = best_candidates(cand).unionByName(best_so_far)
         best = _argmin_per_addr(scored, out_schema).localCheckpoint(
             eager=True)
+        if final_round:
+            # window now spans the whole cover bbox for every pending
+            # point: bests are exact regardless of the ring bound
+            resolved_parts.append(best)
+            best_so_far = None
+            break
         bound = r * cell_m
         done = best.filter(F.col("distance_m") <= F.lit(bound))
         pending = best.filter(F.col("distance_m") > F.lit(bound))
@@ -499,4 +582,4 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    return out
+    return with_line(out)

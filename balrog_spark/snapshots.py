@@ -204,11 +204,21 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     no retained snapshot references (Iceberg ``expire_snapshots``) —
     the storage-reclaim half of the versioning contract. Returns the
     expired snapshot ids. Enumerates existing ids, so repeated expiry on an
-    already-expired table is a no-op, not a KeyError."""
+    already-expired table is a no-op, not a KeyError.
+
+    ``keep_last`` must be >= 1: retaining zero snapshots would delete every
+    version file AND data dir, leaving a table read_table can no longer
+    open — refuse loudly rather than silently truncate (Iceberg's
+    expire_snapshots likewise always retains the current snapshot)."""
+    if keep_last < 1:
+        raise ValueError(
+            f"expire_snapshots(keep_last={keep_last}): must retain at "
+            "least one snapshot; expiring every version would make the "
+            "table unreadable")
     ids = _all_ids(table_dir)
     if not ids:
         return []
-    retained = ids[max(0, len(ids) - keep_last):] if keep_last > 0 else []
+    retained = ids[max(0, len(ids) - keep_last):]
     keep_dirs: set[str] = set()
     for i in retained:
         keep_dirs.update(_visible_dirs(table_dir, i))

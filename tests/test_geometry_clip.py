@@ -1,0 +1,113 @@
+"""V12 general (convex) polygon∩polygon clip: Sutherland-Hodgman against a
+convex clip ring, cross-checked by the independent slab-sweep
+intersection_area — two different exact algorithms must agree to float
+noise on random boxes, stars (concave), holed polygons, and circles
+(reference clip use: data_prep/vegetation/xx_fiona_testing.py:133-150,
+buffer.intersection(veg_geom) per intersecting vegetation polygon).
+"""
+
+import numpy as np
+import pytest
+
+from balrog_spark import geometry
+
+
+def _box(x1, y1, x2, y2):
+    return np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=float)
+
+
+def _star(cx, cy, rng, n=12, rmin=10.0, rmax=60.0):
+    """Random star-shaped (concave, simple) ring around (cx, cy)."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(rmin, rmax, n)
+    return np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                    axis=1)
+
+
+def test_convex_clip_matches_box_clip():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        ring = _star(0, 0, rng)
+        x1, y1 = rng.uniform(-40, 0, 2)
+        x2, y2 = x1 + rng.uniform(10, 80), y1 + rng.uniform(10, 80)
+        a = geometry.clip_ring_to_box(ring, x1, y1, x2, y2)
+        b = geometry.clip_ring_to_convex(ring, _box(x1, y1, x2, y2))
+        aa = geometry.ring_area(a) if len(a) >= 3 else 0.0
+        ab = geometry.ring_area(b) if len(b) >= 3 else 0.0
+        assert aa == pytest.approx(ab, abs=1e-9)
+
+
+def test_convex_clip_orientation_invariant():
+    ring = _box(0, 0, 10, 10)
+    clip_ccw = geometry.buffer_point(5, 5, 6, quad_segs=4)
+    clip_cw = clip_ccw[::-1]
+    a = geometry.ring_area(geometry.clip_ring_to_convex(ring, clip_ccw))
+    b = geometry.ring_area(geometry.clip_ring_to_convex(ring, clip_cw))
+    assert a == pytest.approx(b, rel=1e-12)
+    assert 0 < a < 100.0
+
+
+def test_clip_area_equals_slab_intersection_boxes():
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        bx = _box(*rng.uniform(-50, 0, 2), *rng.uniform(5, 90, 2))
+        buf = geometry.buffer_point(*rng.uniform(-20, 40, 2),
+                                    rng.uniform(5, 70), quad_segs=4)
+        clipped = geometry.clip_ring_to_convex(bx, buf)
+        a_sh = geometry.ring_area(clipped) if len(clipped) >= 3 else 0.0
+        a_sw = geometry.intersection_area([[bx]], [[buf]])
+        assert a_sh == pytest.approx(a_sw, abs=1e-6)
+
+
+def test_clip_area_equals_slab_intersection_concave():
+    rng = np.random.default_rng(13)
+    for _ in range(40):
+        star = _star(*rng.uniform(-15, 15, 2), rng)
+        buf = geometry.buffer_point(*rng.uniform(-20, 20, 2),
+                                    rng.uniform(10, 60), quad_segs=4)
+        clipped = geometry.clip_ring_to_convex(star, buf)
+        # SH of a concave subject may carry zero-width bridges: SIGNED
+        # shoelace area is still exact
+        a_sh = geometry.ring_area(clipped) if len(clipped) >= 3 else 0.0
+        a_sw = geometry.intersection_area([[star]], [[buf]])
+        assert a_sh == pytest.approx(a_sw, abs=1e-6)
+
+
+def test_clip_polys_holed_area_matches_slab():
+    rng = np.random.default_rng(17)
+    for _ in range(30):
+        x1, y1 = rng.uniform(-40, -10, 2)
+        x2, y2 = x1 + rng.uniform(30, 70), y1 + rng.uniform(30, 70)
+        hx1 = x1 + (x2 - x1) * 0.3
+        hy1 = y1 + (y2 - y1) * 0.3
+        hx2 = x1 + (x2 - x1) * 0.6
+        hy2 = y1 + (y2 - y1) * 0.6
+        holed = [_box(x1, y1, x2, y2), _box(hx1, hy1, hx2, hy2)]
+        buf = geometry.buffer_point(*rng.uniform(-30, 30, 2),
+                                    rng.uniform(15, 60), quad_segs=4)
+        pieces = geometry.clip_polys_to_convex([holed], buf)
+        a_sh = sum(geometry.polygon_area(p) for p in pieces)
+        a_sw = geometry.intersection_area([holed], [[buf]])
+        assert a_sh == pytest.approx(a_sw, abs=1e-6)
+
+
+def test_intersection_area_disjoint_and_contained():
+    a = _box(0, 0, 10, 10)
+    b = _box(20, 20, 30, 30)
+    assert geometry.intersection_area([[a]], [[b]]) == 0.0
+    inner = _box(2, 2, 8, 8)
+    assert geometry.intersection_area([[a]], [[inner]]) \
+        == pytest.approx(36.0, rel=1e-12)
+    # multi-part A union overlapping parts vs B
+    a2 = [_box(0, 0, 6, 10)], [_box(4, 0, 10, 10)]
+    assert geometry.intersection_area(list(a2), [[inner]]) \
+        == pytest.approx(36.0, rel=1e-12)
+
+
+def test_union_area_unchanged_after_refactor():
+    # the refactored helpers must preserve union_area exactly
+    a = _box(0, 0, 10, 10)
+    b = _box(5, 0, 15, 10)
+    assert geometry.union_area([[a], [b]]) == pytest.approx(150.0)
+    holed = [_box(0, 0, 10, 10), _box(3, 3, 7, 7)]
+    assert geometry.union_area([holed]) == pytest.approx(84.0)

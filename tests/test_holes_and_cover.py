@@ -233,6 +233,37 @@ def test_knn_straggler_cross_pass_broadcasts_points_not_polygons(spark):
         assert r.veg_id == ev and abs(r.distance_m - ed) < 1e-9
 
 
+def test_knn_doubling_annulus_clamped_to_cover_bbox(spark):
+    """Verdict corner: the ring-doubling annulus must be clamped to the
+    cover's cell bbox — a point 100k cells from a 3x3-cell cover at
+    r=131072 would otherwise generate ~5e10 offset rows; clamped it may
+    generate at most the 3x3 cover window."""
+    # one point at cell (0, 0); cover bbox three cells wide starting
+    # 100_000 cells east
+    cell_id = (0 + (1 << 19)) * (1 << 20) + (0 + (1 << 19))
+    pts = spark.createDataFrame(
+        [("p0", 0.5, 0.5, cell_id)], "addr_id string, x double, y double, "
+        "cell_id long")
+
+    class B:
+        gx0 = (1 << 19) + 100_000
+        gx1 = (1 << 19) + 100_002
+        gy0 = (1 << 19)
+        gy1 = (1 << 19) + 2
+
+    r, prev = 131072, 65536
+    ann = joins._clamped_annulus(pts, r, prev, B).toPandas()
+    assert len(ann) == 9  # the whole 3x3 cover window, nothing more
+    exp = {(0 + (1 << 19) + 100_000 + dx) * (1 << 20) + (1 << 19) + dy
+           for dx in range(3) for dy in range(3)}
+    assert set(ann.probe_cell) == exp
+    # annulus filter still applies: offsets at or inside prev are excluded
+    B2 = type("B2", (), {"gx0": (1 << 19), "gx1": (1 << 19) + 2,
+                         "gy0": (1 << 19), "gy1": (1 << 19) + 2})
+    near = joins._clamped_annulus(pts, r, prev, B2).toPandas()
+    assert len(near) == 0  # everything within prev -> filtered out
+
+
 def test_knn_empty_cover_returns_empty(spark):
     sp, _, _ = _far_fixture(spark)
     sv = spark.createDataFrame(
