@@ -2840,6 +2840,284 @@ def flagship_bal(spark, sf_dir):
         F.col("bal").cast("double").alias("bal"))
 
 
+def _veg_factors_oracle_sql() -> str:
+    """DuckDB twin of the all-intersecting-polygons BAL factors chain.
+
+    Per (address, veg box) pair within 95 m: the clip area box ∩ buffer
+    16-gon is integrated EXACTLY by a per-pair vertical slab sweep (same
+    theory as geometry.union_area: breakpoints at box x-edges, 16-gon
+    vertex x's and every edge crossing of the box's y-edges make the
+    integrand linear per slab, so width x midpoint-value is exact);
+    nearest point / azimuth are the closed-form box clamp (valid because
+    a pair at distance <= 95 < the 16-gon's inradius 100 cos(pi/16) has
+    its nearest box point strictly inside the buffer, hence on the clip's
+    boundary); per-clip slope/aspect medians re-derive the DEM pixels and
+    keep centres inside box AND inside the 16-gon (half-plane test).
+    Azimuth is reported in [0, 360) with fmod(round(.), 360) so the
+    +-180/0-360 wraparounds round identically on both engines."""
+    T = _FLAG_TILE_PX
+    return f"""
+WITH consts AS (
+  SELECT ((count(*) // {_GRID_W}) // {T}) * {T} AS used,
+         (count(*) // {_GRID_W}) * 25 AS hm
+  FROM events),
+points AS (
+  SELECT c_custkey AS addr_id,
+         CAST((c_custkey * 2654435761) % 2500 AS DOUBLE) + 0.125 AS x,
+         CAST((c_custkey * 2246822519) % (SELECT hm FROM consts)
+              AS DOUBLE) + 0.625 AS y
+  FROM customer),
+boxes AS (
+  SELECT s_suppkey AS veg_id,
+         CAST((s_suppkey * 3266489917) % 2500 AS DOUBLE) + 0.5 AS cx,
+         CAST((s_suppkey * 668265263) % (SELECT hm FROM consts)
+              AS DOUBLE) + 0.5 AS cy,
+         CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw,
+         CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh,
+         CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number
+  FROM supplier),
+pairs AS (
+  SELECT p.addr_id, p.x, p.y, b.veg_id, b.bal_number,
+         b.cx - b.hw AS bx0, b.cx + b.hw AS bx1,
+         b.cy - b.hh AS by0, b.cy + b.hh AS by1,
+         {_BOX_DIST} AS d,
+         (abs(p.x - b.cx) <= b.hw AND abs(p.y - b.cy) <= b.hh) AS ins
+  FROM points p CROSS JOIN boxes b
+  WHERE {_BOX_DIST} <= 95.0),
+-- nearest point on the clip = closed-form box clamp (see docstring);
+-- inside vegetation: the point itself, azimuth 0 (shapely nearest_points
+-- semantics the reference documents)
+azi AS (
+  SELECT addr_id, veg_id, bal_number, x, y, bx0, bx1, by0, by1, d,
+         CASE WHEN ins THEN x
+              ELSE greatest(bx0, least(bx1, x)) END AS nx,
+         CASE WHEN ins THEN y
+              ELSE greatest(by0, least(by1, y)) END AS ny,
+         CASE WHEN ins THEN 0.0
+              ELSE degrees(atan2(greatest(bx0, least(bx1, x)) - x,
+                                 greatest(by0, least(by1, y)) - y))
+         END AS az
+  FROM pairs),
+-- buffer 16-gon edges per pair (vertices at k*pi/8, radius 100 — the
+-- engine's buffer_point construction verbatim)
+edges AS (
+  SELECT pr.addr_id, pr.veg_id, pr.x, pr.y,
+         pr.bx0, pr.bx1, pr.by0, pr.by1,
+         pr.x + 100.0 * cos(k * pi() / 8) AS ex1,
+         pr.y + 100.0 * sin(k * pi() / 8) AS ey1,
+         pr.x + 100.0 * cos(((k + 1) % 16) * pi() / 8) AS ex2,
+         pr.y + 100.0 * sin(((k + 1) % 16) * pi() / 8) AS ey2
+  FROM pairs pr
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks),
+xr AS (
+  SELECT addr_id, veg_id, greatest(bx0, x - 100.0) AS xlo,
+         least(bx1, x + 100.0) AS xhi
+  FROM pairs),
+cand0 AS (
+  SELECT addr_id, veg_id, ex1 AS xc FROM edges
+  UNION ALL SELECT addr_id, veg_id, bx0 FROM pairs
+  UNION ALL SELECT addr_id, veg_id, bx1 FROM pairs
+  UNION ALL SELECT addr_id, veg_id, xlo FROM xr
+  UNION ALL SELECT addr_id, veg_id, xhi FROM xr
+  UNION ALL
+  SELECT e.addr_id, e.veg_id,
+         e.ex1 + ((CASE WHEN pick.i = 0 THEN e.by0 ELSE e.by1 END) - e.ey1)
+                 / (e.ey2 - e.ey1) * (e.ex2 - e.ex1) AS xc
+  FROM edges e CROSS JOIN (VALUES (0), (1)) AS pick(i)
+  WHERE e.ey2 <> e.ey1
+    AND ((CASE WHEN pick.i = 0 THEN e.by0 ELSE e.by1 END) - e.ey1)
+        / (e.ey2 - e.ey1) BETWEEN 0 AND 1),
+bks AS (
+  SELECT DISTINCT c.addr_id, c.veg_id, c.xc
+  FROM cand0 c JOIN xr ON c.addr_id = xr.addr_id AND c.veg_id = xr.veg_id
+  WHERE c.xc >= xr.xlo AND c.xc <= xr.xhi),
+slabs AS (
+  SELECT addr_id, veg_id, xc AS a,
+         lead(xc) OVER (PARTITION BY addr_id, veg_id ORDER BY xc) AS b
+  FROM bks),
+mids AS (
+  SELECT addr_id, veg_id, a, b, (a + b) / 2.0 AS xm
+  FROM slabs WHERE b IS NOT NULL AND b > a),
+spans AS (
+  SELECT m.addr_id, m.veg_id, m.a, m.b,
+         max(e.ey1 + (m.xm - e.ex1) * (e.ey2 - e.ey1)
+             / (e.ex2 - e.ex1)) AS tt,
+         min(e.ey1 + (m.xm - e.ex1) * (e.ey2 - e.ey1)
+             / (e.ex2 - e.ex1)) AS bb
+  FROM mids m JOIN edges e
+    ON m.addr_id = e.addr_id AND m.veg_id = e.veg_id
+  WHERE least(e.ex1, e.ex2) < m.xm AND m.xm < greatest(e.ex1, e.ex2)
+  GROUP BY 1, 2, 3, 4),
+areas AS (
+  SELECT s.addr_id, s.veg_id,
+         sum((s.b - s.a) * greatest(0.0, least(p.by1, s.tt)
+                                         - greatest(p.by0, s.bb)))
+             AS area
+  FROM spans s JOIN pairs p
+    ON s.addr_id = p.addr_id AND s.veg_id = p.veg_id
+  GROUP BY 1, 2),
+-- DEM -> slope/aspect pixels, float32 storage mirrored with REAL casts
+grid AS (
+  SELECT event_id // {_GRID_W} AS r, event_id % {_GRID_W} AS c,
+         CAST(CAST(300.0 + 150.0 * sin((event_id % {_GRID_W}) * 0.21)
+                   * cos((event_id // {_GRID_W}) * 0.17) AS REAL)
+              AS DOUBLE) AS z
+  FROM events
+  WHERE event_id // {_GRID_W} < (SELECT used FROM consts)),
+g2 AS (
+  SELECT r, c,
+         CASE WHEN r = 0 THEN (lead(z) OVER wc - z) / 25.0
+              WHEN r = (SELECT max(r) FROM grid)
+                   THEN (z - lag(z) OVER wc) / 25.0
+              ELSE (lead(z) OVER wc - lag(z) OVER wc) / 50.0 END AS dzdx,
+         CASE WHEN c = 0 THEN (lead(z) OVER wr - z) / 25.0
+              WHEN c = {_GRID_W - 1} THEN (z - lag(z) OVER wr) / 25.0
+              ELSE (lead(z) OVER wr - lag(z) OVER wr) / 50.0 END AS dzdy
+  FROM grid
+  WINDOW wc AS (PARTITION BY c ORDER BY r),
+         wr AS (PARTITION BY r ORDER BY c)),
+g3 AS (
+  SELECT r, c,
+         CAST(CAST(atan(sqrt(dzdx * dzdx + dzdy * dzdy)) / {_RADC!r}
+                   AS REAL) AS DOUBLE) AS sv,
+         CAST(CAST(
+           CASE WHEN dzdy = 0 AND dzdx = 0 THEN
+                ((450.0 - atan2(0.0, -0.0) / {_RADC!r}) % 360.0 + 360.0)
+                % 360.0
+           ELSE ((450.0 - atan2(dzdy, -dzdx) / {_RADC!r}) % 360.0 + 360.0)
+                % 360.0 END AS REAL) AS DOUBLE) AS av
+  FROM g2),
+pix AS (
+  SELECT (c + 0.5) * 25.0 AS xc,
+         ((SELECT used FROM consts) - r - 0.5) * 25.0 AS yc, sv, av
+  FROM g3),
+-- pixel centres inside box (bbox join) then inside the 16-gon
+-- (half-plane support test: max projection on the 16 edge normals)
+vcand AS (
+  SELECT p.addr_id, p.veg_id, p.x, p.y, t.xc, t.yc, t.sv, t.av
+  FROM pairs p JOIN pix t
+    ON t.xc > p.bx0 AND t.xc < p.bx1
+   AND t.yc > p.by0 AND t.yc < p.by1
+   AND t.xc > p.x - 100.0 AND t.xc < p.x + 100.0
+   AND t.yc > p.y - 100.0 AND t.yc < p.y + 100.0),
+vpx AS (
+  SELECT addr_id, veg_id, sv, av FROM vcand
+  WHERE list_max(list_transform(range(0, 16), kk ->
+          (xc - x) * cos(pi() / 16 + kk * pi() / 8)
+        + (yc - y) * sin(pi() / 16 + kk * pi() / 8)))
+        <= 100.0 * cos(pi() / 16)),
+vslope AS (
+  SELECT addr_id, veg_id,
+         CAST(floor(median(sv)) AS BIGINT) AS slope_med,
+         CAST(count(*) AS BIGINT) AS n_pix
+  FROM vpx GROUP BY 1, 2),
+vrange AS (
+  SELECT addr_id, veg_id, min(av) AS mn, max(av) AS mx
+  FROM vpx GROUP BY 1, 2),
+vadj AS (
+  SELECT v.addr_id, v.veg_id,
+         CASE WHEN r.mn < 90 AND r.mx > 270 AND v.av < 90.0
+              THEN v.av + 360.0 ELSE v.av END AS av
+  FROM vpx v JOIN vrange r
+    ON v.addr_id = r.addr_id AND v.veg_id = r.veg_id),
+vaspect AS (
+  SELECT addr_id, veg_id,
+         CAST(floor(CASE WHEN median(av) > 360.0 THEN median(av) - 360.0
+                         ELSE median(av) END) AS BIGINT) AS aspect_med
+  FROM vadj GROUP BY 1, 2)
+SELECT CAST(a.addr_id AS BIGINT) AS addr_id,
+       CAST(a.veg_id AS BIGINT) AS veg_id,
+       CAST(a.bal_number AS BIGINT) AS veg_code,
+       CAST(round(ar.area, 2) AS DOUBLE) AS area_m2,
+       CAST(round(a.d, 4) AS DOUBLE) AS distance_m,
+       CAST(fmod(round(((a.az % 360.0) + 360.0) % 360.0, 4), 360.0)
+            AS DOUBLE) AS azimuth_deg,
+       CAST(COALESCE(s.slope_med, -9999) AS BIGINT) AS slope_med,
+       CAST(COALESCE(v.aspect_med, -9999) AS BIGINT) AS aspect_med,
+       CAST(COALESCE(s.n_pix, -9999) AS BIGINT) AS n_pix,
+       printf('LINESTRING (%.4f %.4f, %.4f %.4f)',
+              round(a.x, 4), round(a.y, 4), round(a.nx, 4),
+              round(a.ny, 4)) AS line_wkt
+FROM azi a
+JOIN areas ar ON a.addr_id = ar.addr_id AND a.veg_id = ar.veg_id
+LEFT JOIN vslope s ON a.addr_id = s.addr_id AND a.veg_id = s.veg_id
+LEFT JOIN vaspect v ON a.addr_id = v.addr_id AND a.veg_id = v.veg_id"""
+
+
+@q("flagship_veg_factors", _veg_factors_oracle_sql())
+def flagship_veg_factors(spark, sf_dir):
+    """The reference's FULL Auto BAL Assessment fan-out as a gate query:
+    one row per (address buffer ∩ vegetation polygon) with the clipped
+    area, nearest-point distance + azimuth, evidence LineString and
+    per-clip zonal slope/aspect medians over the real raster path
+    (veg_factors mapInPandas clip + zonal_stats_poly) — where flagship_bal
+    delivers only the k=1 nearest row (reference:
+    data_prep/vegetation/xx_fiona_testing.py:133-150, 203-221; output
+    schema 05_create_tables.sql:7-18). Pairs are reported within 95 m so
+    the nearest point stays strictly inside the buffer polygon's inradius
+    (100 cos(pi/16) ~ 98.08 m), keeping the oracle closed-form."""
+    from . import raster as raster_mod
+    from . import vegfactors as vf_mod
+    from . import zonal as zonal_mod
+
+    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    H = R * 25
+    pts = _load(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS STRING) AS addr_id",
+        "CAST((c_custkey * 2654435761) % 2500 AS DOUBLE) + 0.125 AS x",
+        f"CAST((c_custkey * 2246822519) % {H} AS DOUBLE) + 0.625 AS y")
+    boxes = _load(spark, sf_dir, "supplier").selectExpr(
+        "format_string('%06d', s_suppkey) AS veg_id",
+        "CAST((s_suppkey * 3266489917) % 2500 AS DOUBLE) + 0.5 AS cx",
+        f"CAST((s_suppkey * 668265263) % {H} AS DOUBLE) + 0.5 AS cy",
+        "CAST(30 + (s_suppkey % 7) * 25 AS DOUBLE) + 0.25 AS hw",
+        "CAST(30 + (s_suppkey % 5) * 30 AS DOUBLE) + 0.25 AS hh",
+        "CAST(s_suppkey % 7 + 1 AS BIGINT) AS bal_number")
+    vegs = boxes.withColumn(
+        "wkt",
+        F.format_string(
+            "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
+            "%.2f %.2f))",
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
+            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"))) \
+        .select("veg_id", "bal_number", "wkt")
+
+    vf = vf_mod.veg_factors(pts, vegs, 100.0) \
+        .filter(F.col("distance_m") <= 95.0)
+    sa = raster_mod.slope_aspect_tiles(_flag_dem_tiles(spark, sf_dir),
+                                       classify=False)
+    zones = vf.select(
+        F.concat_ws("|", "addr_id", "veg_id").alias("zone_id"),
+        F.col("clip_wkt").alias("wkt"), "xmin", "ymin", "xmax", "ymax")
+    z = zonal_mod.zonal_stats_poly(
+        zones, sa,
+        {"slope": {"circular": False}, "aspect": {"circular": True}},
+        tile_m=_FLAG_TILE_PX * 25.0, batch_m=500.0)
+    f = vf.join(pts.select("addr_id", "x", "y"), "addr_id") \
+        .withColumn("zone_id", F.concat_ws("|", "addr_id", "veg_id")) \
+        .join(z.select("zone_id", "slope_med", "aspect_med",
+                       F.col("slope_pixel_count").alias("n_pix")),
+              "zone_id")
+    return f.select(
+        F.col("addr_id").cast("long").alias("addr_id"),
+        F.col("veg_id").cast("long").alias("veg_id"),
+        F.col("bal_number").cast("long").alias("veg_code"),
+        F.round("area_m2", 2).cast("double").alias("area_m2"),
+        F.round("distance_m", 4).cast("double").alias("distance_m"),
+        F.pmod(F.round(F.pmod(F.col("azimuth_deg"), F.lit(360.0)), 4),
+               F.lit(360.0)).cast("double").alias("azimuth_deg"),
+        F.col("slope_med").cast("long").alias("slope_med"),
+        F.col("aspect_med").cast("long").alias("aspect_med"),
+        F.col("n_pix").cast("long").alias("n_pix"),
+        F.format_string("LINESTRING (%.4f %.4f, %.4f %.4f)",
+                        F.round("x", 4), F.round("y", 4),
+                        F.round("near_x", 4), F.round("near_y", 4))
+        .alias("line_wkt"))
+
+
 # The driver's CORRECTNESS gate snapshots only the FIRST 50 entries of
 # all_queries() (verified round 3: CORRECTNESS_r03 keys == registration
 # order [0:50]). Order the composite full-chain oracles FIRST so the

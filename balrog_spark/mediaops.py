@@ -264,10 +264,12 @@ def decode_image(payload: bytes, width: int, height: int,
 
     Every common still format decodes FOR REAL with no codec library:
     binary PPM/PGM (netpbm), uncompressed 24-bit BMP, non-interlaced
-    8-bit PNG (stdlib zlib + spec unfiltering), and baseline 4:4:4 /
-    grayscale JPEG (:mod:`jpegcodec`, pure numpy Huffman + IDCT).
-    Unrecognized containers (and JPEG variants outside the baseline
-    subset) raise; ``fake=True`` substitutes a deterministic
+    8-bit PNG (stdlib zlib + spec unfiltering), baseline 4:4:4 /
+    grayscale JPEG (:mod:`jpegcodec`, pure numpy Huffman + IDCT),
+    baseline TIFF (:mod:`tiffcodec` — none/PackBits/LZW, II/MM,
+    predictor 2) and GIF87a/89a (:mod:`gifcodec` — LZW, interlace,
+    first frame). Unrecognized containers (and JPEG variants outside the
+    baseline subset) raise; ``fake=True`` substitutes a deterministic
     payload-seeded array so downstream plumbing stays exercisable.
     """
     if payload[:2] in (b"P5", b"P6"):
@@ -279,11 +281,17 @@ def decode_image(payload: bytes, width: int, height: int,
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff
+        return decode_tiff(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
-            "unrecognized image container; PPM/PGM/BMP/PNG/baseline-JPEG "
-            "decode for real, or pass fake=True for the deterministic "
-            "pseudo-decode")
+            "unrecognized image container; PPM/PGM/BMP/PNG/baseline-JPEG/"
+            "TIFF/GIF decode for real, or pass fake=True for the "
+            "deterministic pseudo-decode")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -562,11 +570,13 @@ def split_mjpeg(payload: bytes) -> list:
 
 
 def decode_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling WITH real decode: split each video payload's
-    MJPEG stream, keep every ``every_n``-th frame, decode it with the
-    baseline JPEG codec, and emit the same grayscale thumbnail features
-    image_features emits — the full sample->decode->featurize path of a
-    video curation pipeline, one Arrow batch per task."""
+    """Video frame sampling WITH real decode: split each video payload
+    into frames (MJPEG marker walk, or GIF87a/89a animation frames via
+    :mod:`gifcodec`), keep every ``every_n``-th frame, decode it, and
+    emit the same grayscale thumbnail features image_features emits — the
+    full sample->decode->featurize path of a video curation pipeline, one
+    Arrow batch per task."""
+    from .gifcodec import gif_frames
     from .jpegcodec import decode_jpeg
 
     def gen(batches):
@@ -575,9 +585,15 @@ def decode_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             for r in pdf.itertuples():
                 if r.kind != "video":
                     continue
-                frames = split_mjpeg(bytes(r.payload))
+                payload = bytes(r.payload)
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = gif_frames(payload)
+                else:
+                    frames = split_mjpeg(payload)
                 for fi in range(0, len(frames), every_n):
-                    img = decode_jpeg(frames[fi])
+                    f = frames[fi]
+                    img = f if isinstance(f, np.ndarray) \
+                        else decode_jpeg(f)
                     small = resize_nearest(img, 8, 8)
                     feat = (small.astype(np.float32) / 255.0) \
                         .mean(axis=2).ravel()

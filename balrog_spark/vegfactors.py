@@ -1,0 +1,132 @@
+"""All-intersecting-polygons BAL factors (the reference's full Auto BAL
+Assessment fan-out): ONE OUTPUT ROW PER (address buffer ∩ vegetation
+polygon part), not just the k=1 nearest polygon.
+
+Reference lifecycle (data_prep/vegetation/xx_fiona_testing.py:133-150):
+buffer the address point, filter vegetation by the buffer, clip each
+intersecting polygon to the buffer (``buffer.intersection(veg_geom)``),
+explode MultiPolygon fallout, then per clipped polygon
+(xx_fiona_testing.py:203-221): nearest-point distance + azimuth + evidence
+LineString, and per-polygon zonal median aspect/slope. Output schema
+mirrors data_prep/vegetation/05_create_tables.sql:7-18 (gid, bal_number,
+area_m2, azimuth, distance_m, aspect, slope, geom, line_geom).
+
+Engine shape (Spark-first):
+
+1. candidate pairs via the dwithin cover equi-join (radius-padded cell
+   cover, broadcast or shuffle by byte estimate — joins.polygon_cover);
+2. ONE mapInPandas pass per candidate batch does the geometry: convex
+   Sutherland-Hodgman clip of every polygon part (+holes) against the
+   address's buffer polygon (geometry.clip_polys_to_convex), exact area,
+   nearest point / distance / azimuth / line WKT, clip WKT + bbox columns;
+3. per-clip zonal medians run through zonal.zonal_stats_poly — the bbox
+   columns keep its tile join and window crop in codegen, the shuffle
+   ships cropped windows only.
+
+Distance semantics follow shapely nearest_points on the CLIPPED geometry:
+0 (and azimuth 0, degenerate line) when the address point lies inside the
+clipped polygon — the reference's documented behaviour
+(xx_fiona_testing.py:216 "will return distance, bearing = 0 when
+coordinates are in vegetation").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from . import cells, geometry, joins
+
+VEG_FACTORS_SCHEMA = StructType([
+    StructField("addr_id", StringType(), False),
+    StructField("veg_id", StringType(), False),
+    StructField("bal_number", LongType(), True),
+    StructField("part_idx", LongType(), False),
+    StructField("area_m2", DoubleType(), False),
+    StructField("distance_m", DoubleType(), False),
+    StructField("azimuth_deg", DoubleType(), False),
+    StructField("near_x", DoubleType(), False),
+    StructField("near_y", DoubleType(), False),
+    StructField("xmin", DoubleType(), False),
+    StructField("ymin", DoubleType(), False),
+    StructField("xmax", DoubleType(), False),
+    StructField("ymax", DoubleType(), False),
+    StructField("clip_wkt", StringType(), False),
+    StructField("line_wkt", StringType(), False),
+])
+
+
+def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
+                quad_segs: int = 4,
+                cell_m: float = cells.DEFAULT_CELL_M,
+                broadcast_cover: bool | None = None) -> DataFrame:
+    """One row per (point buffer ∩ polygon part) with clip geometry, exact
+    clipped area, nearest-point distance/azimuth and the evidence
+    LineString. ``points``: (addr_id, x, y); ``polys``: (veg_id,
+    bal_number, wkt). Pairs whose clip is empty produce no row (the
+    reference's fiona filter is bbox-based and its intersection may be
+    empty; only real intersections reach the output table).
+
+    The buffer is the engine's quad_segs-per-quadrant polygonal circle
+    (geometry.buffer_point), the same construction as the reference's
+    st_buffer(geography, r, 4) buffers (reference:
+    data_prep/gnaf/create_buffered_points.sql:10)."""
+    cover = joins._maybe_broadcast(
+        joins.polygon_cover(polys, cell_m, pad_m=radius_m),
+        broadcast_cover)
+    pts = joins._spread(joins.with_cell(points, cell_m))
+    cand = pts.join(cover, "cell_id")
+    cols = [f.name for f in VEG_FACTORS_SCHEMA]
+
+    def refine(batches):
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for wkt, grp in pdf.groupby("wkt", sort=False):
+                parts = joins._geom_of(wkt)
+                for r in grp.itertuples():
+                    buf = geometry.buffer_point(r.x, r.y, radius_m,
+                                                quad_segs)
+                    for pi, rings in enumerate(parts):
+                        piece = geometry.clip_polys_to_convex([rings], buf)
+                        if not piece:
+                            continue
+                        piece = piece[0]
+                        area = geometry.polygon_area(piece)
+                        if area <= 0.0:
+                            continue
+                        inside = bool(geometry.points_in_polygon(
+                            np.array([r.x]), np.array([r.y]), piece)[0])
+                        if inside:
+                            d, nx, ny, az = 0.0, float(r.x), float(r.y), 0.0
+                        else:
+                            dd, nxa, nya = geometry.points_to_polygon_distance(
+                                np.array([r.x]), np.array([r.y]), piece)
+                            d, nx, ny = float(dd[0]), float(nxa[0]), \
+                                float(nya[0])
+                            az = float(geometry.azimuth_deg(
+                                r.x, r.y, nx, ny))
+                        bx0, by0, bx1, by1 = geometry.bbox(piece[0])
+                        out["addr_id"].append(r.addr_id)
+                        out["veg_id"].append(r.veg_id)
+                        out["bal_number"].append(int(r.bal_number))
+                        out["part_idx"].append(pi)
+                        out["area_m2"].append(area)
+                        out["distance_m"].append(d)
+                        out["azimuth_deg"].append(az)
+                        out["near_x"].append(nx)
+                        out["near_y"].append(ny)
+                        out["xmin"].append(bx0)
+                        out["ymin"].append(by0)
+                        out["xmax"].append(bx1)
+                        out["ymax"].append(by1)
+                        out["clip_wkt"].append(
+                            geometry.polygon_wkt_rings(piece))
+                        out["line_wkt"].append(
+                            "LINESTRING (%.6f %.6f, %.6f %.6f)"
+                            % (r.x, r.y, nx, ny))
+            yield pd.DataFrame(out, columns=cols)
+
+    return cand.mapInPandas(refine, schema=VEG_FACTORS_SCHEMA)

@@ -84,6 +84,13 @@ def main():
     n_addr = flag.count()
     timings["flagship_bal"] = round(time.time() - t0, 3)
 
+    # the round-4 all-intersecting-polygons fan-out (one row per
+    # buffer∩polygon with clip + per-clip zonal medians) at the bench SF
+    t0 = time.time()
+    queries["flagship_veg_factors"](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
+    timings["flagship_veg_factors"] = round(time.time() - t0, 3)
+
     # raster throughput: the full tiled Gen-1 BAL pipeline on a synthetic
     # 8x8-tile AOI (64x64 px tiles)
     tiles = corpus.spark_tiles(spark, 8, 8).cache()
