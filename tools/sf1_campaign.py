@@ -95,6 +95,30 @@ def main() -> None:
 
     timed("flagship_zonal_10x", flagship_zonal)
 
+    # round-4 all-intersecting-polygons chain at 10x: clip fan-out + the
+    # per-clip polygon-zone zonal — the stage that multiplies refine/zonal
+    # volume and could hide a new shuffle hotspot
+    def veg_factors_zonal():
+        from pyspark.sql import functions as F
+
+        from balrog_spark import vegfactors
+        vf = vegfactors.veg_factors(p3, vegs, 100.0) \
+            .filter(F.col("distance_m") <= 95.0)
+        zones = vf.select(
+            F.concat_ws("|", "addr_id", "veg_id", "part_idx")
+            .alias("zone_id"),
+            F.col("clip_wkt").alias("wkt"),
+            "xmin", "ymin", "xmax", "ymax")
+        sa = raster.slope_aspect_tiles(
+            corpus.spark_tiles(spark, n_tiles, n_tiles,
+                               layers=("dem",)), classify=False)
+        z = zonal.zonal_stats_poly(
+            zones, sa,
+            {"slope": {"circular": False}, "aspect": {"circular": True}})
+        return z.count()
+
+    timed("veg_factors_zonal_10x", veg_factors_zonal)
+
     for q in ("v9_pip", "v10_dwithin", "v11_knn"):
         b = results[f"{q}_broadcast"]["wall_sec"]
         s = results[f"{q}_shuffle"]["wall_sec"]
