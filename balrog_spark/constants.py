@@ -215,3 +215,18 @@ def slope_remap(value_max: float) -> str:
         value_max = 20.0001
     return ("0 0 1;0.0001 5 2;5.0001 10 3;10.0001 15 4;15.0001 20 5;"
             "20.0001 " + str(math.ceil(float(value_max))) + " 6")
+
+
+# vegetation class number -> human name, the reference's nvis6_lookup
+# mapping (reference: data_prep/vegetation/02_create_nvis_bal_map_table.sql:
+# 16-63; output column 05_create_tables.sql:9 bal_name)
+BAL_NAMES = {
+    1: "forest",
+    2: "woodland",
+    3: "shrubland",
+    4: "scrub",
+    5: "mallee or mulga",
+    6: "rainforest",
+    7: "grassland or tussock moorland",
+    -9999: "not applicable",
+}

@@ -2840,6 +2840,27 @@ def flagship_bal(spark, sf_dir):
         F.col("bal").cast("double").alias("bal"))
 
 
+def _bal_name_case(col: str) -> str:
+    """bal_number -> bal_name CASE (reference:
+    data_prep/vegetation/02_create_nvis_bal_map_table.sql:16-63)."""
+    from .constants import BAL_NAMES
+    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in BAL_NAMES.items()
+                     if k > 0)
+    return f"CASE {col} {whens} ELSE 'not applicable' END"
+
+
+def _bal_name_col(col):
+    """Spark twin of :func:`_bal_name_case` (pure-column CASE chain)."""
+    from .constants import BAL_NAMES
+    expr = None
+    for k, v in BAL_NAMES.items():
+        if k <= 0:
+            continue
+        cond = F.col(col) == k
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr.otherwise("not applicable")
+
+
 def _veg_factors_oracle_sql() -> str:
     """DuckDB twin of the all-intersecting-polygons BAL factors chain.
 
@@ -3028,6 +3049,7 @@ vaspect AS (
 SELECT CAST(a.addr_id AS BIGINT) AS addr_id,
        CAST(a.veg_id AS BIGINT) AS veg_id,
        CAST(a.bal_number AS BIGINT) AS veg_code,
+       {_bal_name_case('a.bal_number')} AS bal_name,
        CAST(round(ar.area, 2) AS DOUBLE) AS area_m2,
        CAST(round(a.d, 4) AS DOUBLE) AS distance_m,
        CAST(fmod(round(((a.az % 360.0) + 360.0) % 360.0, 4), 360.0)
@@ -3105,6 +3127,7 @@ def flagship_veg_factors(spark, sf_dir):
         F.col("addr_id").cast("long").alias("addr_id"),
         F.col("veg_id").cast("long").alias("veg_id"),
         F.col("bal_number").cast("long").alias("veg_code"),
+        _bal_name_col("bal_number").alias("bal_name"),
         F.round("area_m2", 2).cast("double").alias("area_m2"),
         F.round("distance_m", 4).cast("double").alias("distance_m"),
         F.pmod(F.round(F.pmod(F.col("azimuth_deg"), F.lit(360.0)), 4),

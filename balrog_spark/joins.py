@@ -518,6 +518,7 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     # so the pending bests are exact and resolve unconditionally — the
     # clamp cannot starve termination.
     cov_bounds = None
+    need = None
     while (best_so_far is not None and n_resolved < n_pts
            and (n_pts - n_resolved) > STRAGGLER_DIRECT_MAX):
         if cov_bounds is None:
@@ -526,17 +527,18 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
                 F.max(F.expr("cell_id DIV 1048576")).alias("gx1"),
                 F.min(F.expr("cell_id % 1048576")).alias("gy0"),
                 F.max(F.expr("cell_id % 1048576")).alias("gy1")).collect()[0]
+            # farthest cover-bbox corner over the loop-entry frontier
+            # (cells, Chebyshev) — a conservative bound for every LATER
+            # frontier too (they are subsets), so one agg suffices
+            pgx = F.expr("cell_id DIV 1048576")
+            pgy = F.expr("cell_id % 1048576")
+            need = unresolved.agg(F.max(F.greatest(
+                F.abs(F.lit(cov_bounds.gx0) - pgx),
+                F.abs(F.lit(cov_bounds.gx1) - pgx),
+                F.abs(F.lit(cov_bounds.gy0) - pgy),
+                F.abs(F.lit(cov_bounds.gy1) - pgy)))).collect()[0][0]
         r = prev * 2
         unresolved = unresolved.repartition(n_par)
-        pgx = F.expr("cell_id DIV 1048576")
-        pgy = F.expr("cell_id % 1048576")
-        # farthest cover-bbox corner over the whole frontier (cells,
-        # Chebyshev): one tiny agg per round over the small frontier
-        need = unresolved.agg(F.max(F.greatest(
-            F.abs(F.lit(cov_bounds.gx0) - pgx),
-            F.abs(F.lit(cov_bounds.gx1) - pgx),
-            F.abs(F.lit(cov_bounds.gy0) - pgy),
-            F.abs(F.lit(cov_bounds.gy1) - pgy)))).collect()[0][0]
         final_round = need is None or r >= need
         if need is not None and need <= prev:
             # every cover cell already probed for every pending point:

@@ -73,7 +73,15 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
     The buffer is the engine's quad_segs-per-quadrant polygonal circle
     (geometry.buffer_point), the same construction as the reference's
     st_buffer(geography, r, 4) buffers (reference:
-    data_prep/gnaf/create_buffered_points.sql:10)."""
+    data_prep/gnaf/create_buffered_points.sql:10).
+
+    MultiPolygon fallout: one row per SOURCE part whose clip is non-empty
+    (part_idx). Known corner: a CONCAVE part whose clip is disconnected
+    comes back from Sutherland-Hodgman as ONE ring with zero-width
+    bridges — its area is still exact, but the reference (shapely) would
+    explode it into one row per disconnected piece and the bridge edges
+    can shave the nearest-point distance. Convex parts (and any part
+    whose clip is connected) are exact."""
     cover = joins._maybe_broadcast(
         joins.polygon_cover(polys, cell_m, pad_m=radius_m),
         broadcast_cover)
@@ -86,6 +94,17 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
             out = {c: [] for c in cols}
             for wkt, grp in pdf.groupby("wkt", sort=False):
                 parts = joins._geom_of(wkt)
+                # vectorized prefilter over the whole candidate group
+                # (the padded cover join admits ~cell_m-scale neighbours;
+                # only true within-radius pairs can clip non-empty since
+                # the buffer polygon is inscribed in the radius circle):
+                # the per-pair Python clip below then runs only on real
+                # intersections, not on every cover candidate
+                d_all, _, _ = geometry.points_to_geom_distance(
+                    grp.x.values, grp.y.values, parts)
+                ins_all = geometry.points_in_geom(
+                    grp.x.values, grp.y.values, parts)
+                grp = grp[ins_all | (d_all <= radius_m)]
                 for r in grp.itertuples():
                     buf = geometry.buffer_point(r.x, r.y, radius_m,
                                                 quad_segs)

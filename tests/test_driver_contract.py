@@ -43,3 +43,22 @@ def test_spark_and_oracle_column_names_align(spark, contract):
         if spark_cols != oracle_cols:
             bad.append((name, spark_cols, oracle_cols))
     assert not bad, bad
+
+
+def test_composite_oracles_inside_driver_window(contract):
+    """The driver's CORRECTNESS snapshot covers only the FIRST 50
+    registered queries: the composite full-chain oracles must sit inside
+    that window (and everything in the window must carry a real oracle,
+    never a rows-only check)."""
+    queries, oracles = contract
+    window = list(queries)[:50]
+    for k in ("flagship_bal", "flagship_veg_factors", "a1_zonal_touched",
+              "v6_dissolve_union", "chain_polygonize_dissolve",
+              "r14_polygonize", "r15_components", "a5_salted_agg",
+              "v9_pip_holes", "v10_dwithin_holes", "s3_point_sample",
+              "text_bm25", "doc_span_roundtrip", "sample_stratified",
+              "v3_makevalid"):
+        assert k in window, f"{k} fell outside the driver's 50-query window"
+    assert all(k in oracles for k in window)
+    # oracle dict ordering must mirror query ordering (the driver zips)
+    assert list(oracles) == [k for k in queries if k in oracles]
