@@ -3107,8 +3107,12 @@ def flagship_veg_factors(spark, sf_dir):
             F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"))) \
         .select("veg_id", "bal_number", "wkt")
 
+    # vf feeds BOTH the zonal zones and the final join-back: materialize
+    # once (lazy local checkpoint) or the whole cover-join + clip UDF
+    # subtree executes twice (verified via explain — the plan repeated
+    # the veg_factors subtree before this)
     vf = vf_mod.veg_factors(pts, vegs, 100.0) \
-        .filter(F.col("distance_m") <= 95.0)
+        .filter(F.col("distance_m") <= 95.0).localCheckpoint(eager=False)
     sa = raster_mod.slope_aspect_tiles(_flag_dem_tiles(spark, sf_dir),
                                        classify=False)
     zones = vf.select(

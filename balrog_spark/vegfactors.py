@@ -89,26 +89,44 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
     cand = pts.join(cover, "cell_id")
     cols = [f.name for f in VEG_FACTORS_SCHEMA]
 
+    # nearest-point reuse bound: a source-part nearest point STRICTLY
+    # inside the buffer polygon's inradius is on the clip's boundary too,
+    # so the vectorized per-part distance IS the clip distance there; only
+    # the thin annulus band [inradius, radius] needs the exact per-piece
+    # fallback
+    inradius = radius_m * float(np.cos(np.pi / (4 * max(quad_segs, 1)))) \
+        - 1e-9
+
     def refine(batches):
         for pdf in batches:
             out = {c: [] for c in cols}
             for wkt, grp in pdf.groupby("wkt", sort=False):
                 parts = joins._geom_of(wkt)
-                # vectorized prefilter over the whole candidate group
-                # (the padded cover join admits ~cell_m-scale neighbours;
-                # only true within-radius pairs can clip non-empty since
-                # the buffer polygon is inscribed in the radius circle):
-                # the per-pair Python clip below then runs only on real
-                # intersections, not on every cover candidate
-                d_all, _, _ = geometry.points_to_geom_distance(
-                    grp.x.values, grp.y.values, parts)
-                ins_all = geometry.points_in_geom(
-                    grp.x.values, grp.y.values, parts)
-                grp = grp[ins_all | (d_all <= radius_m)]
-                for r in grp.itertuples():
-                    buf = geometry.buffer_point(r.x, r.y, radius_m,
-                                                quad_segs)
+                xs, ys = grp.x.values, grp.y.values
+                addr = grp.addr_id.values
+                vid = grp.veg_id.values
+                bal = grp.bal_number.values
+                # per-part geometry VECTORIZED over the whole candidate
+                # group (the padded cover join admits ~cell_m-scale
+                # neighbours; only true within-radius pairs can clip
+                # non-empty since the buffer polygon is inscribed in the
+                # radius circle): the per-pair Python clip below then runs
+                # only on real intersections
+                pre = []
+                keep = np.zeros(len(grp), dtype=bool)
+                for rings in parts:
+                    d, nx, ny = geometry.points_to_polygon_distance(
+                        xs, ys, rings)
+                    ins = geometry.points_in_polygon(xs, ys, rings)
+                    pre.append((d, nx, ny, ins))
+                    keep |= ins | (d <= radius_m)
+                for k in np.nonzero(keep)[0]:
+                    x, y = float(xs[k]), float(ys[k])
+                    buf = geometry.buffer_point(x, y, radius_m, quad_segs)
                     for pi, rings in enumerate(parts):
+                        d_p, nx_p, ny_p, ins_p = pre[pi]
+                        if not ins_p[k] and d_p[k] > radius_m:
+                            continue  # this part cannot reach the buffer
                         piece = geometry.clip_polys_to_convex([rings], buf)
                         if not piece:
                             continue
@@ -116,21 +134,23 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
                         area = geometry.polygon_area(piece)
                         if area <= 0.0:
                             continue
-                        inside = bool(geometry.points_in_polygon(
-                            np.array([r.x]), np.array([r.y]), piece)[0])
-                        if inside:
-                            d, nx, ny, az = 0.0, float(r.x), float(r.y), 0.0
-                        else:
-                            dd, nxa, nya = geometry.points_to_polygon_distance(
-                                np.array([r.x]), np.array([r.y]), piece)
+                        if ins_p[k]:
+                            d, nx, ny, az = 0.0, x, y, 0.0
+                        elif d_p[k] < inradius:
+                            d, nx, ny = float(d_p[k]), float(nx_p[k]), \
+                                float(ny_p[k])
+                            az = float(geometry.azimuth_deg(x, y, nx, ny))
+                        else:  # annulus band: exact distance to the clip
+                            dd, nxa, nya = \
+                                geometry.points_to_polygon_distance(
+                                    np.array([x]), np.array([y]), piece)
                             d, nx, ny = float(dd[0]), float(nxa[0]), \
                                 float(nya[0])
-                            az = float(geometry.azimuth_deg(
-                                r.x, r.y, nx, ny))
+                            az = float(geometry.azimuth_deg(x, y, nx, ny))
                         bx0, by0, bx1, by1 = geometry.bbox(piece[0])
-                        out["addr_id"].append(r.addr_id)
-                        out["veg_id"].append(r.veg_id)
-                        out["bal_number"].append(int(r.bal_number))
+                        out["addr_id"].append(addr[k])
+                        out["veg_id"].append(vid[k])
+                        out["bal_number"].append(int(bal[k]))
                         out["part_idx"].append(pi)
                         out["area_m2"].append(area)
                         out["distance_m"].append(d)
@@ -145,7 +165,7 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
                             geometry.polygon_wkt_rings(piece))
                         out["line_wkt"].append(
                             "LINESTRING (%.6f %.6f, %.6f %.6f)"
-                            % (r.x, r.y, nx, ny))
+                            % (x, y, nx, ny))
             yield pd.DataFrame(out, columns=cols)
 
     return cand.mapInPandas(refine, schema=VEG_FACTORS_SCHEMA)
