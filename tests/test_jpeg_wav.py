@@ -68,8 +68,8 @@ def test_jpeg_refuses_out_of_subset():
     img = np.full((8, 8), 7, np.uint8)
     enc = bytearray(J.encode_jpeg(img, 90))
     sof = bytes(enc).index(b"\xff\xc0")
-    # lossless DCT marker (progressive SOF2 decodes for real now)
-    prog = bytes(enc[:sof + 1]) + b"\xc3" + bytes(enc[sof + 2:])
+    # arithmetic-coded lossless marker (SOF2 and SOF3 decode for real now)
+    prog = bytes(enc[:sof + 1]) + b"\xcb" + bytes(enc[sof + 2:])
     with pytest.raises(ValueError, match="baseline"):
         J.decode_jpeg(prog)
     # out-of-range sampling factors
@@ -303,3 +303,60 @@ def test_progressive_custom_scan_scripts():
     coarse = J.decode_jpeg(partial)
     full = J.decode_jpeg(J.encode_jpeg(img, 90))
     assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 40
+
+
+def test_lossless_jpeg_roundtrip_every_predictor():
+    """SOF3 (T.81 Annex H): bit-exact roundtrip for all seven predictors,
+    gray and RGB, including a worst-case random image (no residual
+    structure) and a gradient (predictor-friendly)."""
+    rng = np.random.default_rng(11)
+    x, y = np.meshgrid(np.arange(37), np.arange(23))
+    grad = ((x * 3 + y * 7) % 256).astype(np.uint8)
+    noise = rng.integers(0, 256, (23, 37), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (19, 11, 3), dtype=np.uint8)
+    for p in range(1, 8):
+        for img in (grad, noise):
+            out = J.decode_jpeg_lossless(
+                J.encode_jpeg_lossless(img, predictor=p))
+            assert out.shape == (23, 37, 1)
+            assert (out[:, :, 0] == img).all(), f"predictor {p}"
+        out = J.decode_jpeg_lossless(
+            J.encode_jpeg_lossless(rgb, predictor=p))
+        assert (out == rgb).all(), f"predictor {p} rgb"
+
+
+def test_lossless_jpeg_restarts_precision_point_transform():
+    rng = np.random.default_rng(13)
+    # restart intervals reset the prediction to the scan default
+    img = rng.integers(0, 256, (29, 17, 3), dtype=np.uint8)
+    enc = J.encode_jpeg_lossless(img, predictor=4, restart_interval=31)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+    assert (J.decode_jpeg_lossless(enc) == img).all()
+    # 16-bit samples force the SSSS=16 (diff = 32768, no appended bits)
+    # and full mod-2^16 wraparound paths
+    img16 = np.array([[0, 65535, 0, 32768], [65535, 0, 32768, 1]],
+                     dtype=np.int64)
+    enc = J.encode_jpeg_lossless(img16, predictor=1, precision=16)
+    assert (J.decode_jpeg_lossless(enc)[:, :, 0] == img16).all()
+    # point transform drops Pt low bits; decoder re-multiplies
+    img12 = rng.integers(0, 4096, (9, 14)).astype(np.int64)
+    enc = J.encode_jpeg_lossless(img12, precision=12, point_transform=2)
+    assert (J.decode_jpeg_lossless(enc)[:, :, 0]
+            == (img12 >> 2) << 2).all()
+
+
+def test_lossless_jpeg_decode_jpeg_dispatch():
+    """decode_jpeg and the Spark-side media path see SOF3 streams as
+    ordinary images (8-bit exact; >8-bit rescaled into uint8)."""
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (12, 15, 3), dtype=np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg_lossless(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (12, 15), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(gray))
+    assert out.shape == (12, 15, 3) and (out[:, :, 1] == gray).all()
+    img12 = (np.arange(12 * 15).reshape(12, 15) * 23 % 4096).astype(
+        np.int64)
+    out = J.decode_jpeg(J.encode_jpeg_lossless(img12, precision=12))
+    assert (out[:, :, 0] == (img12 >> 4).astype(np.uint8)).all()
+    dec = M.decode_image(J.encode_jpeg_lossless(rgb), 12, 15)
+    assert (dec == rgb).all()

@@ -34,6 +34,10 @@ def _world(spark):
         ("p_multi", 1000.0, 1000.0),   # near both parts of the multipoly
         ("p_hole", 1500.0, 1500.0),    # inside polygon C's hole
         ("p_far", 3000.0, 3000.0),     # nothing within 100 m
+        # 99 m west of box E: past the buffer 16-gon's inradius (98.08)
+        # but aligned with the vertex direction (angle 0), so the clip is
+        # a non-empty sliver and the exact per-piece fallback must fire
+        ("p_ann", 3000.0, 500.0),
     ]
     polys = [
         {"veg_id": "A", "bal_number": 1,
@@ -48,6 +52,8 @@ def _world(spark):
                  "1480 1520, 1480 1480))")},
         {"veg_id": "D", "bal_number": 4,  # far from everything
          "wkt": _box_wkt(5000, 5000, 5100, 5100)},
+        {"veg_id": "E", "bal_number": 5,  # annulus band target for p_ann
+         "wkt": _box_wkt(3099, 460, 3160, 540)},
     ]
     sp = spark.createDataFrame(
         pd.DataFrame(pts, columns=["addr_id", "x", "y"]))
@@ -64,7 +70,7 @@ def test_veg_factors_rows_and_values(spark):
     assert set(got.index) == {
         ("p_in", "A", 0), ("p_near", "A", 0),
         ("p_multi", "B", 0), ("p_multi", "B", 1),
-        ("p_hole", "C", 0),
+        ("p_hole", "C", 0), ("p_ann", "E", 0),
     }
 
     # inside vegetation: distance, azimuth = 0 and a degenerate line
@@ -94,13 +100,26 @@ def test_veg_factors_rows_and_values(spark):
     r = got.loc[("p_hole", "C", 0)]
     assert r.distance_m == pytest.approx(20.0, abs=1e-9)
 
+    # annulus band (inradius < d <= radius): the part's nearest point is
+    # past the inradius fast path, so the exact distance-to-clip fallback
+    # runs — the sliver's west edge is x=3099 and y=500 lies on it, so
+    # the distance to the clip equals the distance to the part
+    r = got.loc[("p_ann", "E", 0)]
+    assert INRADIUS < 99.0 <= RADIUS
+    assert r.distance_m == pytest.approx(99.0, abs=1e-9)
+    assert r.near_x == pytest.approx(3099.0, abs=1e-9)
+    assert r.near_y == pytest.approx(500.0, abs=1e-9)
+    assert r.azimuth_deg == pytest.approx(90.0, abs=1e-9)
+    assert 0.0 < r.area_m2 < 20.0  # a thin vertex sliver
+
     # every clipped area agrees with the independent slab-sweep
     # intersection of the source geometry and the buffer 16-gon
     src = {p["veg_id"]: geometry.parse_wkt_polys(p["wkt"])
            for p in [{"veg_id": "A", "wkt": _box_wkt(400, 400, 620, 620)},
                      ]}
     pos = {"p_in": (500.0, 500.0), "p_near": (650.0, 500.0),
-           "p_multi": (1000.0, 1000.0), "p_hole": (1500.0, 1500.0)}
+           "p_multi": (1000.0, 1000.0), "p_hole": (1500.0, 1500.0),
+           "p_ann": (3000.0, 500.0)}
     sv_pdf = sv.toPandas().set_index("veg_id")
     per_pair = got.groupby(["addr_id", "veg_id"]).area_m2.sum()
     for (aid, vid), area in per_pair.items():
