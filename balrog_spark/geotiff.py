@@ -1,0 +1,380 @@
+"""Tiled GeoTIFF source/sink — the reference's raster store, Spark-first.
+
+The reference keeps each national layer (DEM/slope/aspect/veg) as one
+Cloud-Optimised GeoTIFF mosaic and reads it by windowed range requests
+(reference: data_prep/images/ga_5m/01_mosaic_and_transform_images_in_one_go.py:251-253
+`gdal.Warp(... "-of COG")`; testing/02_get_slope_from_buffer.py:50,204-206
+windowed reads from S3). This module reproduces that access pattern with
+no GDAL: the DRIVER reads only the few-KB IFD (header walk = the COG
+header request), builds a tile manifest with byte ranges, prunes it to
+the requested window, and EXECUTORS pread + decode only their tiles (the
+range requests). At 100 TB that is the only shape that works — a scan
+never touches bytes outside the window, and decode parallelism is the
+tile manifest, not file count.
+
+Format scope (clean-room from the public TIFF 6.0 + GeoTIFF 1.1
+structure): tiled layout (TileWidth/TileLength/TileOffsets/
+TileByteCounts), float32 and uint8 single-band samples, none/PackBits/
+LZW compression (codecs shared with tiffcodec), II and MM byte order,
+ModelPixelScale + ModelTiepoint georeferencing, GDAL-style ASCII nodata
+tag. Encoder emits the same subset so tests roundtrip with no external
+data.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from . import tiffcodec
+from .schema import TILES
+
+# tag ids (TIFF 6.0 §8 + GeoTIFF 1.1 §7; GDAL_NODATA is GDAL's published
+# ASCII tag)
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_SPP, _PLANAR = 277, 284
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
+_GEO_KEY_DIR = 34735
+_GDAL_NODATA = 42113
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 12: "d"}
+
+
+@dataclass
+class GeoTiffInfo:
+    width: int
+    height: int
+    tile_w: int
+    tile_h: int
+    offsets: list
+    counts: list
+    compression: int
+    dtype: str               # "f4" | "u1"
+    bo: str                  # "<" | ">"
+    pixel_x: float
+    pixel_y: float
+    x0: float                # west edge
+    y_top: float             # north edge
+    nodata: float | None
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+
+def _pread(f, off: int, n: int) -> bytes:
+    f.seek(off)
+    return f.read(n)
+
+
+def read_info(f) -> GeoTiffInfo:
+    """Parse the IFD from an open binary file-like via seek/read only —
+    the local analogue of a COG's ranged header request (never reads tile
+    data)."""
+    head = _pread(f, 0, 8)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if struct.unpack(bo + "H", head[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd_off = struct.unpack(bo + "I", head[4:8])[0]
+    n = struct.unpack(bo + "H", _pread(f, ifd_off, 2))[0]
+    entries = _pread(f, ifd_off + 2, 12 * n)
+    tags = {}
+    for i in range(n):
+        e = entries[12 * i:12 * i + 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        raw = e[8:12] if size <= 4 else _pread(
+            f, struct.unpack(bo + "I", e[8:12])[0], size)
+        if typ == 2:
+            tags[tag] = raw[:size]
+        else:
+            tags[tag] = list(struct.unpack(
+                bo + f"{cnt}{_TYPE_FMT[typ]}", raw[:size]))
+    for req in (_W, _H, _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT):
+        if req not in tags:
+            raise ValueError(f"not a tiled GeoTIFF (missing tag {req})")
+    if tags.get(_SPP, [1])[0] != 1:
+        raise ValueError("single-band rasters only")
+    if tags.get(_PLANAR, [1])[0] != 1:
+        raise ValueError("planar configuration 2 unsupported")
+    bits = tags.get(_BITS, [8])[0]
+    fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
+    if (bits, fmt) == (32, 3):
+        dtype = "f4"
+    elif (bits, fmt) == (8, 1):
+        dtype = "u1"
+    else:
+        raise ValueError(f"unsupported sample layout bits={bits} fmt={fmt}")
+    comp = tags.get(_COMP, [1])[0]
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported compression {comp}")
+    scale = tags.get(_MODEL_PIXEL_SCALE)
+    tie = tags.get(_MODEL_TIEPOINT)
+    if not scale or not tie or len(tie) < 6:
+        raise ValueError("missing GeoTIFF georeferencing tags")
+    nodata = None
+    if _GDAL_NODATA in tags:
+        nodata = float(tags[_GDAL_NODATA].split(b"\x00")[0])
+    # tiepoint: raster (i, j, k) -> model (x, y, z); emitted at (0, 0)
+    x0 = tie[3] - tie[0] * scale[0]
+    y_top = tie[4] + tie[1] * scale[1]
+    return GeoTiffInfo(
+        width=tags[_W][0], height=tags[_H][0],
+        tile_w=tags[_TILE_W][0], tile_h=tags[_TILE_H][0],
+        offsets=tags[_TILE_OFF], counts=tags[_TILE_CNT],
+        compression=comp, dtype=dtype, bo=bo,
+        pixel_x=float(scale[0]), pixel_y=float(scale[1]),
+        x0=float(x0), y_top=float(y_top), nodata=nodata)
+
+
+def decode_tile(raw: bytes, info: GeoTiffInfo) -> np.ndarray:
+    """One tile's byte range -> (tile_h, tile_w) array (edge padding NOT
+    cropped — the caller knows the image bounds)."""
+    npx = info.tile_w * info.tile_h
+    nbytes = npx * (4 if info.dtype == "f4" else 1)
+    if info.compression == 5:
+        raw = tiffcodec.lzw_decode(raw, nbytes)
+    elif info.compression == 32773:
+        raw = tiffcodec.unpackbits_decode(raw, nbytes)
+    arr = np.frombuffer(raw[:nbytes], dtype=info.bo + info.dtype)
+    return arr.reshape(info.tile_h, info.tile_w)
+
+
+def read_window(f, x_min: float, y_min: float, x_max: float,
+                y_max: float):
+    """Driver-side windowed read: decode ONLY the tiles intersecting the
+    model-space window (the reference's `02_get_slope_from_buffer.py`
+    S3-range pattern). Returns (array, west_x, top_y) of the covered
+    pixel block."""
+    info = read_info(f)
+    c0, c1, r0, r1 = _window_tiles(info, x_min, y_min, x_max, y_max)
+    if c0 > c1 or r0 > r1:
+        return np.zeros((0, 0), info.dtype), info.x0, info.y_top
+    out = np.zeros(((r1 - r0 + 1) * info.tile_h,
+                    (c1 - c0 + 1) * info.tile_w), info.dtype)
+    for tr in range(r0, r1 + 1):
+        for tc in range(c0, c1 + 1):
+            idx = tr * info.tiles_x + tc
+            raw = _pread(f, info.offsets[idx], info.counts[idx])
+            out[(tr - r0) * info.tile_h:(tr - r0 + 1) * info.tile_h,
+                (tc - c0) * info.tile_w:(tc - c0 + 1) * info.tile_w] \
+                = decode_tile(raw, info)
+    # crop image-edge padding
+    h_eff = min((r1 + 1) * info.tile_h, info.height) - r0 * info.tile_h
+    w_eff = min((c1 + 1) * info.tile_w, info.width) - c0 * info.tile_w
+    out = out[:h_eff, :w_eff]
+    return (out, info.x0 + c0 * info.tile_w * info.pixel_x,
+            info.y_top - r0 * info.tile_h * info.pixel_y)
+
+
+def _window_tiles(info: GeoTiffInfo, x_min, y_min, x_max, y_max):
+    """Inclusive tile column/row range intersecting a model-space bbox."""
+    c0 = max(0, int(np.floor((x_min - info.x0)
+                             / (info.tile_w * info.pixel_x))))
+    c1 = min(info.tiles_x - 1,
+             int(np.floor((x_max - info.x0)
+                          / (info.tile_w * info.pixel_x) - 1e-12)))
+    r0 = max(0, int(np.floor((info.y_top - y_max)
+                             / (info.tile_h * info.pixel_y))))
+    r1 = min(info.tiles_y - 1,
+             int(np.floor((info.y_top - y_min)
+                          / (info.tile_h * info.pixel_y) - 1e-12)))
+    return c0, c1, r0, r1
+
+
+# --- Spark source -----------------------------------------------------------
+
+def geotiff_tiles(spark, path: str, layer: str, bbox=None,
+                  nodata_to: float | None = -99.0):
+    """Tiled GeoTIFF file -> engine TILES DataFrame.
+
+    The driver parses the IFD (KB-scale) and builds the tile manifest;
+    window pruning (``bbox = (x_min, y_min, x_max, y_max)``) drops
+    manifest rows BEFORE any data byte moves — the COG promise. Executors
+    pread exactly their tiles' byte ranges and decode with the shared
+    numpy codecs; the file's nodata value is remapped to ``nodata_to``
+    (the engine's -99 sentinel, same normalization the HFA ingest does).
+
+    Engine tile convention: row 0 of ``data`` is the NORTHERN row, ``y0``
+    the southern edge; ``tile_y`` increases northward, so TIFF tile row r
+    maps to ``tiles_y - 1 - r`` and halo adjacency keeps working.
+    """
+    with open(path, "rb") as f:
+        info = read_info(f)
+    rows = []
+    for tr in range(info.tiles_y):
+        for tc in range(info.tiles_x):
+            tx0 = info.x0 + tc * info.tile_w * info.pixel_x
+            ncols = min(info.tile_w, info.width - tc * info.tile_w)
+            nrows = min(info.tile_h, info.height - tr * info.tile_h)
+            ty_top = info.y_top - tr * info.tile_h * info.pixel_y
+            ty0 = ty_top - nrows * info.pixel_y
+            if bbox is not None:
+                if tx0 + ncols * info.pixel_x <= bbox[0] \
+                        or tx0 >= bbox[2] \
+                        or ty_top <= bbox[1] or ty0 >= bbox[3]:
+                    continue
+            idx = tr * info.tiles_x + tc
+            rows.append((idx, tc, info.tiles_y - 1 - tr,
+                         info.offsets[idx], info.counts[idx],
+                         float(tx0), float(ty0), nrows, ncols))
+    manifest = pd.DataFrame(
+        rows, columns=["idx", "tile_x", "tile_y", "offset", "count",
+                       "x0", "y0", "nrows", "ncols"])
+    mdf = spark.createDataFrame(manifest) \
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    nodata = info.nodata
+
+    def fetch(batches):
+        f = open(path, "rb")
+        for pdf in batches:
+            out = {c: [] for c in
+                   ("media_ref", "layer", "tile_x", "tile_y", "x0", "y0",
+                    "pixel_m", "nrows", "ncols", "data")}
+            for r in pdf.itertuples():
+                raw = _pread(f, int(r.offset), int(r.count))
+                arr = decode_tile(raw, info)[:r.nrows, :r.ncols] \
+                    .astype(np.float32)
+                if nodata is not None and nodata_to is not None:
+                    arr = np.where(arr == np.float32(nodata),
+                                   np.float32(nodata_to), arr)
+                out["media_ref"].append(f"geotiff:{path}#{r.idx}")
+                out["layer"].append(layer)
+                out["tile_x"].append(int(r.tile_x))
+                out["tile_y"].append(int(r.tile_y))
+                out["x0"].append(float(r.x0))
+                out["y0"].append(float(r.y0))
+                out["pixel_m"].append(float(info.pixel_x))
+                out["nrows"].append(int(r.nrows))
+                out["ncols"].append(int(r.ncols))
+                out["data"].append(arr.ravel().tolist())
+            yield pd.DataFrame(out)
+    return mdf.mapInPandas(fetch, schema=TILES)
+
+
+# --- encoder ----------------------------------------------------------------
+
+def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
+                   pixel_m: float, tile: int = 64, compression: int = 1,
+                   nodata: float | None = None, bo: str = "<") -> bytes:
+    """(h, w) float32 or uint8 array -> tiled GeoTIFF bytes. ``x0`` is
+    the west edge, ``y_top`` the north edge (row 0 = northern row),
+    square pixels. ``compression``: 1 none, 5 LZW, 32773 PackBits."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint8:
+        bits, fmt = 8, 1
+    else:
+        arr = arr.astype(np.float32)
+        bits, fmt = 32, 3
+    h, w = arr.shape
+    tiles_x, tiles_y = -(-w // tile), -(-h // tile)
+    payloads = []
+    for tr in range(tiles_y):
+        for tc in range(tiles_x):
+            blk = np.zeros((tile, tile), arr.dtype)
+            sub = arr[tr * tile:(tr + 1) * tile, tc * tile:(tc + 1) * tile]
+            blk[:sub.shape[0], :sub.shape[1]] = sub
+            raw = blk.astype(bo + ("u1" if bits == 8 else "f4")).tobytes()
+            if compression == 5:
+                raw = tiffcodec.lzw_encode(raw)
+            elif compression == 32773:
+                raw = tiffcodec.packbits_encode(raw)
+            elif compression != 1:
+                raise ValueError(f"unsupported compression {compression}")
+            payloads.append(raw)
+
+    entries = []                           # (tag, typ, cnt, values)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(_W, 4, [w])
+    entry(_H, 4, [h])
+    entry(_BITS, 3, [bits])
+    entry(_COMP, 3, [compression])
+    entry(_PHOTO, 3, [1])
+    entry(_SPP, 3, [1])
+    entry(_TILE_W, 3, [tile])
+    entry(_TILE_H, 3, [tile])
+    entry(_TILE_OFF, 4, [0] * len(payloads))        # patched below
+    entry(_TILE_CNT, 4, [len(p) for p in payloads])
+    entry(_SAMPLE_FORMAT, 3, [fmt])
+    entry(_MODEL_PIXEL_SCALE, 12, [pixel_m, pixel_m, 0.0])
+    entry(_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y_top, 0.0])
+    # minimal GeoKey directory (version 1.1, projected CRS left to the
+    # engine's own geodesy — model space is already projected meters)
+    entry(_GEO_KEY_DIR, 3, [1, 1, 1, 1, 1025, 0, 1, 1])
+    if nodata is not None:
+        nd = (f"{nodata:g}".encode() + b"\x00")
+        entry(_GDAL_NODATA, 2, list(nd))
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # overflow area directly after the IFD
+    over_off = ifd_off + ifd_size
+    over = bytearray()
+    packed = []
+    for tag, typ, vals in entries:
+        if typ == 2:
+            raw = bytes(vals)
+        else:
+            raw = struct.pack(bo + f"{len(vals)}{_TYPE_FMT[typ]}", *vals)
+        packed.append((tag, typ, len(vals), raw))
+    # first pass to size the overflow area (tile offsets re-packed later)
+    data_off = over_off + sum(len(r) for _, _, _, r in packed if len(r) > 4)
+    offsets = []
+    pos = data_off
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    # re-pack tile offsets with real values
+    packed = []
+    for tag, typ, vals in entries:
+        if tag == _TILE_OFF:
+            vals = offsets
+        if typ == 2:
+            raw = bytes(vals)
+        else:
+            raw = struct.pack(bo + f"{len(vals)}{_TYPE_FMT[typ]}", *vals)
+        packed.append((tag, typ, len(vals), raw))
+
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM")
+    out += struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", len(packed))
+    opos = over_off
+    for tag, typ, cnt, raw in packed:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if len(raw) <= 4:
+            out += raw + b"\x00" * (4 - len(raw))
+        else:
+            out += struct.pack(bo + "I", opos)
+            over += raw
+            opos += len(raw)
+    out += struct.pack(bo + "I", 0)                  # next-IFD pointer
+    out += over
+    assert len(out) == data_off, (len(out), data_off)
+    for p in payloads:
+        out += p
+    return bytes(out)

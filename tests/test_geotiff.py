@@ -1,0 +1,155 @@
+"""Tiled GeoTIFF source — the reference's COG access pattern without
+GDAL: driver-side IFD parse + manifest pruning, executor-side byte-range
+decode (reference stores layers as COG mosaics,
+01_mosaic_and_transform_images_in_one_go.py:251-253, and reads them by
+windowed range requests, 02_get_slope_from_buffer.py:204-206)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from balrog_spark import corpus, geotiff, raster
+
+NX, NY = 2, 2
+
+
+def _dem_mosaic():
+    """Corpus DEM tiles assembled into one (NY*64, NX*64) array, row 0
+    north — the national-mosaic layout the reference uses."""
+    n = corpus.TILE_N
+    out = np.zeros((NY * n, NX * n), np.float32)
+    for tx in range(NX):
+        for ty in range(NY):
+            dem, _ = corpus.tile_arrays(tx, ty)
+            r0 = (NY - 1 - ty) * n
+            out[r0:r0 + n, tx * n:(tx + 1) * n] = dem
+    return out
+
+
+@pytest.fixture(scope="module")
+def dem_tif(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gt") / "dem.tif")
+    mosaic = _dem_mosaic()
+    with open(path, "wb") as f:
+        f.write(geotiff.encode_geotiff(
+            mosaic, x0=0.0, y_top=NY * corpus.TILE_M,
+            pixel_m=corpus.PIXEL_M, tile=corpus.TILE_N, compression=5,
+            nodata=-99))
+    return path, mosaic
+
+
+def test_roundtrip_compressions_byteorders():
+    rng = np.random.default_rng(3)
+    arr = (rng.random((100, 130)) * 900 - 100).astype(np.float32)
+    for comp in (1, 5, 32773):
+        for bo in ("<", ">"):
+            b = geotiff.encode_geotiff(arr, 500.0, 9000.0, 25.0, tile=48,
+                                       compression=comp, bo=bo)
+            out, wx, ty = geotiff.read_window(io.BytesIO(b), -1e9, -1e9,
+                                              1e9, 1e9)
+            assert np.array_equal(out, arr), (comp, bo)
+            assert (wx, ty) == (500.0, 9000.0)
+
+
+def test_windowed_read_touches_only_window_bytes():
+    """The COG promise: a small window reads the IFD plus that window's
+    tile ranges, nothing else."""
+    rng = np.random.default_rng(4)
+    src = rng.random((640, 640)).astype(np.float32)
+    big = geotiff.encode_geotiff(src, 0.0, 16000.0, 25.0, tile=64)
+
+    class Counting(io.BytesIO):
+        bytes_read = 0
+
+        def read(self, n=-1):
+            d = super().read(n)
+            Counting.bytes_read = self.bytes_read = \
+                self.bytes_read + len(d)
+            return d
+
+    f = Counting(big)
+    out, wx, ty = geotiff.read_window(f, 100.0, 15000.0, 200.0, 15100.0)
+    assert out.shape == (64, 64)
+    assert np.array_equal(out, src[:64, :64])
+    assert f.bytes_read < len(big) * 0.05
+
+    # empty window: no tile bytes at all
+    f2 = Counting(big)
+    f2.bytes_read = 0
+    Counting.bytes_read = 0
+    out, _, _ = geotiff.read_window(f2, -5000.0, -5000.0, -4000.0,
+                                    -4000.0)
+    assert out.size == 0 and f2.bytes_read < 4096
+
+
+def test_geotiff_tiles_matches_corpus(spark, dem_tif):
+    """The Spark source reproduces the engine's own tile rows bit-exact:
+    same grid indices, origins and float32 pixels as corpus.spark_tiles."""
+    path, _ = dem_tif
+    got = geotiff.geotiff_tiles(spark, path, "dem").toPandas() \
+        .set_index(["tile_x", "tile_y"]).sort_index()
+    want = corpus.spark_tiles(spark, NX, NY, layers=("dem",)) \
+        .filter(F.col("layer") == "dem").toPandas() \
+        .set_index(["tile_x", "tile_y"]).sort_index()
+    assert list(got.index) == list(want.index)
+    for key in got.index:
+        g, w = got.loc[key], want.loc[key]
+        assert (g.x0, g.y0, g.pixel_m, g.nrows, g.ncols) \
+            == (w.x0, w.y0, w.pixel_m, w.nrows, w.ncols)
+        assert np.array_equal(np.array(g.data, np.float32),
+                              np.array(w.data, np.float32)), key
+
+
+def test_geotiff_tiles_bbox_prunes_manifest(spark, dem_tif):
+    path, _ = dem_tif
+    t = corpus.TILE_M
+    one = geotiff.geotiff_tiles(spark, path, "dem",
+                                bbox=(10.0, 10.0, t - 10.0, t - 10.0))
+    rows = one.collect()
+    assert len(rows) == 1
+    assert (rows[0].tile_x, rows[0].tile_y) == (0, 0)
+
+
+def test_geotiff_nodata_remap(spark, tmp_path):
+    arr = np.full((64, 64), 7.0, np.float32)
+    arr[0, :4] = -32768.0
+    path = str(tmp_path / "nd.tif")
+    with open(path, "wb") as f:
+        f.write(geotiff.encode_geotiff(arr, 0.0, 64 * 25.0, 25.0,
+                                       nodata=-32768))
+    row = geotiff.geotiff_tiles(spark, path, "dem").collect()[0]
+    data = np.array(row.data, np.float32).reshape(64, 64)
+    assert (data[0, :4] == -99.0).all() and (data[1:] == 7.0).all()
+
+
+def test_geotiff_feeds_slope_aspect(spark, dem_tif):
+    """End-to-end: GeoTIFF-ingested DEM through the production halo
+    slope/aspect path equals the same op over corpus tiles."""
+    path, _ = dem_tif
+    gt = geotiff.geotiff_tiles(spark, path, "dem")
+    ct = corpus.spark_tiles(spark, NX, NY, layers=("dem",)) \
+        .filter(F.col("layer") == "dem")
+    a = raster.slope_aspect_tiles(gt, classify=False).toPandas() \
+        .sort_values(["layer", "tile_x", "tile_y"]).reset_index(drop=True)
+    b = raster.slope_aspect_tiles(ct, classify=False).toPandas() \
+        .sort_values(["layer", "tile_x", "tile_y"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for i in range(len(a)):
+        assert np.array_equal(np.array(a.loc[i].data, np.float32),
+                              np.array(b.loc[i].data, np.float32))
+
+
+def test_refusals():
+    rng = np.random.default_rng(6)
+    arr = rng.random((16, 16)).astype(np.float32)
+    b = bytearray(geotiff.encode_geotiff(arr, 0, 400, 25.0, tile=16))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        geotiff.read_info(io.BytesIO(b"nope" + bytes(b)))
+    # a strip TIFF (no tile tags) is refused by this source
+    from balrog_spark import tiffcodec
+    strip = tiffcodec.encode_tiff(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="tiled GeoTIFF"):
+        geotiff.read_info(io.BytesIO(strip))
