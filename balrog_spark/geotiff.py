@@ -45,8 +45,8 @@ _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GEO_KEY_DIR = 34735
 _GDAL_NODATA = 42113
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -84,27 +84,45 @@ def read_info(f) -> GeoTiffInfo:
     """Parse the IFD from an open binary file-like via seek/read only —
     the local analogue of a COG's ranged header request (never reads tile
     data)."""
-    head = _pread(f, 0, 8)
+    head = _pread(f, 0, 16)
     if head[:2] == b"II":
         bo = "<"
     elif head[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF payload")
-    if struct.unpack(bo + "H", head[2:4])[0] != 42:
+    version = struct.unpack(bo + "H", head[2:4])[0]
+    if version == 42:                                # classic TIFF
+        big = False
+        ifd_off = struct.unpack(bo + "I", head[4:8])[0]
+    elif version == 43:                              # BigTIFF
+        # bytes 4-5: offset size (always 8), 6-7: zero pad
+        if struct.unpack(bo + "HH", head[4:8]) != (8, 0):
+            raise ValueError("malformed BigTIFF header")
+        big = True
+        ifd_off = struct.unpack(bo + "Q", head[8:16])[0]
+    else:
         raise ValueError("bad TIFF magic")
-    ifd_off = struct.unpack(bo + "I", head[4:8])[0]
-    n = struct.unpack(bo + "H", _pread(f, ifd_off, 2))[0]
-    entries = _pread(f, ifd_off + 2, 12 * n)
+    if big:
+        n = struct.unpack(bo + "Q", _pread(f, ifd_off, 8))[0]
+        entries = _pread(f, ifd_off + 8, 20 * n)
+        esize, inline, cfmt, ofmt = 20, 8, "Q", "Q"
+    else:
+        n = struct.unpack(bo + "H", _pread(f, ifd_off, 2))[0]
+        entries = _pread(f, ifd_off + 2, 12 * n)
+        esize, inline, cfmt, ofmt = 12, 4, "I", "I"
     tags = {}
     for i in range(n):
-        e = entries[12 * i:12 * i + 12]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        e = entries[esize * i:esize * (i + 1)]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        cnt = struct.unpack(bo + cfmt, e[4:4 + len(struct.pack(
+            bo + cfmt, 0))])[0]
         if typ not in _TYPE_SIZE:
             continue
         size = _TYPE_SIZE[typ] * cnt
-        raw = e[8:12] if size <= 4 else _pread(
-            f, struct.unpack(bo + "I", e[8:12])[0], size)
+        val = e[esize - inline:esize]
+        raw = val[:size] if size <= inline else _pread(
+            f, struct.unpack(bo + ofmt, val)[0], size)
         if typ == 2:
             tags[tag] = raw[:size]
         else:
@@ -277,10 +295,14 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
 
 def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
                    pixel_m: float, tile: int = 64, compression: int = 1,
-                   nodata: float | None = None, bo: str = "<") -> bytes:
+                   nodata: float | None = None, bo: str = "<",
+                   bigtiff: bool = False) -> bytes:
     """(h, w) float32 or uint8 array -> tiled GeoTIFF bytes. ``x0`` is
     the west edge, ``y_top`` the north edge (row 0 = northern row),
-    square pixels. ``compression``: 1 none, 5 LZW, 32773 PackBits."""
+    square pixels. ``compression``: 1 none, 5 LZW, 32773 PackBits.
+    ``bigtiff=True`` writes BigTIFF (version 43, 8-byte offsets) — what
+    a real >4 GB national COG mosaic must be; classic TIFF's u32
+    offsets cap the file at 4 GB."""
     arr = np.asarray(arr)
     if arr.dtype == np.uint8:
         bits, fmt = 8, 1
@@ -317,8 +339,9 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
     entry(_SPP, 3, [1])
     entry(_TILE_W, 3, [tile])
     entry(_TILE_H, 3, [tile])
-    entry(_TILE_OFF, 4, [0] * len(payloads))        # patched below
-    entry(_TILE_CNT, 4, [len(p) for p in payloads])
+    off_typ = 16 if bigtiff else 4                   # LONG8 vs LONG
+    entry(_TILE_OFF, off_typ, [0] * len(payloads))   # patched below
+    entry(_TILE_CNT, off_typ, [len(p) for p in payloads])
     entry(_SAMPLE_FORMAT, 3, [fmt])
     entry(_MODEL_PIXEL_SCALE, 12, [pixel_m, pixel_m, 0.0])
     entry(_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y_top, 0.0])
@@ -330,51 +353,60 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
         entry(_GDAL_NODATA, 2, list(nd))
     entries.sort(key=lambda e: e[0])
 
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    if bigtiff:
+        ifd_off, esize, inline, cfmt, ofmt = 16, 20, 8, "Q", "Q"
+        ifd_size = 8 + 20 * len(entries) + 8
+    else:
+        ifd_off, esize, inline, cfmt, ofmt = 8, 12, 4, "I", "I"
+        ifd_size = 2 + 12 * len(entries) + 4
     # overflow area directly after the IFD
     over_off = ifd_off + ifd_size
     over = bytearray()
-    packed = []
-    for tag, typ, vals in entries:
-        if typ == 2:
-            raw = bytes(vals)
-        else:
-            raw = struct.pack(bo + f"{len(vals)}{_TYPE_FMT[typ]}", *vals)
-        packed.append((tag, typ, len(vals), raw))
-    # first pass to size the overflow area (tile offsets re-packed later)
-    data_off = over_off + sum(len(r) for _, _, _, r in packed if len(r) > 4)
+
+    def pack_all(entries_):
+        packed_ = []
+        for tag, typ, vals in entries_:
+            if typ == 2:
+                raw = bytes(vals)
+            else:
+                raw = struct.pack(bo + f"{len(vals)}{_TYPE_FMT[typ]}",
+                                  *vals)
+            packed_.append((tag, typ, len(vals), raw))
+        return packed_
+
+    # first pass to size the overflow area (tile offsets re-packed later;
+    # LONG8 and LONG reserve the same byte count either way)
+    packed = pack_all(entries)
+    data_off = over_off + sum(len(r) for _, _, _, r in packed
+                              if len(r) > inline)
     offsets = []
     pos = data_off
     for p in payloads:
         offsets.append(pos)
         pos += len(p)
-    # re-pack tile offsets with real values
-    packed = []
-    for tag, typ, vals in entries:
-        if tag == _TILE_OFF:
-            vals = offsets
-        if typ == 2:
-            raw = bytes(vals)
-        else:
-            raw = struct.pack(bo + f"{len(vals)}{_TYPE_FMT[typ]}", *vals)
-        packed.append((tag, typ, len(vals), raw))
+    packed = pack_all([(t, ty, offsets if t == _TILE_OFF else v)
+                       for t, ty, v in entries])
 
     out = bytearray()
     out += (b"II" if bo == "<" else b"MM")
-    out += struct.pack(bo + "H", 42)
-    out += struct.pack(bo + "I", ifd_off)
-    out += struct.pack(bo + "H", len(packed))
+    if bigtiff:
+        out += struct.pack(bo + "HHH", 43, 8, 0)
+        out += struct.pack(bo + "Q", ifd_off)
+        out += struct.pack(bo + "Q", len(packed))
+    else:
+        out += struct.pack(bo + "H", 42)
+        out += struct.pack(bo + "I", ifd_off)
+        out += struct.pack(bo + "H", len(packed))
     opos = over_off
     for tag, typ, cnt, raw in packed:
-        out += struct.pack(bo + "HHI", tag, typ, cnt)
-        if len(raw) <= 4:
-            out += raw + b"\x00" * (4 - len(raw))
+        out += struct.pack(bo + "HH" + cfmt, tag, typ, cnt)
+        if len(raw) <= inline:
+            out += raw + b"\x00" * (inline - len(raw))
         else:
-            out += struct.pack(bo + "I", opos)
+            out += struct.pack(bo + ofmt, opos)
             over += raw
             opos += len(raw)
-    out += struct.pack(bo + "I", 0)                  # next-IFD pointer
+    out += struct.pack(bo + ofmt, 0)                 # next-IFD pointer
     out += over
     assert len(out) == data_off, (len(out), data_off)
     for p in payloads:

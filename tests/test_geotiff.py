@@ -5,6 +5,7 @@ decode (reference stores layers as COG mosaics,
 windowed range requests, 02_get_slope_from_buffer.py:204-206)."""
 
 import io
+import struct
 import os
 
 import numpy as np
@@ -186,3 +187,34 @@ def test_granule_sink_roundtrip(spark, dem_tif, tmp_path):
         with open(r.path, "rb") as f:
             arr, wx, ty = geotiff.read_window(f, -1e9, -1e9, 1e9, 1e9)
         assert (wx, ty) == (r.x0, r.y1) and arr.shape == (64, 64)
+
+
+def test_bigtiff_roundtrip_and_spark_source(spark, tmp_path):
+    """BigTIFF (version 43, 8-byte offsets): what a real >4 GB national
+    COG mosaic must be — classic TIFF's u32 offsets cap at 4 GB. Same
+    reader, same Spark source."""
+    rng = np.random.default_rng(8)
+    arr = (rng.random((96, 160)) * 700 - 50).astype(np.float32)
+    for bo in ("<", ">"):
+        b = geotiff.encode_geotiff(arr, 2000.0, 7000.0, 25.0, tile=32,
+                                   compression=5, bo=bo, bigtiff=True)
+        assert struct.unpack(bo + "H", b[2:4])[0] == 43
+        out, wx, ty = geotiff.read_window(io.BytesIO(b), -1e9, -1e9,
+                                          1e9, 1e9)
+        assert np.array_equal(out, arr) and (wx, ty) == (2000.0, 7000.0)
+
+    path = str(tmp_path / "big.tif")
+    mosaic = _dem_mosaic()
+    with open(path, "wb") as f:
+        f.write(geotiff.encode_geotiff(
+            mosaic, 0.0, NY * corpus.TILE_M, corpus.PIXEL_M,
+            tile=corpus.TILE_N, bigtiff=True))
+    got = geotiff.geotiff_tiles(spark, path, "dem").toPandas() \
+        .sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    assert len(got) == NX * NY
+    n = corpus.TILE_N
+    for r in got.itertuples():
+        dem, _ = corpus.tile_arrays(int(r.tile_x), int(r.tile_y))
+        assert np.array_equal(
+            np.array(r.data, np.float32).reshape(n, n),
+            dem.astype(np.float32))
