@@ -80,10 +80,12 @@ def _pread(f, off: int, n: int) -> bytes:
     return f.read(n)
 
 
-def read_info(f) -> GeoTiffInfo:
+def read_info(f, level: int = 0) -> GeoTiffInfo:
     """Parse the IFD from an open binary file-like via seek/read only —
     the local analogue of a COG's ranged header request (never reads tile
-    data)."""
+    data). ``level`` walks the chained overview IFDs: 0 = full
+    resolution, k = the k-th reduced-resolution overview (each carries
+    its own scaled geo tags)."""
     head = _pread(f, 0, 16)
     if head[:2] == b"II":
         bo = "<"
@@ -103,6 +105,17 @@ def read_info(f) -> GeoTiffInfo:
         ifd_off = struct.unpack(bo + "Q", head[8:16])[0]
     else:
         raise ValueError("bad TIFF magic")
+    for _ in range(level):                           # walk overview chain
+        if big:
+            n = struct.unpack(bo + "Q", _pread(f, ifd_off, 8))[0]
+            ifd_off = struct.unpack(
+                bo + "Q", _pread(f, ifd_off + 8 + 20 * n, 8))[0]
+        else:
+            n = struct.unpack(bo + "H", _pread(f, ifd_off, 2))[0]
+            ifd_off = struct.unpack(
+                bo + "I", _pread(f, ifd_off + 2 + 12 * n, 4))[0]
+        if ifd_off == 0:
+            raise ValueError(f"overview level {level} not present")
     if big:
         n = struct.unpack(bo + "Q", _pread(f, ifd_off, 8))[0]
         entries = _pread(f, ifd_off + 8, 20 * n)
@@ -178,13 +191,38 @@ def decode_tile(raw: bytes, info: GeoTiffInfo) -> np.ndarray:
     return arr.reshape(info.tile_h, info.tile_w)
 
 
+def num_levels(f) -> int:
+    """Count the IFDs in the chain (1 + number of overviews) by walking
+    next-IFD pointers — header bytes only."""
+    head = _pread(f, 0, 16)
+    bo = "<" if head[:2] == b"II" else ">"
+    big = struct.unpack(bo + "H", head[2:4])[0] == 43
+    if big:
+        off = struct.unpack(bo + "Q", head[8:16])[0]
+    else:
+        off = struct.unpack(bo + "I", head[4:8])[0]
+    n_levels = 0
+    while off:
+        n_levels += 1
+        if big:
+            n = struct.unpack(bo + "Q", _pread(f, off, 8))[0]
+            off = struct.unpack(bo + "Q",
+                                _pread(f, off + 8 + 20 * n, 8))[0]
+        else:
+            n = struct.unpack(bo + "H", _pread(f, off, 2))[0]
+            off = struct.unpack(bo + "I",
+                                _pread(f, off + 2 + 12 * n, 4))[0]
+    return n_levels
+
+
 def read_window(f, x_min: float, y_min: float, x_max: float,
-                y_max: float):
+                y_max: float, level: int = 0):
     """Driver-side windowed read: decode ONLY the tiles intersecting the
     model-space window (the reference's `02_get_slope_from_buffer.py`
     S3-range pattern). Returns (array, west_x, top_y) of the covered
-    pixel block."""
-    info = read_info(f)
+    pixel block. ``level`` selects an overview IFD (coarser pixels,
+    fewer bytes)."""
+    info = read_info(f, level=level)
     c0, c1, r0, r1 = _window_tiles(info, x_min, y_min, x_max, y_max)
     if c0 > c1 or r0 > r1:
         return np.zeros((0, 0), info.dtype), info.x0, info.y_top
@@ -223,7 +261,7 @@ def _window_tiles(info: GeoTiffInfo, x_min, y_min, x_max, y_max):
 # --- Spark source -----------------------------------------------------------
 
 def geotiff_tiles(spark, path: str, layer: str, bbox=None,
-                  nodata_to: float | None = -99.0):
+                  nodata_to: float | None = -99.0, level: int = 0):
     """Tiled GeoTIFF file -> engine TILES DataFrame.
 
     The driver parses the IFD (KB-scale) and builds the tile manifest;
@@ -238,7 +276,7 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
     maps to ``tiles_y - 1 - r`` and halo adjacency keeps working.
     """
     with open(path, "rb") as f:
-        info = read_info(f)
+        info = read_info(f, level=level)
     rows = []
     for tr in range(info.tiles_y):
         for tc in range(info.tiles_x):
@@ -277,7 +315,8 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
                 if nodata is not None and nodata_to is not None:
                     arr = np.where(arr == np.float32(nodata),
                                    np.float32(nodata_to), arr)
-                out["media_ref"].append(f"geotiff:{path}#{r.idx}")
+                out["media_ref"].append(
+                    f"geotiff:{path}@{level}#{r.idx}")
                 out["layer"].append(layer)
                 out["tile_x"].append(int(r.tile_x))
                 out["tile_y"].append(int(r.tile_y))
@@ -293,21 +332,82 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
 
 # --- encoder ----------------------------------------------------------------
 
+_SUBFILE_TYPE = 254            # NewSubfileType: 1 = reduced-res overview
+
+
+def _downsample2(arr: np.ndarray, nodata: float | None) -> np.ndarray:
+    """2x block mean excluding nodata (GDAL 'average' semantics): cells
+    whose whole 2x2 block is nodata stay nodata; edge blocks average the
+    pixels that exist. uint8 rounds to nearest."""
+    h, w = arr.shape
+    oh, ow = -(-h // 2), -(-w // 2)
+    pad = np.full((oh * 2, ow * 2), np.nan)
+    pad[:h, :w] = arr.astype(np.float64)
+    if nodata is not None:
+        pad[pad == float(nodata)] = np.nan
+    blocks = pad.reshape(oh, 2, ow, 2).transpose(0, 2, 1, 3) \
+        .reshape(oh, ow, 4)
+    n_ok = np.sum(~np.isnan(blocks), axis=2)
+    mean = np.nansum(blocks, axis=2) / np.maximum(n_ok, 1)
+    fill = float(nodata) if nodata is not None else 0.0
+    mean = np.where(n_ok == 0, fill, mean)
+    if arr.dtype == np.uint8:
+        return np.clip(np.round(mean), 0, 255).astype(np.uint8)
+    return mean.astype(np.float32)
+
+
 def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
                    pixel_m: float, tile: int = 64, compression: int = 1,
                    nodata: float | None = None, bo: str = "<",
-                   bigtiff: bool = False) -> bytes:
+                   bigtiff: bool = False, overviews: int = 0) -> bytes:
     """(h, w) float32 or uint8 array -> tiled GeoTIFF bytes. ``x0`` is
     the west edge, ``y_top`` the north edge (row 0 = northern row),
     square pixels. ``compression``: 1 none, 5 LZW, 32773 PackBits.
     ``bigtiff=True`` writes BigTIFF (version 43, 8-byte offsets) — what
     a real >4 GB national COG mosaic must be; classic TIFF's u32
-    offsets cap the file at 4 GB."""
+    offsets cap the file at 4 GB. ``overviews=k`` appends k chained
+    reduced-resolution IFDs (2x block-mean each, NewSubfileType=1, geo
+    tags scaled per level) — the 'O' in COG: a zoomed-out read touches
+    the small overview, never the full-res tiles."""
     arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        arr = arr.astype(np.float32)
+    levels = [arr]
+    for _ in range(overviews):
+        if min(levels[-1].shape) <= 1:
+            break
+        levels.append(_downsample2(levels[-1], nodata))
+
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM")
+    if bigtiff:
+        out += struct.pack(bo + "HHH", 43, 8, 0)
+        out += struct.pack(bo + "Q", 16)
+    else:
+        out += struct.pack(bo + "H", 42)
+        out += struct.pack(bo + "I", 8)
+    pfmt = "Q" if bigtiff else "I"
+    next_ptr_pos = None
+    for lv, a in enumerate(levels):
+        if next_ptr_pos is not None:       # chain previous IFD to this one
+            out[next_ptr_pos:next_ptr_pos + struct.calcsize(pfmt)] = \
+                struct.pack(bo + pfmt, len(out))
+        next_ptr_pos = _append_ifd(
+            out, a, x0, y_top, pixel_m * (2 ** lv), tile, compression,
+            nodata, bo, bigtiff, subfile=1 if lv else None)
+    return bytes(out)
+
+
+def _append_ifd(out: bytearray, arr: np.ndarray, x0: float, y_top: float,
+                pixel_m: float, tile: int, compression: int,
+                nodata: float | None, bo: str, bigtiff: bool,
+                subfile: int | None) -> int:
+    """Append one IFD + overflow values + tile data for ``arr`` at the
+    current end of ``out``; returns the absolute position of this IFD's
+    next-IFD pointer (written as 0) so the caller can chain overviews."""
     if arr.dtype == np.uint8:
         bits, fmt = 8, 1
     else:
-        arr = arr.astype(np.float32)
         bits, fmt = 32, 3
     h, w = arr.shape
     tiles_x, tiles_y = -(-w // tile), -(-h // tile)
@@ -326,11 +426,13 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
                 raise ValueError(f"unsupported compression {compression}")
             payloads.append(raw)
 
-    entries = []                           # (tag, typ, cnt, values)
+    entries = []                           # (tag, typ, values)
 
     def entry(tag, typ, vals):
         entries.append((tag, typ, vals))
 
+    if subfile is not None:
+        entry(_SUBFILE_TYPE, 4, [subfile])
     entry(_W, 4, [w])
     entry(_H, 4, [h])
     entry(_BITS, 3, [bits])
@@ -353,14 +455,15 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
         entry(_GDAL_NODATA, 2, list(nd))
     entries.sort(key=lambda e: e[0])
 
+    base = len(out)                        # this IFD starts here
     if bigtiff:
-        ifd_off, esize, inline, cfmt, ofmt = 16, 20, 8, "Q", "Q"
+        esize, inline, cfmt, ofmt = 20, 8, "Q", "Q"
         ifd_size = 8 + 20 * len(entries) + 8
     else:
-        ifd_off, esize, inline, cfmt, ofmt = 8, 12, 4, "I", "I"
+        esize, inline, cfmt, ofmt = 12, 4, "I", "I"
         ifd_size = 2 + 12 * len(entries) + 4
-    # overflow area directly after the IFD
-    over_off = ifd_off + ifd_size
+    # overflow area directly after the IFD, tile data after that
+    over_off = base + ifd_size
     over = bytearray()
 
     def pack_all(entries_):
@@ -387,15 +490,9 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
     packed = pack_all([(t, ty, offsets if t == _TILE_OFF else v)
                        for t, ty, v in entries])
 
-    out = bytearray()
-    out += (b"II" if bo == "<" else b"MM")
     if bigtiff:
-        out += struct.pack(bo + "HHH", 43, 8, 0)
-        out += struct.pack(bo + "Q", ifd_off)
         out += struct.pack(bo + "Q", len(packed))
     else:
-        out += struct.pack(bo + "H", 42)
-        out += struct.pack(bo + "I", ifd_off)
         out += struct.pack(bo + "H", len(packed))
     opos = over_off
     for tag, typ, cnt, raw in packed:
@@ -406,19 +503,21 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
             out += struct.pack(bo + ofmt, opos)
             over += raw
             opos += len(raw)
+    next_ptr_pos = len(out)
     out += struct.pack(bo + ofmt, 0)                 # next-IFD pointer
     out += over
     assert len(out) == data_off, (len(out), data_off)
     for p in payloads:
         out += p
-    return bytes(out)
+    return next_ptr_pos
 
 
 # --- distributed sink -------------------------------------------------------
 
 def write_geotiff_granules(tiles: DataFrame, out_dir: str,
                            granule_tiles: int = 8, compression: int = 5,
-                           nodata: float = -99.0) -> DataFrame:
+                           nodata: float = -99.0,
+                           overviews: int = 0) -> DataFrame:
     """Engine TILES DataFrame -> a directory of tiled GeoTIFF granules,
     written BY THE EXECUTORS (reference sink: gdal.Warp mosaic -> COG,
     01_mosaic_and_transform_images_in_one_go.py:245-266).
@@ -470,7 +569,8 @@ def write_geotiff_granules(tiles: DataFrame, out_dir: str,
         path = os.path.join(out_dir, f"{layer}_{gx}_{gy}.tif")
         payload = encode_geotiff(mosaic, x0=gx0, y_top=gy0 + side_r * pm,
                                  pixel_m=pm, tile=tn_r,
-                                 compression=compression, nodata=nodata)
+                                 compression=compression, nodata=nodata,
+                                 overviews=overviews)
         tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
             f.write(payload)

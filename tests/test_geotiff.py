@@ -218,3 +218,69 @@ def test_bigtiff_roundtrip_and_spark_source(spark, tmp_path):
         assert np.array_equal(
             np.array(r.data, np.float32).reshape(n, n),
             dem.astype(np.float32))
+
+
+def test_cog_overviews(spark, tmp_path):
+    """The 'O' in COG: chained reduced-resolution IFDs. A zoomed-out
+    read touches the overview's bytes, not the full-res tiles; the Spark
+    source serves any level as engine tiles with scaled pixel_m."""
+    rng = np.random.default_rng(12)
+    arr = (rng.random((256, 256)) * 800).astype(np.float32)
+    path = str(tmp_path / "ov.tif")
+    with open(path, "wb") as f:
+        f.write(geotiff.encode_geotiff(arr, 0.0, 256 * 25.0, 25.0,
+                                       tile=64, compression=5,
+                                       nodata=-99, overviews=2))
+    with open(path, "rb") as f:
+        assert geotiff.num_levels(f) == 3
+        full, _, _ = geotiff.read_window(f, -1e9, -1e9, 1e9, 1e9)
+        assert np.array_equal(full, arr)
+        ov1, _, _ = geotiff.read_window(f, -1e9, -1e9, 1e9, 1e9, level=1)
+        assert np.array_equal(ov1, geotiff._downsample2(arr, -99))
+        i1 = geotiff.read_info(f, level=1)
+        assert i1.pixel_x == 50.0 and (i1.width, i1.height) == (128, 128)
+        with pytest.raises(ValueError, match="overview"):
+            geotiff.read_info(f, level=9)
+
+    # whole-raster read at level 2 costs far fewer bytes than level 0
+    data = open(path, "rb").read()
+
+    class Counting(io.BytesIO):
+        def __init__(self, payload):
+            super().__init__(payload)
+            self.n = 0
+
+        def read(self, k=-1):
+            d = super().read(k)
+            self.n += len(d)
+            return d
+
+    f0, f2 = Counting(data), Counting(data)
+    geotiff.read_window(f0, -1e9, -1e9, 1e9, 1e9, level=0)
+    geotiff.read_window(f2, -1e9, -1e9, 1e9, 1e9, level=2)
+    assert f2.n < f0.n / 8
+
+    # Spark source at level 1: engine tiles with pixel_m=50, mosaic
+    # reassembles to the downsample
+    rows = geotiff.geotiff_tiles(spark, path, "dem", level=1).collect()
+    assert all(r.pixel_m == 50.0 for r in rows)
+    n = 64
+    mosaic = np.full((128, 128), np.nan, np.float32)
+    for r in rows:
+        c0 = int(round(r.x0 / (50.0)))
+        r_top = 128 - int(round(r.y0 / 50.0)) - r.nrows
+        mosaic[r_top:r_top + r.nrows, c0:c0 + r.ncols] = \
+            np.array(r.data, np.float32).reshape(r.nrows, r.ncols)
+    assert np.array_equal(mosaic, geotiff._downsample2(arr, -99))
+
+
+def test_granule_sink_with_overviews(spark, tmp_path):
+    ct = corpus.spark_tiles(spark, NX, NY, layers=("dem",)) \
+        .filter(F.col("layer") == "dem")
+    man = geotiff.write_geotiff_granules(
+        ct, str(tmp_path / "cog"), granule_tiles=2,
+        overviews=2).toPandas()
+    with open(man.iloc[0].path, "rb") as f:
+        assert geotiff.num_levels(f) == 3
+        i1 = geotiff.read_info(f, level=1)
+        assert i1.pixel_x == 2 * corpus.PIXEL_M
