@@ -284,3 +284,50 @@ def test_granule_sink_with_overviews(spark, tmp_path):
         assert geotiff.num_levels(f) == 3
         i1 = geotiff.read_info(f, level=1)
         assert i1.pixel_x == 2 * corpus.PIXEL_M
+
+
+def test_full_bal_chain_from_geotiff(spark, dem_tif):
+    """Switchability: the ENTIRE per-address BAL factors chain (kNN +
+    zonal medians + AS 3959 lookup) produces identical rows whether the
+    DEM arrives from the engine's tile store or from a user's GeoTIFF
+    mosaic — bring your COGs, run the analytic unchanged."""
+    from balrog_spark import pipeline
+
+    path, _ = dem_tif
+    docs = corpus.spark_documents(spark, NX, NY)
+    gt = geotiff.geotiff_tiles(spark, path, "dem")
+    ct = corpus.spark_tiles(spark, NX, NY, layers=("dem",)) \
+        .filter(F.col("layer") == "dem")
+    a = pipeline.address_bal_factors(spark, docs, gt).toPandas() \
+        .sort_values("addr_id").reset_index(drop=True)
+    b = pipeline.address_bal_factors(spark, docs, ct).toPandas() \
+        .sort_values("addr_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 70), w=st.integers(1, 70),
+    tile=st.sampled_from([8, 16, 33]),
+    comp=st.sampled_from([1, 5, 32773]),
+    bo=st.sampled_from(["<", ">"]),
+    bigtiff=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_geotiff_roundtrip_property(h, w, tile, comp, bo, bigtiff, seed):
+    """Any (dims, tile size, compression, byte order, container) combo
+    roundtrips bit-exact, including non-multiple-of-tile edges."""
+    rng = np.random.default_rng(seed)
+    arr = (rng.random((h, w)) * 1000 - 200).astype(np.float32)
+    b = geotiff.encode_geotiff(arr, -500.0, 12345.0, 25.0, tile=tile,
+                               compression=comp, bo=bo, bigtiff=bigtiff)
+    out, wx, ty = geotiff.read_window(io.BytesIO(b), -1e12, -1e12,
+                                      1e12, 1e12)
+    assert np.array_equal(out, arr)
+    assert (wx, ty) == (-500.0, 12345.0)
