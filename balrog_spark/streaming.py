@@ -202,3 +202,65 @@ def dedup_stream(docs: DataFrame, n_shards: int = 64) -> DataFrame:
     return keyed.groupBy("shard").applyInPandasWithState(
         emit_new, _DEDUP_OUT, _DEDUP_STATE, "append",
         GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# raster granule ingest: new COG granules land in a drop directory (the
+# write_geotiff_granules layout, <layer>_<gx>_<gy>.tif) and stream into
+# the versioned tile table with the same batch-id idempotence as the
+# document path — S8 append ingest extended to the raster store
+
+def read_granule_stream(spark: SparkSession, drop_dir: str,
+                        max_files_per_trigger: int = 4,
+                        level: int = 0) -> DataFrame:
+    """binaryFile stream over a granule directory -> engine TILES rows.
+    Each micro-batch row carries one whole granule's bytes (granule size
+    is bounded by the sink's granule_tiles, so content fits an executor
+    row); decode runs executor-side in one mapInPandas with the shared
+    numpy codec. Layer name comes from the sink's filename convention."""
+    from .geotiff import granule_tiles_pdf
+    from .schema import TILES
+
+    src = (spark.readStream.format("binaryFile")
+           .schema("path STRING, modificationTime TIMESTAMP, "
+                   "length LONG, content BINARY")
+           .option("pathGlobFilter", "*.tif")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .load(drop_dir)
+           .select("path", "content"))
+
+    def decode(batches):
+        import os
+
+        for pdf in batches:
+            for r in pdf.itertuples():
+                name = os.path.basename(r.path)
+                layer = name[:-4].rsplit("_", 2)[0]
+                yield granule_tiles_pdf(bytes(r.content), layer,
+                                        f"granule:{name}", level=level)
+
+    return src.mapInPandas(decode, schema=TILES)
+
+
+def start_granule_snapshot_ingest(spark: SparkSession, drop_dir: str,
+                                  table_dir: str, checkpoint_dir: str,
+                                  max_files_per_trigger: int = 4):
+    """Granule stream -> versioned tile table, exactly-once: one snapshot
+    per micro-batch, replayed batch ids skipped via the history ledger
+    (identical contract to start_snapshot_ingest for documents)."""
+    from . import snapshots
+
+    tiles = read_granule_stream(spark, drop_dir,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def commit(batch_df, batch_id: int):
+        stage = f"granule-batch-{batch_id}"
+        if any(rec.get("stage") == stage
+               for rec in snapshots.history(table_dir)):
+            return                     # replayed batch: already committed
+        snapshots.commit_append(batch_df, table_dir, stage=stage,
+                                metrics={"batch_id": int(batch_id)})
+
+    return (tiles.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
