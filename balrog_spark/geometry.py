@@ -396,9 +396,15 @@ def clip_ring_to_convex(ring, clip_ring):
     clips (address buffers are convex by construction, reference:
     data_prep/vegetation/xx_fiona_testing.py:139 buffer.intersection).
     Clip orientation is normalized to CCW internally. Returns the clipped
-    ring vertices (possibly empty). For CONCAVE subjects the SH output can
-    include zero-width bridges between pieces — the area (shoelace) is
-    still exact; callers needing separate parts split downstream."""
+    ring vertices (possibly empty).
+
+    EXACT ONLY FOR CONVEX SUBJECTS (convex ∩ convex is a single convex
+    piece). For a CONCAVE subject whose intersection is disconnected,
+    the SH output threads bridges along the clip boundary and its
+    shoelace area CAN be wrong (verified against the slab sweep in
+    tests/test_geometry_clip.py) — route concave subjects to
+    :func:`clip_polys_general` instead; :func:`ring_is_convex` is the
+    dispatch test."""
     clip = _closed(np.asarray(clip_ring, dtype=np.float64))
     if len(clip) < 3:
         return np.empty((0, 2))
@@ -596,3 +602,126 @@ def make_valid_ring(ring, _depth: int = 0):
     r1 = np.vstack([x[None, :], ring[i + 1:j + 1]])
     r2 = np.vstack([x[None, :], ring[j + 1:], ring[:i + 1]])
     return make_valid_ring(r1, _depth + 1) + make_valid_ring(r2, _depth + 1)
+
+
+def _slab_crossings_tracked(S: np.ndarray, pid: np.ndarray, x0: float,
+                            xm: float, x1: float):
+    """Crossing segments at the slab midline x=xm with each crossing's y
+    evaluated at the slab edges x0/x1 too — the breakpoints guarantee no
+    two segments cross inside a slab, so midline ordering holds across
+    the whole slab and the edge y's describe exact trapezoid sides."""
+    xa, ya, xb, yb = S[:, 0], S[:, 1], S[:, 2], S[:, 3]
+    cross = ((xa < xm) & (xm < xb)) | ((xb < xm) & (xm < xa))
+    if not cross.any():
+        e = np.empty(0)
+        return e, e, e, np.empty(0, dtype=np.int64)
+    dx = xb[cross] - xa[cross]
+    slope = (yb[cross] - ya[cross]) / dx
+    ym = ya[cross] + (xm - xa[cross]) * slope
+    y0 = ya[cross] + (x0 - xa[cross]) * slope
+    y1 = ya[cross] + (x1 - xa[cross]) * slope
+    return ym, y0, y1, pid[cross]
+
+
+def _union_intervals_tracked(ym, y0, y1, pc) -> list:
+    """Union coverage intervals at the midline with trapezoid-side
+    tracking: each interval is (lo_m, hi_m, lo0, lo1, hi0, hi1) where
+    *0/*1 are the bounding segments' y at the slab's left/right edge."""
+    ivs = []
+    for pi in np.unique(pc):
+        m = pc == pi
+        order = np.argsort(ym[m], kind="stable")
+        ymi, y0i, y1i = ym[m][order], y0[m][order], y1[m][order]
+        for j in range(0, len(ymi) - 1, 2):
+            ivs.append((ymi[j], ymi[j + 1], y0i[j], y1i[j],
+                        y0i[j + 1], y1i[j + 1]))
+    ivs.sort(key=lambda t: t[0])
+    merged = []
+    for iv in ivs:
+        if merged and iv[0] <= merged[-1][1]:
+            if iv[1] > merged[-1][1]:
+                c = merged[-1]
+                merged[-1] = (c[0], iv[1], c[2], c[3], iv[4], iv[5])
+        else:
+            merged.append(iv)
+    return merged
+
+
+def clip_polys_general(polys_a, polys_b) -> list:
+    """Exact intersection GEOMETRY of two arbitrary (non-convex, holed,
+    multi-part) polygon lists — V12 for the general case, completing
+    :func:`clip_polys_to_convex` (convex clips) and
+    :func:`intersection_area` (area only).
+
+    Same vertical slab sweep as the area twin, but each slab emits the
+    intersection intervals as trapezoid polygons (interval bounds vary
+    linearly inside a slab and never reorder, so the two edge
+    evaluations of the bounding segments ARE the trapezoid's sides).
+    Output is a list of hole-free single-ring polygons whose union is
+    the exact intersection: area matches :func:`intersection_area` to
+    float rounding (same interval arithmetic; the trapezoid shoelace
+    reassociates the products) and even-odd containment matches
+    (in A) AND (in B). The decomposition is not a minimal
+    representation — seams between adjacent slabs are interior edges —
+    which downstream consumers (area, PIP masks, zonal polygon zones)
+    are insensitive to. O(S^2) in segment count like the area sweep;
+    callers bound S by grid-cell subdivision first.
+    """
+    segs_a = _collect_segs(polys_a)
+    segs_b = _collect_segs(polys_b, pid_base=len(polys_a))
+    if not segs_a or not segs_b:
+        return []
+    segs = segs_a + segs_b
+    S = np.array([s[:4] for s in segs], dtype=np.float64)
+    pid = np.array([s[4] for s in segs], dtype=np.int64)
+    in_b = pid >= len(polys_a)
+    bks = _sweep_breakpoints(S)
+    out = []
+    for k in range(len(bks) - 1):
+        x0, x1 = bks[k], bks[k + 1]
+        w = x1 - x0
+        if w <= 0:
+            continue
+        xm = 0.5 * (x0 + x1)
+        ya, y0a, y1a, pa = _slab_crossings_tracked(S[~in_b], pid[~in_b],
+                                                   x0, xm, x1)
+        if not len(ya):
+            continue
+        yb, y0b, y1b, pb = _slab_crossings_tracked(S[in_b], pid[in_b],
+                                                   x0, xm, x1)
+        if not len(yb):
+            continue
+        ia = _union_intervals_tracked(ya, y0a, y1a, pa)
+        ib = _union_intervals_tracked(yb, y0b, y1b, pb)
+        i = j = 0
+        while i < len(ia) and j < len(ib):
+            a, b = ia[i], ib[j]
+            lo_m = max(a[0], b[0])
+            hi_m = min(a[1], b[1])
+            if hi_m > lo_m:
+                lo0, lo1 = (a[2], a[3]) if a[0] >= b[0] else (b[2], b[3])
+                hi0, hi1 = (a[4], a[5]) if a[1] <= b[1] else (b[4], b[5])
+                ring = np.array([(x0, lo0), (x1, lo1),
+                                 (x1, hi1), (x0, hi0)])
+                if ring_area(ring) > 0.0:
+                    out.append([ring])
+            if a[1] < b[1]:
+                i += 1
+            else:
+                j += 1
+    return out
+
+
+def ring_is_convex(ring) -> bool:
+    """True when the ring is convex (all non-zero turn cross-products
+    share one sign; collinear runs allowed) — the dispatch test between
+    the fast Sutherland-Hodgman clip (exact for convex subjects) and the
+    general slab clip."""
+    r = _closed(np.asarray(ring, dtype=np.float64))
+    if len(r) < 4:
+        return True
+    a = np.roll(r, -1, axis=0) - r
+    b = np.roll(a, -1, axis=0)
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    nz = cross[np.abs(cross) > 0.0]
+    return len(nz) == 0 or (nz > 0).all() or (nz < 0).all()

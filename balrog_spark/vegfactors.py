@@ -127,11 +127,22 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
                         d_p, nx_p, ny_p, ins_p = pre[pi]
                         if not ins_p[k] and d_p[k] > radius_m:
                             continue  # this part cannot reach the buffer
-                        piece = geometry.clip_polys_to_convex([rings], buf)
-                        if not piece:
+                        # SH is exact only for CONVEX subjects (convex ∩
+                        # convex stays one convex piece); a concave or
+                        # holed part whose buffer intersection is
+                        # disconnected would get bridged wrong by SH, so
+                        # those dispatch to the exact slab clip
+                        if len(rings) == 1 \
+                                and geometry.ring_is_convex(rings[0]):
+                            pieces = geometry.clip_polys_to_convex(
+                                [rings], buf)
+                        else:
+                            pieces = geometry.clip_polys_general(
+                                [rings], [[buf]])
+                        if not pieces:
                             continue
-                        piece = piece[0]
-                        area = geometry.polygon_area(piece)
+                        area = sum(geometry.polygon_area(p)
+                                   for p in pieces)
                         if area <= 0.0:
                             continue
                         if ins_p[k]:
@@ -142,12 +153,16 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
                             az = float(geometry.azimuth_deg(x, y, nx, ny))
                         else:  # annulus band: exact distance to the clip
                             dd, nxa, nya = \
-                                geometry.points_to_polygon_distance(
-                                    np.array([x]), np.array([y]), piece)
+                                geometry.points_to_geom_distance(
+                                    np.array([x]), np.array([y]), pieces)
                             d, nx, ny = float(dd[0]), float(nxa[0]), \
                                 float(nya[0])
                             az = float(geometry.azimuth_deg(x, y, nx, ny))
-                        bx0, by0, bx1, by1 = geometry.bbox(piece[0])
+                        boxes = [geometry.bbox(p[0]) for p in pieces]
+                        bx0 = min(b[0] for b in boxes)
+                        by0 = min(b[1] for b in boxes)
+                        bx1 = max(b[2] for b in boxes)
+                        by1 = max(b[3] for b in boxes)
                         out["addr_id"].append(addr[k])
                         out["veg_id"].append(vid[k])
                         out["bal_number"].append(int(bal[k]))
@@ -162,7 +177,9 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
                         out["xmax"].append(bx1)
                         out["ymax"].append(by1)
                         out["clip_wkt"].append(
-                            geometry.polygon_wkt_rings(piece))
+                            geometry.polygon_wkt_rings(pieces[0])
+                            if len(pieces) == 1 else
+                            geometry.multipolygon_wkt_polys(pieces))
                         out["line_wkt"].append(
                             "LINESTRING (%.6f %.6f, %.6f %.6f)"
                             % (x, y, nx, ny))

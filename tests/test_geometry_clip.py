@@ -111,3 +111,89 @@ def test_union_area_unchanged_after_refactor():
     assert geometry.union_area([[a], [b]]) == pytest.approx(150.0)
     holed = [_box(0, 0, 10, 10), _box(3, 3, 7, 7)]
     assert geometry.union_area([holed]) == pytest.approx(84.0)
+
+
+# --- general (non-convex x non-convex) intersection geometry ---------------
+
+def _rand_star(rng, cx, cy, n, rmin, rmax):
+    """Random star-shaped simple polygon (strictly simple by angle sort)."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    r = rng.uniform(rmin, rmax, n)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def test_clip_polys_general_matches_area_and_containment():
+    """clip_polys_general: trapezoid-decomposition intersection geometry
+    must agree with the independent area sweep AND with pointwise
+    (in A) & (in B) membership — concave x concave, holes, multiparts."""
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        a = [[_rand_star(rng, 4, 4, rng.integers(5, 12), 1.0, 4.0)]]
+        if trial % 3 == 0:      # multipart A
+            a.append([_rand_star(rng, 9, 2, 6, 0.5, 2.0)])
+        hole = np.array([(3.2, 3.2), (4.8, 3.2), (4.8, 4.8), (3.2, 4.8)])
+        b = [[_rand_star(rng, 5, 4, rng.integers(5, 12), 2.0, 5.0),
+              hole]]
+        pieces = geometry.clip_polys_general(a, b)
+        area = sum(geometry.polygon_area(p) for p in pieces)
+        want = geometry.intersection_area(a, b)
+        assert area == pytest.approx(want, abs=1e-9), trial
+        px = rng.uniform(-1, 11, 3000)
+        py = rng.uniform(-2, 10, 3000)
+        got = geometry.points_in_geom(px, py, pieces) if pieces \
+            else np.zeros(3000, bool)
+        exp = geometry.points_in_geom(px, py, a) \
+            & geometry.points_in_geom(px, py, b)
+        assert (got == exp).all(), trial
+
+
+def test_clip_polys_general_agrees_with_convex_path():
+    """For CONVEX subjects the SH path and the general slab clip must
+    agree (and both match the area sweep). For CONCAVE subjects SH is
+    NOT trustworthy — the third block pins a case where SH's bridged
+    output area diverges from the sweep while the general clip matches,
+    which is exactly why veg_factors dispatches on ring_is_convex."""
+    rng = np.random.default_rng(78)
+    buf = geometry.buffer_point(5.0, 5.0, 3.0, quad_segs=4)
+    for _ in range(8):
+        # convex subjects: random buffers (always convex)
+        subj = geometry.buffer_point(rng.uniform(2, 8), rng.uniform(2, 8),
+                                     rng.uniform(1, 4),
+                                     quad_segs=int(rng.integers(2, 5)))
+        assert geometry.ring_is_convex(subj)
+        a_convex = sum(geometry.polygon_area(p) for p in
+                       geometry.clip_polys_to_convex([[subj]], buf))
+        a_general = sum(geometry.polygon_area(p) for p in
+                        geometry.clip_polys_general([[subj]], [[buf]]))
+        a_sweep = geometry.intersection_area([[subj]], [[buf]])
+        assert a_general == pytest.approx(a_sweep, abs=1e-9)
+        assert a_convex == pytest.approx(a_sweep, abs=1e-9)
+
+    # concave counterexample: seed 78 trial 7 of the star generator
+    # (SH 3.00 vs true 3.28) — the general clip matches the sweep, SH
+    # does not
+    rng = np.random.default_rng(78)
+    stars = [_rand_star(rng, 5, 5, rng.integers(4, 10), 1.0, 5.0)
+             for _ in range(8)]
+    subj = stars[7]
+    assert not geometry.ring_is_convex(subj)
+    a_sh = sum(geometry.polygon_area(p) for p in
+               geometry.clip_polys_to_convex([[subj]], buf))
+    a_general = sum(geometry.polygon_area(p) for p in
+                    geometry.clip_polys_general([[subj]], [[buf]]))
+    a_sweep = geometry.intersection_area([[subj]], [[buf]])
+    assert a_general == pytest.approx(a_sweep, abs=1e-9)
+    assert abs(a_sh - a_sweep) > 0.1
+
+
+def test_clip_polys_general_disjoint_and_degenerate():
+    box = [[np.array([(0, 0), (2, 0), (2, 2), (0, 2)], float)]]
+    far = [[np.array([(10, 10), (12, 10), (12, 12), (10, 12)], float)]]
+    assert geometry.clip_polys_general(box, far) == []
+    assert geometry.clip_polys_general(box, []) == []
+    # containment: B inside A -> intersection == B's area
+    inner = [[np.array([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5),
+                        (0.5, 1.5)], float)]]
+    pieces = geometry.clip_polys_general(box, inner)
+    assert sum(geometry.polygon_area(p) for p in pieces) \
+        == pytest.approx(1.0, abs=1e-12)

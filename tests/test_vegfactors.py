@@ -220,3 +220,59 @@ def test_zonal_stats_poly_batching_invariant(spark, dem_tiles):
     b = zonal.zonal_stats_poly(zones, dem_tiles, spec, batch_m=1e9) \
         .toPandas().sort_values("zone_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_veg_factors_concave_disconnected_clip(spark):
+    """A concave (U-shaped) vegetation polygon whose buffer intersection
+    is DISCONNECTED: the convex-SH shortcut would bridge the two prongs
+    and report the wrong area, so the refine must dispatch to the exact
+    slab clip (geometry.clip_polys_general). Area is checked against the
+    independent sweep and the clip WKT must reproduce the exact region
+    pointwise."""
+    # U opens toward the point: prongs at x in [60,80] and [120,140],
+    # base far away at x in [60,140], y in [300,340]
+    u_wkt = ("POLYGON ((60 60, 80 60, 80 300, 120 300, 120 60, 140 60, "
+             "140 340, 60 340, 60 60))")
+    sp = spark.createDataFrame(
+        pd.DataFrame([("p", 100.0, 30.0)], columns=["addr_id", "x", "y"]))
+    sv = spark.createDataFrame(pd.DataFrame(
+        [{"veg_id": "U", "bal_number": 1, "wkt": u_wkt}]))
+    got = vegfactors.veg_factors(sp, sv, RADIUS).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+
+    buf = geometry.buffer_point(100.0, 30.0, RADIUS, quad_segs=4)
+    src = geometry.parse_wkt_polys(u_wkt)
+    want_area = geometry.intersection_area(src, [[buf]])
+    assert r.area_m2 == pytest.approx(want_area, abs=1e-6)
+    # the clip went through the general path and is genuinely
+    # disconnected: a MULTIPOLYGON with parts on both prongs, none
+    # between them (SH-area divergence itself is pinned separately in
+    # tests/test_geometry_clip.py — on this symmetric U the SH bridges
+    # happen to cancel, which is exactly why area alone can't be the
+    # dispatch criterion)
+    assert r.clip_wkt.startswith("MULTIPOLYGON")
+    clip_parts = geometry.parse_wkt_polys(r.clip_wkt)
+    assert len(clip_parts) >= 2
+    mid = geometry.points_in_geom(np.array([100.0]), np.array([30.0]),
+                                  clip_parts)
+    assert not mid[0]          # the gap between prongs is not covered
+
+    # nearest source point is the west prong's bottom corner (80, 60)
+    # (the point sits below the prong bottoms at y=30)
+    assert r.distance_m == pytest.approx(np.hypot(20.0, 30.0), abs=1e-9)
+    assert r.near_x == pytest.approx(80.0, abs=1e-9)
+    assert r.near_y == pytest.approx(60.0, abs=1e-9)
+    assert r.azimuth_deg == pytest.approx(
+        float(geometry.azimuth_deg(100.0, 30.0, 80.0, 60.0)), abs=1e-9)
+
+    # clip WKT is the exact region: pointwise == (in U) & (in buffer)
+    clip = geometry.parse_wkt_polys(r.clip_wkt)
+    rng = np.random.default_rng(5)
+    px = rng.uniform(0, 200, 4000)
+    py = rng.uniform(-70, 140, 4000)
+    got_in = geometry.points_in_geom(px, py, clip)
+    want_in = geometry.points_in_geom(px, py, src) \
+        & geometry.points_in_geom(px, py, [[buf]])
+    # WKT coords are rounded to 1e-6 -> allow a vanishing boundary band
+    assert (got_in != want_in).mean() < 2e-3
