@@ -376,3 +376,46 @@ def test_streaming_granule_ingest_exactly_once(spark, tmp_path):
     q.awaitTermination(180)
     assert len(snapshots.history(table)) == n_snaps
     assert snapshots.read_table(spark, table).count() == len(want)
+
+
+def test_raster_bal_from_geotiff_both_layers(spark, tmp_path):
+    """Switchability for the tiled raster pipeline too: DEM and
+    vegetation both ingested from GeoTIFF mosaics (veg as uint8, the
+    natural storage for a classified layer) give bit-identical BAL-max
+    tiles to the corpus path."""
+    n = corpus.TILE_N
+    dem_m = _dem_mosaic()
+    veg_m = np.zeros_like(dem_m)
+    for tx in range(NX):
+        for ty in range(NY):
+            _, veg = corpus.tile_arrays(tx, ty)
+            veg_m[(NY - 1 - ty) * n:(NY - ty) * n,
+                  tx * n:(tx + 1) * n] = veg
+    # classified veg stores as uint8: nodata (-99) becomes the u8
+    # sentinel 255 + the GDAL nodata tag, and the source's nodata remap
+    # restores the engine's -99 on ingest
+    assert (veg_m == np.round(veg_m)).all()
+    assert set(np.unique(veg_m)) <= set(range(0, 255)) | {-99.0}
+    veg_u8 = np.where(veg_m == -99.0, 255.0, veg_m).astype(np.uint8)
+    dem_p = str(tmp_path / "dem.tif")
+    veg_p = str(tmp_path / "veg.tif")
+    with open(dem_p, "wb") as f:
+        f.write(geotiff.encode_geotiff(dem_m, 0.0, NY * corpus.TILE_M,
+                                       corpus.PIXEL_M, tile=n,
+                                       compression=5))
+    with open(veg_p, "wb") as f:
+        f.write(geotiff.encode_geotiff(veg_u8, 0.0,
+                                       NY * corpus.TILE_M,
+                                       corpus.PIXEL_M, tile=n,
+                                       compression=5, nodata=255))
+    gt = geotiff.geotiff_tiles(spark, dem_p, "dem").unionByName(
+        geotiff.geotiff_tiles(spark, veg_p, "veg"))
+    ct = corpus.spark_tiles(spark, NX, NY)
+    a = raster.bal_max_tiles(gt).toPandas() \
+        .sort_values(["fdi", "tile_x", "tile_y"]).reset_index(drop=True)
+    b = raster.bal_max_tiles(ct).toPandas() \
+        .sort_values(["fdi", "tile_x", "tile_y"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for i in range(len(a)):
+        assert np.array_equal(np.array(a.loc[i].bal_max, np.float32),
+                              np.array(b.loc[i].bal_max, np.float32)), i
