@@ -82,12 +82,22 @@ def history(table_dir: str) -> list[dict]:
     return [_load(table_dir, i) for i in _all_ids(table_dir)]
 
 
-def _publish(table_dir: str, rec: dict) -> int:
+def _publish(table_dir: str, rec: dict,
+             expected_parent: int | None = None) -> int:
     """Atomically publish ``rec`` as the next version. The hard-link
     publish fails iff the version file already exists, which is exactly
-    the lost-update race — surfaced as CommitConflict, never silent."""
+    the lost-update race — surfaced as CommitConflict, never silent.
+
+    ``expected_parent`` pins the commit against a KNOWN parent (Iceberg
+    commit semantics for rewrites): the version id is expected_parent+1
+    regardless of what has landed since, so a concurrent writer that
+    already took that id makes this publish conflict instead of quietly
+    replacing the table state it never read."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
-    snapshot_id = (current_snapshot_id(table_dir) or 0) + 1
+    if expected_parent is not None:
+        snapshot_id = expected_parent + 1
+    else:
+        snapshot_id = (current_snapshot_id(table_dir) or 0) + 1
     rec = dict(rec, snapshot_id=snapshot_id,
                parent_id=current_snapshot_id(table_dir),
                timestamp_ms=int(time.time() * 1000))
@@ -281,3 +291,33 @@ def run_partitioned_snapshots(spark: SparkSession, inputs: DataFrame,
         if fail_after is not None and processed >= fail_after:
             raise RuntimeError(f"simulated failure after {processed} buckets")
     return snap
+
+
+def compact(spark: SparkSession, table_dir: str,
+            target_files: int | None = None, stage: str = "compact") -> int:
+    """Iceberg ``rewrite_data_files``: rewrite the CURRENT visible file
+    set into one fresh data dir with a bounded file count and publish a
+    row-identical 'compact' snapshot committed AGAINST the parent it
+    read — a concurrent append that lands first wins the version id and
+    this publish raises CommitConflict instead of silently discarding
+    rows it never saw (retry by re-running). Older snapshots keep
+    reading their original dirs (time travel intact); disk is reclaimed
+    by expire_snapshots.
+
+    This is the operational pair of streaming ingest: every micro-batch
+    commit adds a small file set, and a periodic compact bounds the file
+    count a reader's scan must open — at 100 TB the small-files problem
+    is the difference between a planning step and a planning outage."""
+    base = current_snapshot_id(table_dir)
+    if base is None:
+        raise KeyError(f"{table_dir} has no snapshots")
+    df = read_table(spark, table_dir, as_of=base)
+    n_files = int(target_files or spark.sparkContext.defaultParallelism)
+    rel = _write_data(df.repartition(n_files), table_dir,
+                      f"compact-{base:05d}")
+    return _publish(table_dir, {
+        "operation": "compact", "stage": stage, "data_dirs": [rel],
+        "schema": df.schema.jsonValue(),
+        "metrics": {"compacted_from": int(base),
+                    "rows_written": _rows_on_disk(spark, table_dir, rel)},
+    }, expected_parent=base)

@@ -251,3 +251,50 @@ def test_flagship_chain_resumes_from_snapshots_mid_run(spark, tmp_path):
                                spark, docs, tiles).schema.fields])
                  .collect())
     assert got == expect
+
+
+def test_compact_rewrites_files_preserves_rows_and_history(spark,
+                                                           tmp_path):
+    """compact(): row-identical rewrite into a bounded file count,
+    published as a new snapshot committed against the parent it read;
+    time travel to pre-compact snapshots still reads the original dirs,
+    and a commit that raced in first makes the pinned publish conflict
+    loudly instead of silently dropping it."""
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        S.commit_append(_mk(spark, [(f"k{i}{j}", i * 10 + j)
+                                    for j in range(4)]).repartition(4),
+                        t, stage=f"a{i}")
+    base = S.current_snapshot_id(t)
+    before = _rows(S.read_table(spark, t))
+
+    def n_files(snap):
+        dirs = S._visible_dirs(t, snap)
+        return sum(
+            sum(1 for fn in os.listdir(os.path.join(t, d))
+                if fn.endswith(".parquet"))
+            for d in dirs)
+
+    assert len(S._visible_dirs(t, base)) == 3 and n_files(base) >= 6
+    sid = S.compact(spark, t, target_files=1)
+    assert sid == base + 1
+    assert _rows(S.read_table(spark, t)) == before
+    assert len(S._visible_dirs(t, sid)) == 1 and n_files(sid) == 1
+    rec = S.history(t)[-1]
+    assert rec["operation"] == "compact"
+    assert rec["metrics"]["compacted_from"] == base
+    assert rec["metrics"]["rows_written"] == len(before)
+    # pre-compact time travel unaffected
+    assert _rows(S.read_table(spark, t, as_of=base)) == before
+    assert len(_rows(S.read_table(spark, t, as_of=base - 1))) == 8
+
+    # pinned-parent publish: the version id the compaction read from is
+    # already superseded -> CommitConflict, never a silent lost update
+    with pytest.raises(S.CommitConflict):
+        S._publish(t, {"operation": "compact", "stage": "racer",
+                       "data_dirs": [], "schema": {}, "metrics": {}},
+                   expected_parent=base)
+
+    # append after compact stacks on the compacted dir
+    S.commit_append(_mk(spark, [("z", 99)]), t, stage="post")
+    assert len(_rows(S.read_table(spark, t))) == len(before) + 1
