@@ -321,3 +321,32 @@ def compact(spark: SparkSession, table_dir: str,
         "metrics": {"compacted_from": int(base),
                     "rows_written": _rows_on_disk(spark, table_dir, rel)},
     }, expected_parent=base)
+
+
+def remove_orphans(table_dir: str, older_than_s: float = 3600.0) -> list:
+    """Delete data dirs NO retained snapshot references (Iceberg
+    ``remove_orphan_files``) — the garbage left by commit-race losers
+    and writers that crashed between staging and publish. Orphans
+    younger than ``older_than_s`` are kept: an in-flight writer has
+    already staged its dir but not yet published its version file, and
+    deleting under it would corrupt a commit that is about to succeed
+    (the same grace window Iceberg's procedure uses). Returns the
+    removed dir names (relative to table_dir)."""
+    data_root = os.path.join(table_dir, "data")
+    if not os.path.isdir(data_root):
+        return []
+    referenced: set[str] = set()
+    for i in _all_ids(table_dir):
+        referenced.update(_visible_dirs(table_dir, i))
+    now = time.time()
+    removed = []
+    for name in sorted(os.listdir(data_root)):
+        rel = os.path.join("data", name)
+        full = os.path.join(data_root, name)
+        if rel in referenced or not os.path.isdir(full):
+            continue
+        if now - os.path.getmtime(full) < older_than_s:
+            continue                       # possibly an in-flight stage
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(rel)
+    return removed

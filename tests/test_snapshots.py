@@ -298,3 +298,26 @@ def test_compact_rewrites_files_preserves_rows_and_history(spark,
     # append after compact stacks on the compacted dir
     S.commit_append(_mk(spark, [("z", 99)]), t, stage="post")
     assert len(_rows(S.read_table(spark, t))) == len(before) + 1
+
+
+def test_remove_orphans_reclaims_lost_stages_only(spark, tmp_path):
+    """remove_orphans: unreferenced data dirs older than the grace
+    window are deleted; referenced dirs and fresh (possibly in-flight)
+    stages survive, and the table reads identically afterwards."""
+    t = str(tmp_path / "tbl")
+    S.commit_append(_mk(spark, [("a", 1), ("b", 2)]), t, stage="a0")
+    before = _rows(S.read_table(spark, t))
+
+    # simulate a commit-race loser: staged dir, never published
+    orphan = S._write_data(_mk(spark, [("x", 9)]), t, "snap-loser")
+    fresh = S._write_data(_mk(spark, [("y", 8)]), t, "snap-fresh")
+    old = os.path.join(t, orphan)
+    os.utime(old, (os.path.getmtime(old) - 7200,) * 2)
+
+    removed = S.remove_orphans(t, older_than_s=3600.0)
+    assert removed == [orphan]
+    assert not os.path.isdir(old)
+    assert os.path.isdir(os.path.join(t, fresh))     # inside grace window
+    assert _rows(S.read_table(spark, t)) == before
+    # idempotent
+    assert S.remove_orphans(t, older_than_s=3600.0) == []
