@@ -3156,9 +3156,10 @@ _FRONT = [
     "v6_dissolve_union", "chain_polygonize_dissolve", "r14_polygonize",
     "r15_components", "a5_salted_agg", "v9_pip_holes", "v10_dwithin_holes",
     "s3_point_sample", "text_bm25", "doc_span_roundtrip",
-    "sample_stratified", "v3_makevalid",
+    "sample_stratified", "v3_makevalid", "dedup_cluster_canonical",
 ]
 _BACKSEAT = [
+    "v1_buffer_bbox",
     "p1_projection", "p2_filter", "p3_distinct", "p4_row_number",
     "j1_equi_join", "a3_group_counts", "a4_dynamic_max", "w2_topk",
     "set_union_all", "r10_dist_class", "r11_greatest", "v13_extent",
@@ -3179,3 +3180,43 @@ def all_queries():
 
 def all_oracles():
     return _ordered(ORACLES)
+
+
+@q("dedup_cluster_canonical", f"""
+WITH RECURSIVE {_NORM_CTE},{simhash_sql()},
+banded AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash // {1 << (8 * b)}) % 256 AS byte FROM simhashes"
+    for b in range(4)) + """
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.byte = b.byte
+  WHERE a.doc_id < b.doc_id),
+pairs AS (
+  SELECT CAST(doc_a AS BIGINT) AS u, CAST(doc_b AS BIGINT) AS v
+  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(id, lab) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id),
+comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical
+FROM comp""")
+def dedup_cluster_canonical(spark, sf_dir):
+    """Duplicate CLUSTERS from SimHash near-dup pairs: banding yields
+    pairs, but keep/drop needs the transitive closure — iterative
+    min-label propagation with path compression (textops.dedup_clusters,
+    the same checkpoint-truncated shape as r15's polygon components).
+    Every document appears with its component's min id as cluster_id and
+    an is_canonical survivor flag; the oracle computes the identical
+    closure with a recursive CTE over the same banded pair set."""
+    d = _load(spark, sf_dir, "documents")
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"))
+    pairs = textops.simhash_neardup_pairs(d, max_hamming=1).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"))
+    return textops.dedup_clusters(docs, pairs)

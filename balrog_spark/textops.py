@@ -459,3 +459,57 @@ def bm25_scores(docs: DataFrame, terms, k1: float = 1.2, b: float = 0.75,
                                   + F.lit(b) * F.col("dl") / F.col("avgdl"))
         score = score + idf * tf * F.lit(k1 + 1.0) / denom
     return j.select("doc_id", "dl", score.alias("bm25"))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", a_col: str = "doc_a",
+                   b_col: str = "doc_b", max_rounds: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs — the dedup
+    family's final step: banding (MinHash/SimHash) yields PAIRS, but the
+    keep/drop decision needs CLUSTERS (duplicate groups are transitive
+    chains, not cliques). Every document gets ``cluster_id`` = the MIN
+    id in its component and ``is_canonical`` marks the single survivor
+    per cluster, so the dedup filter is one boolean column.
+
+    Same Spark-first shape as the polygonize component labelling
+    (raster.polygonize_components): iterative min-label propagation with
+    path compression, localCheckpoint per round (constant plan depth —
+    the lineage never grows), convergence in ~log(component diameter)
+    rounds; each round is two equi-joins + one aggregate, never a
+    driver-side graph."""
+    spark = docs.sparkSession  # noqa: F841  (parallelism via inputs)
+    nodes = docs.select(F.col(id_col).alias("nid")).distinct() \
+        .localCheckpoint(eager=True)
+    half = pairs.select(F.col(a_col).alias("u"),
+                        F.col(b_col).alias("v_"))
+    edges = half.unionByName(
+        half.select(F.col("v_").alias("u"), F.col("u").alias("v_"))) \
+        .distinct().localCheckpoint(eager=True)
+    labels = nodes.select("nid", F.col("nid").alias("label"))
+    for _ in range(max_rounds):
+        nb = (edges.join(labels.select(F.col("nid").alias("v_"),
+                                       F.col("label").alias("nb_label")),
+                         "v_")
+              .groupBy("u").agg(F.min("nb_label").alias("nb_min")))
+        stepped = (labels.join(nb, labels.nid == nb.u, "left")
+                   .select("nid",
+                           F.least("label", F.coalesce("nb_min", "label"))
+                           .alias("label")))
+        compressed = (stepped.alias("s")
+                      .join(stepped.select(F.col("nid").alias("label"),
+                                           F.col("label").alias("ll"))
+                            .alias("t"), "label", "left")
+                      .select("nid",
+                              F.least("label", F.coalesce("ll", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (compressed.alias("n")
+                   .join(labels.alias("o"), "nid")
+                   .filter(F.col("n.label") != F.col("o.label")).limit(1)
+                   .count())
+        labels = compressed
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("nid").alias(id_col), F.col("label").alias("cluster_id"),
+        (F.col("nid") == F.col("label")).alias("is_canonical"))

@@ -203,3 +203,45 @@ def test_stratified_sample_deterministic_and_subset_invariant(spark):
     # every kept key is under its stratum threshold (exact rule)
     thr = kept.bucket.map({k: v for k, v in fr.items()})
     assert (kept.sample_key < thr).all()
+
+
+def test_dedup_clusters_transitive_chains(spark):
+    """dedup_clusters: pairs are transitive CHAINS, not cliques — A-B
+    and B-C must land in one cluster even though (A, C) was never a
+    pair; singletons are their own canonical cluster; cluster_id is the
+    component min and exactly one is_canonical row per cluster."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6, 7]}))
+    # chain 1-2-3 (no 1-3 pair), pair 5-4 (reversed order), singletons 6,7
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 5], "doc_b": [2, 3, 4]}))
+    got = textops.dedup_clusters(docs, pairs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got.cluster_id) == [1, 1, 1, 4, 4, 6, 7]
+    assert list(got.is_canonical) == [True, False, False, True, False,
+                                      True, True]
+    # keep-only-canonical is the dedup filter
+    assert sorted(got[got.is_canonical].doc_id) == [1, 4, 6, 7]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 40-link chain needs ~log rounds with path compression — far
+    fewer than the diameter; the loop must converge inside max_rounds
+    and label the whole chain with its min id."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    n = 40
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(n))}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(n - 1)),
+                      "doc_b": list(range(1, n))}))
+    got = textops.dedup_clusters(docs, pairs, max_rounds=10).toPandas()
+    assert (got.cluster_id == 0).all()
+    assert got.is_canonical.sum() == 1
