@@ -3220,3 +3220,42 @@ def dedup_cluster_canonical(spark, sf_dir):
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"))
     return textops.dedup_clusters(docs, pairs)
+
+
+_PACK_BUDGET = 256
+
+@q("text_pack_sequences", f"""
+WITH RECURSIVE toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(len(string_split(trim(lower(regexp_replace(
+              text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS nt
+  FROM documents
+  WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+sh AS (
+  SELECT id, nt, id % 16 AS shard,
+         row_number() OVER (PARTITION BY id % 16 ORDER BY id) AS rn
+  FROM toks),
+pack(shard, rn, id, nt, seq, off, used) AS (
+  SELECT shard, rn, id, nt, CAST(0 AS BIGINT), CAST(0 AS BIGINT), nt
+  FROM sh WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.id, s.nt,
+         CASE WHEN p.used + s.nt <= {_PACK_BUDGET} THEN p.seq
+              ELSE p.seq + 1 END,
+         CASE WHEN p.used + s.nt <= {_PACK_BUDGET} THEN p.used
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.used + s.nt <= {_PACK_BUDGET} THEN p.used + s.nt
+              ELSE s.nt END
+  FROM pack p JOIN sh s ON s.shard = p.shard AND s.rn = p.rn + 1)
+SELECT CAST(shard AS INTEGER) AS shard, id AS doc_id, nt AS n_tokens,
+       seq AS seq_idx, off AS offset_tokens
+FROM pack""")
+def text_pack_sequences(spark, sf_dir):
+    """Fixed-budget next-fit sequence packing (corpus -> pretraining
+    dataloader layout): deterministic per-shard walk in doc_id order,
+    one row per document with (shard, seq_idx, offset_tokens). The
+    oracle replays the identical next-fit recurrence as a recursive CTE
+    over the same shard/rank ordering."""
+    d = _load(spark, sf_dir, "documents")
+    return textops.pack_sequences(d, budget_tokens=_PACK_BUDGET,
+                                  n_shards=16)

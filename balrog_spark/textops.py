@@ -513,3 +513,52 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     return labels.select(
         F.col("nid").alias(id_col), F.col("label").alias("cluster_id"),
         (F.col("nid") == F.col("label")).alias("is_canonical"))
+
+
+PACKED_SCHEMA = ("shard INT, doc_id LONG, n_tokens LONG, "
+                 "seq_idx LONG, offset_tokens LONG")
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int,
+                   n_shards: int = 16, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences —
+    the step between a cleaned corpus and a pretraining dataloader.
+    Deterministic next-fit per shard: documents are sharded by
+    ``doc_id % n_shards`` and walked in doc_id order; a document joins
+    the current sequence when it fits, else opens the next one (an
+    oversized document gets a sequence of its own). Output: one row per
+    document with (shard, seq_idx, offset_tokens).
+
+    Next-fit is inherently sequential, but only WITHIN a shard — the
+    shard count is the parallelism knob (at 100 TB: thousands of
+    shards, each a bounded grouped-map), and determinism means re-runs
+    and resumes produce identical packings with no RNG state."""
+    toks = token_counts(docs, text_col, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), "n_tokens")
+    sharded = toks.withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("int"))
+    budget = int(budget_tokens)
+
+    def pack(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs = np.zeros(len(pdf), dtype=np.int64)
+        offs = np.zeros(len(pdf), dtype=np.int64)
+        seq, used = 0, 0
+        for i, nt in enumerate(pdf.n_tokens.astype(int)):
+            if i > 0 and used + nt > budget:
+                seq += 1
+                used = 0
+            seqs[i] = seq
+            offs[i] = used
+            used += nt
+        return pd.DataFrame({
+            "shard": pdf.shard, "doc_id": pdf.doc_id,
+            "n_tokens": pdf.n_tokens, "seq_idx": seqs,
+            "offset_tokens": offs})
+
+    return sharded.groupBy("shard").applyInPandas(pack,
+                                                  schema=PACKED_SCHEMA)

@@ -245,3 +245,36 @@ def test_dedup_clusters_long_chain_converges(spark):
     got = textops.dedup_clusters(docs, pairs, max_rounds=10).toPandas()
     assert (got.cluster_id == 0).all()
     assert got.is_canonical.sum() == 1
+
+
+def test_pack_sequences_next_fit_invariants(spark):
+    """pack_sequences: every sequence's token sum respects the budget
+    (except a lone oversized document), offsets are the in-sequence
+    prefix sums, packing is deterministic, and a doc never splits."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    rows = [(i, "tok " * ((i * 37) % 90 + 1)) for i in range(80)]
+    rows.append((1000, "x " * 500))          # oversized vs budget 128
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = textops.pack_sequences(docs, budget_tokens=128, n_shards=4) \
+        .toPandas().sort_values(["shard", "seq_idx", "offset_tokens"])
+
+    assert len(got) == len(rows)             # every doc packed, none split
+    for (sh, seq), grp in got.groupby(["shard", "seq_idx"]):
+        total = grp.n_tokens.sum()
+        assert total <= 128 or len(grp) == 1, (sh, seq)
+        # offsets are prefix sums in doc_id order
+        grp = grp.sort_values("doc_id")
+        assert list(grp.offset_tokens) == \
+            list(grp.n_tokens.cumsum() - grp.n_tokens)
+    # the oversized doc sits alone at offset 0
+    big = got[got.doc_id == 1000].iloc[0]
+    assert big.offset_tokens == 0 and big.n_tokens == 500
+
+    again = textops.pack_sequences(docs, budget_tokens=128, n_shards=4) \
+        .toPandas().sort_values(["shard", "seq_idx", "offset_tokens"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  again.reset_index(drop=True))
