@@ -278,3 +278,47 @@ def test_pack_sequences_next_fit_invariants(spark):
         .toPandas().sort_values(["shard", "seq_idx", "offset_tokens"])
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   again.reset_index(drop=True))
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Property check: on random graphs the distributed min-label
+    propagation must match a plain union-find computed driver-side."""
+    import numpy as np
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        n = int(rng.integers(20, 60))
+        m = int(rng.integers(0, 50))
+        edges = rng.integers(0, n, size=(m, 2))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        # canonical min id per component
+        comp_min = {}
+        for i in range(n):
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        want = {i: comp_min[find(i)] for i in range(n)}
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(n))}))
+        pairs = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["doc_a", "doc_b"])) \
+            if m else spark.createDataFrame(
+                pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")}))
+        got = textops.dedup_clusters(docs, pairs).toPandas()
+        assert dict(zip(got.doc_id, got.cluster_id)) == want
