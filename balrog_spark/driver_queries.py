@@ -3259,3 +3259,34 @@ def text_pack_sequences(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return textops.pack_sequences(d, budget_tokens=_PACK_BUDGET,
                                   n_shards=16)
+
+
+@q("emb_cluster_canonical", """
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings),
+planted AS (
+  SELECT CAST(vec_id + 10000000 AS BIGINT) AS id,
+         CAST(vec_id AS BIGINT) AS cl
+  FROM embeddings WHERE vec_id % 10 = 0)
+SELECT id AS vec_id, id AS cluster_id, TRUE AS is_canonical FROM base
+UNION ALL
+SELECT id AS vec_id, cl AS cluster_id, FALSE AS is_canonical
+FROM planted""")
+def emb_cluster_canonical(spark, sf_dir):
+    """Semantic dedup end-to-end: hyperplane-LSH cosine near-dup pairs
+    (planted-duplicate world, recall AND precision exact) fed through
+    the same connected-components clustering as the text dedup family —
+    every planted copy must cluster under its source as non-canonical,
+    every other embedding must stay a canonical singleton. One operator
+    stack (dedup_clusters) serves text and embedding dedup alike."""
+    e = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform(F.col("embedding"),
+                    lambda v: v * F.lit(1.5)).alias("embedding"))
+    allv = e.unionByName(planted)
+    pairs = annops.lsh_neardup_pairs(allv, threshold=0.999,
+                                     n_planes=12).select(
+        F.col("id_a").cast("long").alias("doc_a"),
+        F.col("id_b").cast("long").alias("doc_b"))
+    ids = allv.select(F.col("vec_id").cast("long").alias("vec_id"))
+    return textops.dedup_clusters(ids, pairs, id_col="vec_id")
