@@ -3290,3 +3290,70 @@ def emb_cluster_canonical(spark, sf_dir):
         F.col("id_b").cast("long").alias("doc_b"))
     ids = allv.select(F.col("vec_id").cast("long").alias("vec_id"))
     return textops.dedup_clusters(ids, pairs, id_col="vec_id")
+
+
+@q("text_decontaminate", f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingle
+  WHERE CAST(doc_id AS BIGINT) % 97 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM shingle s JOIN bench b USING (shingle)
+  GROUP BY s.doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_shingles,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""")
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination sweep: training docs sharing any
+    8-gram shingle with the 'benchmark' subset (every 97th document)
+    are flagged; the benchmark shingle set broadcasts, so the probe is
+    one equi-join — never benchmark x corpus."""
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id").cast("long") % 97 == 0)
+    out = textops.decontaminate_flags(d, bench, k=8, min_hits=1)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_hit_shingles", "contaminated")
+
+
+_CHUNK_N, _CHUNK_STRIDE = 32, 24
+
+@q("text_chunk_windows", f"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+  FROM documents),
+t AS (
+  SELECT doc_id, string_split(trim(n), ' ') AS toks FROM norm
+  WHERE length(n) > 0),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         1 + greatest(CAST(0 AS BIGINT), CAST(ceil(
+             (len(toks) - {_CHUNK_N})
+             / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)) AS n_chunks
+  FROM t),
+e AS (
+  SELECT doc_id, toks, n_tok,
+         unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1))
+           AS chunk_idx
+  FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least({_CHUNK_N}, n_tok - chunk_idx * {_CHUNK_STRIDE})
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(
+           toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+           chunk_idx * {_CHUNK_STRIDE}
+             + least({_CHUNK_N}, n_tok - chunk_idx * {_CHUNK_STRIDE})),
+           ' ') AS chunk_text
+FROM e""")
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping fixed-token chunking (RAG / context-window prep) as
+    pure column ops — split, sequence+explode, slice, array_join; no
+    UDF. Chunk i covers tokens [i*stride, i*stride+32), stride 24
+    (8-token overlap), final chunk may be short."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.chunk_documents(d, chunk_tokens=_CHUNK_N,
+                                  overlap_tokens=_CHUNK_N - _CHUNK_STRIDE)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "chunk_idx", "n_tokens", "chunk_text")

@@ -562,3 +562,65 @@ def pack_sequences(docs: DataFrame, budget_tokens: int,
 
     return sharded.groupBy("shard").applyInPandas(pack,
                                                   schema=PACKED_SCHEMA)
+
+
+def decontaminate_flags(docs: DataFrame, benchmark: DataFrame,
+                        k: int = 8, min_hits: int = 1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    >= ``min_hits`` distinct character k-gram shingles with ANY
+    benchmark text — the standard eval-leakage sweep before
+    pretraining. The benchmark shingle set is small by construction, so
+    the probe is a broadcast equi-join on the shingle (never a scan of
+    benchmark×corpus); documents too short to shingle report 0 hits."""
+    doc_sh = shingles(docs, k, text_col, id_col)
+    bench_sh = shingles(benchmark, k, text_col, id_col) \
+        .select("shingle").distinct()
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit_shingles")))
+    return (docs.select(F.col(id_col).alias("doc_id")).distinct()
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hit_shingles", F.lit(0)).cast("long")
+                    .alias("n_hit_shingles"))
+            .withColumn("contaminated",
+                        F.col("n_hit_shingles") >= min_hits))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int,
+                    overlap_tokens: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping fixed-token windows (the RAG /
+    context-window chunking step) as PURE column operations: tokenize
+    with split, chunk count and boundaries with sequence + explode,
+    chunk text with slice + array_join — no UDF anywhere, the whole
+    operator stays in codegen. Chunk i covers tokens
+    [i*stride, i*stride+chunk_tokens) with stride =
+    chunk_tokens - overlap_tokens; the final chunk may be shorter and
+    a document shorter than one chunk yields exactly one chunk."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    n = normalize(docs, text_col, id_col).filter(F.length("norm") > 0)
+    t = n.select(
+        "doc_id", F.split(F.trim(F.col("norm")), " ").alias("toks"))
+    t = t.withColumn("n_tok", F.size("toks")).withColumn(
+        "n_chunks",
+        (F.lit(1) + F.greatest(
+            F.lit(0),
+            F.ceil((F.col("n_tok") - chunk_tokens) / F.lit(stride))))
+        .cast("int"))
+    out = t.select(
+        "doc_id", "toks", "n_tok",
+        F.explode(F.sequence(F.lit(0),
+                             F.col("n_chunks") - 1)).alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    length = F.least(F.lit(chunk_tokens), F.col("n_tok") - start)
+    return out.select(
+        F.col("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        length.cast("long").alias("n_tokens"),
+        F.array_join(F.slice("toks", start + 1, length), " ")
+        .alias("chunk_text"))

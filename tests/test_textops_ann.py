@@ -322,3 +322,53 @@ def test_dedup_clusters_random_graphs_match_union_find(spark):
                               "doc_b": pd.Series([], dtype="int64")}))
         got = textops.dedup_clusters(docs, pairs).toPandas()
         assert dict(zip(got.doc_id, got.cluster_id)) == want
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunking invariants: chunk 0 plus each chunk's non-overlapping
+    tail reconstructs the exact token stream; overlapping prefixes match
+    the previous chunk's suffix; short docs yield one chunk."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    texts = {1: " ".join(f"t{i}" for i in range(100)),
+             2: "only three tokens",
+             3: " ".join(f"u{i}" for i in range(32))}
+    docs = spark.createDataFrame(
+        pd.DataFrame(list(texts.items()), columns=["doc_id", "text"]))
+    got = textops.chunk_documents(docs, chunk_tokens=32,
+                                  overlap_tokens=8).toPandas()
+    for did, text in texts.items():
+        toks = text.split()
+        ch = got[got.doc_id == did].sort_values("chunk_idx")
+        if len(toks) <= 32:
+            assert len(ch) == 1 and ch.iloc[0].chunk_text == text
+            continue
+        rebuilt = ch.iloc[0].chunk_text.split()
+        for _, r in ch.iloc[1:].iterrows():
+            ctoks = r.chunk_text.split()
+            assert rebuilt[-8:] == ctoks[:8]          # overlap agrees
+            rebuilt.extend(ctoks[8:])
+        assert rebuilt == toks
+        assert (ch.n_tokens == ch.chunk_text.str.split().str.len()).all()
+
+
+def test_decontaminate_flags_semantics(spark):
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the secret benchmark passage lives here",
+                 "totally unrelated content with zero leak",
+                 "contains the secret benchmark passage too",
+                 "short"]}))                      # too short to shingle
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [99], "text": ["secret benchmark passage"]}))
+    got = textops.decontaminate_flags(docs, bench, k=8).toPandas() \
+        .set_index("doc_id")
+    assert bool(got.loc[1].contaminated) and bool(got.loc[3].contaminated)
+    assert not got.loc[2].contaminated
+    assert not got.loc[4].contaminated and got.loc[4].n_hit_shingles == 0
