@@ -3357,3 +3357,57 @@ def text_chunk_windows(spark, sf_dir):
                                   overlap_tokens=_CHUNK_N - _CHUNK_STRIDE)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "chunk_idx", "n_tokens", "chunk_text")
+
+
+from .textops import sample_key_sql  # noqa: E402
+
+_UPSAMPLE_BP = 23000                    # 2.3 epochs
+
+
+@q("text_upsample_repeats", f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {sample_key_sql('doc_id')} AS sk
+  FROM documents),
+counted AS (
+  SELECT doc_id,
+         {_UPSAMPLE_BP // 10000}
+           + CASE WHEN sk < {_UPSAMPLE_BP % 10000} THEN 1 ELSE 0 END
+           AS n_copies
+  FROM keyed)
+SELECT doc_id, CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT)
+         AS copy_idx
+FROM counted WHERE n_copies > 0""")
+def text_upsample_repeats(spark, sf_dir):
+    """Deterministic 2.3-epoch upsampling: two whole copies each plus a
+    hash-selected 30% third copy — the pretraining source-mixing move,
+    reproducible with no RNG state."""
+    d = _load(spark, sf_dir, "documents")
+    return textops.upsample_repeats(d, factor_bp=_UPSAMPLE_BP) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "copy_idx")
+
+
+_BUDGET_TOKENS = 4000
+
+
+@q("text_take_budget", f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(trim(lower(regexp_replace(
+              text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM toks)
+SELECT doc_id, n_tokens, cum_before
+FROM ranked WHERE cum_before < {_BUDGET_TOKENS}""")
+def text_take_budget(spark, sf_dir):
+    """Token-budget curation cut: longest-first fill until the budget
+    floor is crossed — deterministic window math, identical in SQL."""
+    d = _load(spark, sf_dir, "documents")
+    return textops.take_token_budget(d, budget_tokens=_BUDGET_TOKENS)

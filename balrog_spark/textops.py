@@ -624,3 +624,52 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int,
         length.cast("long").alias("n_tokens"),
         F.array_join(F.slice("toks", start + 1, length), " ")
         .alias("chunk_text"))
+
+
+def upsample_repeats(docs: DataFrame, factor_bp: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fractional upsampling — the pretraining mixing
+    move "repeat this source 2.3 epochs": every document appears
+    ``factor_bp // 10000`` times, plus one more copy for the
+    hash-selected ``factor_bp % 10000`` basis-point fraction (the same
+    portable sample key as stratified_sample, so re-runs and other
+    engines replicate the exact copy set). Output one row per copy with
+    ``copy_idx``; factors below 1.0 downsample (documents with zero
+    copies drop). No RNG, no shuffle — explode over a per-row count."""
+    whole = int(factor_bp) // SAMPLE_MOD
+    frac = int(factor_bp) % SAMPLE_MOD
+    n_copies = (F.lit(whole)
+                + (sample_key_col(id_col) < frac).cast("int"))
+    sel = docs.select(F.col(id_col).alias("doc_id"),
+                      n_copies.alias("n_copies")) \
+        .filter(F.col("n_copies") > 0)     # sequence() descends if end<start
+    return sel.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        .alias("copy_idx")) \
+        .select("doc_id", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+def take_token_budget(docs: DataFrame, budget_tokens: int,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Curation under a token budget: rank documents (longest first,
+    doc_id tiebreak — substitute any score by pre-sorting) and keep
+    every document whose PRECEDING cumulative token count is still
+    under the budget, so the cut is deterministic and the first
+    over-budget document is included (the budget is a floor, not a
+    ceiling, matching "fill B tokens" semantics). One global window —
+    at 100 TB rank within hash shards first and budget per shard; the
+    gate-scale op keeps the single window for oracle exactness."""
+    toks = token_counts(docs, text_col, id_col).select(
+        F.col("doc_id"), "n_tokens")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    ranked = toks.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long")))
+    return ranked.filter(F.col("cum_before") < budget_tokens) \
+        .select("doc_id", "n_tokens", "cum_before")

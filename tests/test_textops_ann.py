@@ -372,3 +372,45 @@ def test_decontaminate_flags_semantics(spark):
     assert bool(got.loc[1].contaminated) and bool(got.loc[3].contaminated)
     assert not got.loc[2].contaminated
     assert not got.loc[4].contaminated and got.loc[4].n_hit_shingles == 0
+
+
+def test_upsample_repeats_fraction_and_downsample(spark):
+    """2.3x: every doc 2 or 3 copies with the hash-selected third copy
+    near 30%; 0.4x: subset with one copy each, consistent with the same
+    hash keys (the 0.4 set is the sample_key < 4000 membership)."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(1, 2001))}))
+    up = textops.upsample_repeats(docs, factor_bp=23000).toPandas()
+    per = up.groupby("doc_id").copy_idx.count()
+    assert set(per.unique()) <= {2, 3} and len(per) == 2000
+    assert abs((per == 3).mean() - 0.3) < 0.05
+    assert (up.groupby("doc_id").copy_idx.max() + 1 == per).all()
+
+    down = textops.upsample_repeats(docs, factor_bp=4000).toPandas()
+    assert (down.copy_idx == 0).all()
+    assert abs(len(down) / 2000 - 0.4) < 0.05
+    # fractional membership is nested: the 0.4 set within the 2.3x
+    # third-copy set would need matching thresholds — check the 3-copy
+    # docs contain the 0.3 set logic via threshold monotonicity
+    third = set(per[per == 3].index)
+    assert set(down.doc_id[down.doc_id.isin(third)]) <= third
+
+
+def test_take_token_budget_floor_semantics(spark):
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a " * 50, "b " * 40, "c " * 30, "d " * 20]}))
+    got = textops.take_token_budget(docs, budget_tokens=95).toPandas() \
+        .sort_values("doc_id")
+    # longest-first: 50 (cum_before 0) + 40 (50) + 30 (90 < 95, included
+    # as the crossing doc) — 20 starts at 120 >= 95, excluded
+    assert list(got.doc_id) == [1, 2, 3]
+    assert list(got.cum_before) == [0, 50, 90]
