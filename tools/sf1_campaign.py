@@ -40,19 +40,36 @@ def synth_inputs(spark):
         "CAST(30 + (id % 7) * 25 AS DOUBLE) + 0.25 AS hw",
         "CAST(30 + (id % 5) * 30 AS DOUBLE) + 0.25 AS hh",
         "CAST(id % 7 + 1 AS BIGINT) AS bal_number")
-    vegs = boxes.withColumn(
-        "wkt",
-        F.format_string(
-            "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
-            "%.2f %.2f))",
-            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
-            F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
-            F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
-            F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
-            F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"))) \
+    box_wkt = F.format_string(
+        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
+        "%.2f %.2f))",
+        F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+        F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
+        F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+        F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
+        F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"))
+    vegs = boxes.withColumn("wkt", box_wkt) \
         .select("veg_id", "bal_number", "wkt")
+    # concave twin: every 10th polygon is a U (upward notch) — exercises
+    # the veg_factors general-clip dispatch (SH stays on the convex 90%)
+    u_wkt = F.format_string(
+        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, "
+        "%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
+        F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"),
+        F.col("cx") + F.col("hw"), F.col("cy") - F.col("hh"),
+        F.col("cx") + F.col("hw"), F.col("cy") + F.col("hh"),
+        F.col("cx") + F.col("hw") * 0.4, F.col("cy") + F.col("hh"),
+        F.col("cx") + F.col("hw") * 0.4, F.col("cy") - F.col("hh") * 0.2,
+        F.col("cx") - F.col("hw") * 0.4, F.col("cy") - F.col("hh") * 0.2,
+        F.col("cx") - F.col("hw") * 0.4, F.col("cy") + F.col("hh"),
+        F.col("cx") - F.col("hw"), F.col("cy") + F.col("hh"),
+        F.col("cx") - F.col("hw"), F.col("cy") - F.col("hh"))
+    vegs_concave = boxes.withColumn(
+        "wkt", F.when(F.expr("CAST(veg_id AS BIGINT) % 10 = 0"), u_wkt)
+        .otherwise(box_wkt)).select("veg_id", "bal_number", "wkt")
     return w, pts.localCheckpoint(eager=True), \
-        vegs.localCheckpoint(eager=True)
+        vegs.localCheckpoint(eager=True), \
+        vegs_concave.localCheckpoint(eager=True)
 
 
 def main() -> None:
@@ -60,7 +77,7 @@ def main() -> None:
     from balrog_spark.session import get_spark
 
     spark = get_spark(app="sf1-campaign")
-    w, pts, vegs = synth_inputs(spark)
+    w, pts, vegs, vegs_concave = synth_inputs(spark)
     p3 = pts.select("addr_id", "x", "y")
     results: dict = {"n_addr": N_ADDR, "n_boxes": N_BOXES, "world_m": w}
 
@@ -98,11 +115,11 @@ def main() -> None:
     # round-4 all-intersecting-polygons chain at 10x: clip fan-out + the
     # per-clip polygon-zone zonal — the stage that multiplies refine/zonal
     # volume and could hide a new shuffle hotspot
-    def veg_factors_zonal():
+    def veg_factors_zonal(veg_df):
         from pyspark.sql import functions as F
 
         from balrog_spark import vegfactors
-        vf = vegfactors.veg_factors(p3, vegs, 100.0) \
+        vf = vegfactors.veg_factors(p3, veg_df, 100.0) \
             .filter(F.col("distance_m") <= 95.0)
         zones = vf.select(
             F.concat_ws("|", "addr_id", "veg_id", "part_idx")
@@ -117,7 +134,11 @@ def main() -> None:
             {"slope": {"circular": False}, "aspect": {"circular": True}})
         return z.count()
 
-    timed("veg_factors_zonal_10x", veg_factors_zonal)
+    timed("veg_factors_zonal_10x", lambda: veg_factors_zonal(vegs))
+    # 10% concave U-shapes: the general-clip dispatch at 10x scale (SH
+    # keeps the convex 90%; the slab clip takes the rest)
+    timed("veg_factors_concave_10x",
+          lambda: veg_factors_zonal(vegs_concave))
 
     for q in ("v9_pip", "v10_dwithin", "v11_knn"):
         b = results[f"{q}_broadcast"]["wall_sec"]
