@@ -393,11 +393,11 @@ def test_upsample_repeats_fraction_and_downsample(spark):
     down = textops.upsample_repeats(docs, factor_bp=4000).toPandas()
     assert (down.copy_idx == 0).all()
     assert abs(len(down) / 2000 - 0.4) < 0.05
-    # fractional membership is nested: the 0.4 set within the 2.3x
-    # third-copy set would need matching thresholds — check the 3-copy
-    # docs contain the 0.3 set logic via threshold monotonicity
+    # hash-threshold monotonicity: the 2.3x third-copy set is
+    # sample_key < 3000, the 0.4x survivors are sample_key < 4000 — so
+    # every 3-copy doc MUST appear in the 0.4x sample
     third = set(per[per == 3].index)
-    assert set(down.doc_id[down.doc_id.isin(third)]) <= third
+    assert third <= set(down.doc_id)
 
 
 def test_take_token_budget_floor_semantics(spark):
