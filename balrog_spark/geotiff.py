@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 from . import tiffcodec
@@ -540,12 +541,16 @@ def write_geotiff_granules(tiles: DataFrame, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
 
-    g = tiles.withColumn(
-        "gx", F.floor(F.col("x0") / (F.col("pixel_m") * F.col("ncols")
-                                     * granule_tiles)).cast("int")) \
-        .withColumn(
-        "gy", F.floor(F.col("y0") / (F.col("pixel_m") * F.col("nrows")
-                                     * granule_tiles)).cast("int"))
+    # granule span must be uniform per layer: raster-EDGE tiles carry a
+    # smaller nrows/ncols, and quantizing by the row's own size would
+    # file them into the wrong granule — use the layer-wide max tile
+    # dims (one window shuffle over the small tile-metadata columns)
+    lw = SqlWindow.partitionBy("layer")
+    span_x = F.col("pixel_m") * F.max("ncols").over(lw) * granule_tiles
+    span_y = F.col("pixel_m") * F.max("nrows").over(lw) * granule_tiles
+    g = tiles.withColumn("gx", F.floor(F.col("x0") / span_x).cast("int")) \
+        .withColumn("gy", F.floor(F.col("y0") / span_y).cast("int")) \
+        .withColumn("span_x", span_x).withColumn("span_y", span_y)
 
     schema = ("path STRING, layer STRING, gx INT, gy INT, "
               "x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE, "
@@ -555,11 +560,21 @@ def write_geotiff_granules(tiles: DataFrame, out_dir: str,
         layer, gx, gy = key[0], int(key[1]), int(key[2])
         pm = float(pdf.pixel_m.iloc[0])
         assert (pdf.pixel_m == pm).all(), "mixed pixel sizes in granule"
-        tn_r = int(pdf.nrows.max())
-        tn_c = int(pdf.ncols.max())
-        side_r, side_c = granule_tiles * tn_r, granule_tiles * tn_c
-        gx0 = gx * tn_c * granule_tiles * pm
-        gy0 = gy * tn_r * granule_tiles * pm
+        # the grouping spans came from the LAYER-wide max tile dims (a
+        # granule of only edge tiles would under-estimate them locally);
+        # the granule box is the UNION of member tile extents — for
+        # grid-aligned tiles that is exactly the quantized cell, and a
+        # non-aligned tile that crosses its origin-cell's edge just
+        # grows the box instead of writing out of bounds
+        span_x = float(pdf.span_x.iloc[0])
+        span_y = float(pdf.span_y.iloc[0])
+        tn_r = int(round(span_y / (granule_tiles * pm)))
+        gx0 = float(pdf.x0.min())
+        gy0 = float(pdf.y0.min())
+        x1 = float((pdf.x0 + pdf.ncols * pm).max())
+        y1 = float((pdf.y0 + pdf.nrows * pm).max())
+        side_c = int(round((x1 - gx0) / pm))
+        side_r = int(round((y1 - gy0) / pm))
         mosaic = np.full((side_r, side_c), np.float32(nodata), np.float32)
         for r in pdf.itertuples():
             ci = int(round((r.x0 - gx0) / pm))
@@ -594,13 +609,22 @@ def granule_tiles_pdf(payload: bytes, layer: str, src_ref: str,
     micro-batch row already carries the granule bytes.
 
     Tile indices are WORLD-grid (floor of the tile origin over the tile
-    span), not granule-local: many granules union into one table, and
-    downstream halo joins need adjacent tiles from different granules to
-    carry adjacent indices."""
+    span) when the granule's origin is tile-span aligned — many granules
+    union into one table, and downstream halo joins need adjacent tiles
+    from different granules to carry adjacent indices. A NON-aligned
+    mosaic cannot get collision-free quantized indices (a partial edge
+    tile's origin can land in the same span cell as its neighbour), so
+    those fall back to file-local indices — correct within one file, and
+    the engine's own granule sink always writes aligned granules."""
     import io as _io
 
     f = _io.BytesIO(payload)
     info = read_info(f, level=level)
+    span_x = info.tile_w * info.pixel_x
+    span_y = info.tile_h * info.pixel_y
+    aligned = (abs(info.x0 / span_x - round(info.x0 / span_x)) < 1e-6
+               and abs(info.y_top / span_y - round(info.y_top / span_y))
+               < 1e-6)
     out = {c: [] for c in
            ("media_ref", "layer", "tile_x", "tile_y", "x0", "y0",
             "pixel_m", "nrows", "ncols", "data")}
@@ -620,10 +644,14 @@ def granule_tiles_pdf(payload: bytes, layer: str, src_ref: str,
             ty0 = ty_top - nrows * info.pixel_y
             out["media_ref"].append(f"{src_ref}@{level}#{idx}")
             out["layer"].append(layer)
-            out["tile_x"].append(int(np.floor(
-                tx0 / (info.tile_w * info.pixel_x) + 0.5 / info.tile_w)))
-            out["tile_y"].append(int(np.floor(
-                ty0 / (info.tile_h * info.pixel_y) + 0.5 / info.tile_h)))
+            if aligned:
+                out["tile_x"].append(int(np.floor(
+                    tx0 / span_x + 0.5 / info.tile_w)))
+                out["tile_y"].append(int(np.floor(
+                    ty0 / span_y + 0.5 / info.tile_h)))
+            else:
+                out["tile_x"].append(tc)
+                out["tile_y"].append(info.tiles_y - 1 - tr)
             out["x0"].append(float(tx0))
             out["y0"].append(float(ty_top - nrows * info.pixel_y))
             out["pixel_m"].append(float(info.pixel_x))

@@ -419,3 +419,40 @@ def test_raster_bal_from_geotiff_both_layers(spark, tmp_path):
     for i in range(len(a)):
         assert np.array_equal(np.array(a.loc[i].bal_max, np.float32),
                               np.array(b.loc[i].bal_max, np.float32)), i
+
+
+def test_granule_sink_edge_tiles_group_correctly(spark, tmp_path):
+    """Regression: raster-edge tiles carry smaller nrows/ncols, and
+    quantizing granule ids by each row's own dims filed them into the
+    wrong granule. Spans must come from the layer-wide max dims — the
+    full mosaic must survive a source->sink->source roundtrip."""
+    rng = np.random.default_rng(31)
+    mosaic = (rng.random((130, 200)) * 300).astype(np.float32)
+    src = str(tmp_path / "src.tif")
+    with open(src, "wb") as f:
+        f.write(geotiff.encode_geotiff(mosaic, 0.0, 130 * 25.0, 25.0,
+                                       tile=64, nodata=-99))
+    tiles = geotiff.geotiff_tiles(spark, src, "dem")
+    # edge tiles really are partial
+    dims = {(r.nrows, r.ncols) for r in tiles.collect()}
+    assert (64, 64) in dims and any(d != (64, 64) for d in dims)
+
+    man = geotiff.write_geotiff_granules(
+        tiles, str(tmp_path / "g"), granule_tiles=2).toPandas()
+    # reassemble the world from the granules and compare where defined
+    out = np.full((130 * 2, 200 * 2), np.nan, np.float32)  # oversized
+    for r in man.itertuples():
+        with open(r.path, "rb") as f:
+            arr, wx, ty = geotiff.read_window(f, -1e9, -1e9, 1e9, 1e9)
+        c0 = int(round(wx / 25.0))
+        r0 = int(round((130 * 25.0 - ty) / 25.0))
+        h, w = arr.shape
+        if r0 < 0:  # granule extends above the mosaic top (padding)
+            arr = arr[-r0:]
+            h += r0
+            r0 = 0
+        out[r0:r0 + h, c0:c0 + w] = arr
+    filled = out[:130, :200]
+    ok = filled != -99.0
+    assert np.array_equal(filled[ok], mosaic[ok])
+    assert ok.all(), "every source pixel must come back"
