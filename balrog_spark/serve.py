@@ -89,8 +89,13 @@ def buffer_zonal_medians(dem_file, x: float, y: float,
     mask = ((xs[None, :] - x) ** 2
             + (ys[:, None] - y) ** 2) <= buffer_m ** 2
     mask &= dem != nodata
-    s_med = kernels.zonal_stats_1d(slope[mask])["med"]
-    a_med = kernels.zonal_stats_1d(aspect[mask], circular=True)["med"]
+    # the distributed zonal drops nodata per LAYER: slope/aspect can be
+    # the sentinel near dem-nodata neighbourhoods even where dem is valid
+    s_vals = slope[mask]
+    a_vals = aspect[mask]
+    s_med = kernels.zonal_stats_1d(s_vals[s_vals != nodata])["med"]
+    a_med = kernels.zonal_stats_1d(a_vals[a_vals != nodata],
+                                   circular=True)["med"]
     return int(s_med), int(a_med)
 
 
