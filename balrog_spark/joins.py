@@ -192,16 +192,28 @@ def _spread(df: DataFrame, key: str = "addr_id") -> DataFrame:
     return df.repartition(n, key)
 
 
-def pip_join(points: DataFrame, polys: DataFrame,
+def pip_join(points: DataFrame, polys: DataFrame = None,
              cell_m: float = cells.DEFAULT_CELL_M,
-             broadcast_cover: bool | None = None) -> DataFrame:
+             broadcast_cover: bool | None = None,
+             cover: DataFrame | None = None) -> DataFrame:
     """Point-in-polygon join (V9/J2): returns (addr_id, veg_id, bal_number)
     for every point strictly inside a polygon (holes excluded, even-odd).
 
     ``broadcast_cover``: True broadcasts the full-WKT cover (small layers);
     False shuffle-joins a cell-CLIPPED cover (bounded per-cell bytes — the
-    9.4M-polygon path); None auto-selects by estimated cover bytes."""
-    if broadcast_cover is None:
+    9.4M-polygon path); None auto-selects by estimated cover bytes.
+
+    ``cover``: a PRE-BUILT cover (see :func:`save_cover` — the
+    index-once-probe-many move for a static national layer: repeated
+    joins skip the cover explode, and a cell_id-bucketed saved cover
+    also skips its side of the shuffle exchange). Must have been built
+    with the same ``cell_m``; an unclipped cover on the shuffle path is
+    correct, just heavier than the clipped one this function would
+    build."""
+    if cover is not None:
+        if broadcast_cover is None:
+            broadcast_cover = _cover_fits_broadcast(cover)
+    elif broadcast_cover is None:
         # cache the unclipped cover for the probe: if the decision is
         # "broadcast" the cached rows are reused as the real build side
         # (no second cover computation); only the shuffle path pays for a
@@ -246,17 +258,21 @@ def pip_join(points: DataFrame, polys: DataFrame,
     return cand.mapInPandas(refine, schema=_refine_schema([]))
 
 
-def dwithin_join(points: DataFrame, polys: DataFrame, radius_m: float,
+def dwithin_join(points: DataFrame, polys: DataFrame = None,
+                 radius_m: float = 100.0,
                  cell_m: float = cells.DEFAULT_CELL_M,
-                 broadcast_cover: bool | None = None) -> DataFrame:
+                 broadcast_cover: bool | None = None,
+                 cover: DataFrame | None = None) -> DataFrame:
     """Distance-within join (V10/J3): pairs with point-to-polygon distance
     <= radius (0 inside; hole boundaries count — a point inside a hole is
     outside and measures to the hole ring). Cover is padded by the radius so
     one equi-join suffices. Non-broadcast covers shuffle-join on cell_id
     (distance needs the full WKT, so bytes shrink by distribution, not
-    clipping)."""
-    cover = _maybe_broadcast(polygon_cover(polys, cell_m, pad_m=radius_m),
-                             broadcast_cover)
+    clipping). A pre-built ``cover`` (see :func:`save_cover`) MUST have
+    been saved with ``pad_m`` equal to this radius."""
+    if cover is None:
+        cover = polygon_cover(polys, cell_m, pad_m=radius_m)
+    cover = _maybe_broadcast(cover, broadcast_cover)
     pts = _spread(with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")
 
@@ -336,9 +352,11 @@ def _clamped_annulus(unresolved: DataFrame, r: int, prev: int,
                      + F.col("dy")).alias("probe_cell")))
 
 
-def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
+def knn_join(points: DataFrame, polys: DataFrame = None,
+             max_ring: int = 8,
              cell_m: float = cells.DEFAULT_CELL_M,
-             broadcast_cover: bool | None = None) -> DataFrame:
+             broadcast_cover: bool | None = None,
+             cover: DataFrame | None = None) -> DataFrame:
     """Nearest-polygon (kNN k=1) join with bearing (V11): for each point the
     closest polygon, its exact distance (0 if inside), nearest boundary
     point, and forward azimuth — the reference's per-address
@@ -350,7 +368,8 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     (r * cell_m), the lower bound on anything in ring > r.
     """
     spark = points.sparkSession
-    cover = polygon_cover(polys, cell_m).cache()
+    cover = (polygon_cover(polys, cell_m)
+             if cover is None else cover).cache()
     if broadcast_cover is None:
         broadcast_cover = _cover_fits_broadcast(cover)
     cover_b = F.broadcast(cover) if broadcast_cover else cover
@@ -585,3 +604,28 @@ def knn_join(points: DataFrame, polys: DataFrame, max_ring: int = 8,
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
     return with_line(out)
+
+
+def save_cover(polys: DataFrame, table: str,
+               cell_m: float = cells.DEFAULT_CELL_M, pad_m: float = 0.0,
+               clip: bool = False, n_buckets: int = 32) -> str:
+    """Persist a polygon cover as a cell_id-BUCKETED table — the
+    index-once-probe-many move for a static layer (the reference builds
+    its PostGIS GiST indexes once for the same reason). Subsequent
+    ``pip_join/dwithin_join/knn_join(..., cover=load_cover(...))`` calls
+    skip the cover explode entirely, and because the saved table is
+    bucketed+sorted on the join key, the shuffle-cover path reads it
+    with NO exchange on the cover side — at 9.4M national polygons the
+    cover build and its shuffle are the dominant fixed cost of every
+    probe. ``pad_m`` must match the radius of the distance joins the
+    cover will serve (0 for PIP/kNN)."""
+    cover = polygon_cover(polys, cell_m, pad_m=pad_m, clip=clip)
+    (cover.write.mode("overwrite").bucketBy(n_buckets, "cell_id")
+     .sortBy("cell_id").format("parquet").saveAsTable(table))
+    return table
+
+
+def load_cover(spark, table: str) -> DataFrame:
+    """Read back a :func:`save_cover` table (bucketing metadata intact —
+    Spark only honours it through the catalog, not a bare path read)."""
+    return spark.table(table)
