@@ -59,10 +59,12 @@ VEG_FACTORS_SCHEMA = StructType([
 ])
 
 
-def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
+def veg_factors(points: DataFrame, polys: DataFrame = None,
+                radius_m: float = 100.0,
                 quad_segs: int = 4,
                 cell_m: float = cells.DEFAULT_CELL_M,
-                broadcast_cover: bool | None = None) -> DataFrame:
+                broadcast_cover: bool | None = None,
+                cover: DataFrame | None = None) -> DataFrame:
     """One row per (point buffer ∩ polygon part) with clip geometry, exact
     clipped area, nearest-point distance/azimuth and the evidence
     LineString. ``points``: (addr_id, x, y); ``polys``: (veg_id,
@@ -76,15 +78,18 @@ def veg_factors(points: DataFrame, polys: DataFrame, radius_m: float,
     data_prep/gnaf/create_buffered_points.sql:10).
 
     MultiPolygon fallout: one row per SOURCE part whose clip is non-empty
-    (part_idx). Known corner: a CONCAVE part whose clip is disconnected
-    comes back from Sutherland-Hodgman as ONE ring with zero-width
-    bridges — its area is still exact, but the reference (shapely) would
-    explode it into one row per disconnected piece and the bridge edges
-    can shave the nearest-point distance. Convex parts (and any part
-    whose clip is connected) are exact."""
-    cover = joins._maybe_broadcast(
-        joins.polygon_cover(polys, cell_m, pad_m=radius_m),
-        broadcast_cover)
+    (part_idx). Clip exactness: convex hole-free parts take the
+    Sutherland-Hodgman fast path (exact for convex subjects); concave or
+    holed parts dispatch to the exact slab clip
+    (geometry.clip_polys_general), so a disconnected intersection emits
+    a correct MULTIPOLYGON clip with exact area and distance — one row
+    per source part either way.
+
+    ``cover``: a pre-built cover (joins.save_cover) — MUST have been
+    saved with ``pad_m`` equal to this radius."""
+    if cover is None:
+        cover = joins.polygon_cover(polys, cell_m, pad_m=radius_m)
+    cover = joins._maybe_broadcast(cover, broadcast_cover)
     pts = joins._spread(joins.with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")
     cols = [f.name for f in VEG_FACTORS_SCHEMA]
