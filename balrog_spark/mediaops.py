@@ -606,3 +606,87 @@ def decode_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     schema = StructType(list(FEATURES.fields)
                         + [StructField("frame_idx", LongType(), False)])
     return media.mapInPandas(gen, schema=schema)
+
+
+# --- WebDataset-style tar sharding ------------------------------------------
+#
+# Multimodal corpora ship as tar shards (the WebDataset convention: one
+# tar per shard, one file per sample, sequential reads). This is the
+# media twin of textops.pack_sequences: deterministic hash sharding,
+# executor-side writes, manifest-only collect.
+
+_KIND_EXT = {"image": "img", "audio": "wav", "video": "mjpeg"}
+_EXT_KIND = {v: k for k, v in _KIND_EXT.items()}
+
+
+def write_tar_shards(media: DataFrame, out_dir: str,
+                     n_shards: int = 8) -> DataFrame:
+    """Media rows -> ``shard-NNNNN.tar`` files written BY THE EXECUTORS
+    (grouped map on a deterministic hash shard; atomic rename publish).
+    Entries are ``<media_id>.<ext>`` with the kind encoded in the
+    extension, sorted by media_id so re-runs produce byte-identical
+    shards. Returns the manifest (path, n_entries, bytes) — the shard
+    count is the parallelism knob exactly as in pack_sequences."""
+    import io
+    import os
+    import tarfile
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    sharded = media.withColumn(
+        "shard", F.pmod(F.xxhash64("media_id"), F.lit(n_shards))
+        .cast("int"))
+
+    def write(key, pdf):
+        shard = int(key[0])
+        pdf = pdf.sort_values("media_id")
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for r in pdf.itertuples():
+                name = f"{r.media_id}.{_KIND_EXT.get(r.kind, 'bin')}"
+                info = tarfile.TarInfo(name)
+                payload = bytes(r.payload)
+                info.size = len(payload)
+                info.mtime = 0                    # deterministic bytes
+                tf.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame([{"path": path, "shard": shard,
+                              "n_entries": len(pdf),
+                              "bytes": len(data)}])
+
+    return sharded.groupBy("shard").applyInPandas(
+        write, schema="path STRING, shard INT, n_entries LONG, bytes LONG")
+
+
+def read_tar_shards(spark, in_dir: str) -> DataFrame:
+    """Tar shards -> media rows (media_id, kind, payload): binaryFile
+    scan over the shard files, executor-side tar walk — shard files are
+    the split unit, exactly the WebDataset read model."""
+    import io
+    import tarfile
+
+    src = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.tar").load(in_dir)
+           .select("path", "content"))
+
+    def unpack(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for r in pdf.itertuples():
+                with tarfile.open(
+                        fileobj=io.BytesIO(bytes(r.content))) as tf:
+                    for m in tf.getmembers():
+                        stem, _, ext = m.name.rpartition(".")
+                        out["media_id"].append(stem)
+                        out["kind"].append(_EXT_KIND.get(ext, "binary"))
+                        out["payload"].append(
+                            tf.extractfile(m).read())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        unpack, schema="media_id STRING, kind STRING, payload BINARY")

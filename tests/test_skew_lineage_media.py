@@ -311,3 +311,48 @@ def test_png_adam7_interlaced_roundtrip():
     g = rng.integers(0, 256, (11, 7), dtype=np.uint8)
     got = M.decode_png(M.encode_png(g, filter_type=4, interlace=True))
     assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+
+def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    """WebDataset-style shard IO: executor-written tar shards roundtrip
+    every payload byte-exact, shard assignment is deterministic (two
+    writes produce byte-identical files), and the read side drives the
+    real decode pipeline."""
+    import hashlib
+    import os
+
+    from balrog_spark import mediaops as M
+
+    media = M.synthetic_media_real(spark, n=12)
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    man = M.write_tar_shards(media, d1, n_shards=4).toPandas()
+    assert man.n_entries.sum() == 12
+    assert all(os.path.basename(p).startswith("shard-")
+               for p in man.path)
+
+    back = M.read_tar_shards(spark, d1).toPandas() \
+        .set_index("media_id").sort_index()
+    src = media.select("media_id", "kind", "payload").toPandas() \
+        .set_index("media_id").sort_index()
+    assert list(back.index) == list(src.index)
+    for mid in src.index:
+        assert back.loc[mid].kind == src.loc[mid].kind, mid
+        assert bytes(back.loc[mid].payload) == \
+            bytes(src.loc[mid].payload), mid
+
+    # byte-identical re-write (mtime pinned, entries sorted)
+    M.write_tar_shards(media, d2, n_shards=4).collect()
+    for p in man.path:
+        q = os.path.join(d2, os.path.basename(p))
+        h1 = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        h2 = hashlib.sha256(open(q, "rb").read()).hexdigest()
+        assert h1 == h2
+
+    # the reloaded rows feed the real decoders end to end
+    feats = M.image_features(
+        M.read_tar_shards(spark, d1)
+        .withColumn("mime", F.lit("application/octet-stream"))
+        .withColumn("width", F.lit(0)).withColumn("height", F.lit(0))
+        .withColumn("n_frames", F.lit(0)),
+        out_w=4, out_h=4, fake_decode=False).collect()
+    assert len(feats) == sum(1 for k in src.kind if k == "image") > 0
