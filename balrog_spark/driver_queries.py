@@ -3157,9 +3157,10 @@ _FRONT = [
     "r15_components", "a5_salted_agg", "v9_pip_holes", "v10_dwithin_holes",
     "s3_point_sample", "text_bm25", "doc_span_roundtrip",
     "sample_stratified", "v3_makevalid", "dedup_cluster_canonical",
+    "text_pack_sequences", "emb_cluster_canonical",
 ]
 _BACKSEAT = [
-    "v1_buffer_bbox",
+    "v1_buffer_bbox", "v15_spatial_sort", "r2_clip_window",
     "p1_projection", "p2_filter", "p3_distinct", "p4_row_number",
     "j1_equi_join", "a3_group_counts", "a4_dynamic_max", "w2_topk",
     "set_union_all", "r10_dist_class", "r11_greatest", "v13_extent",

@@ -27,6 +27,9 @@ WKTS = [
     "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
     ("MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), "
      "((10 10, 12 10, 12 12, 10 12, 10 10)))"),
+    ("MULTIPOLYGON (((0 0, 9 0, 9 9, 0 9, 0 0), "
+     "(3 3, 6 3, 6 6, 3 6, 3 3)), "
+     "((20 20, 24 20, 24 24, 20 24, 20 20)))"),   # holed part + plain part
 ]
 
 
