@@ -119,6 +119,12 @@ def veg_factors(points: DataFrame, polys: DataFrame = None,
                 # only on real intersections
                 pre = []
                 keep = np.zeros(len(grp), dtype=bool)
+                # convexity is a property of the PART, not the pair —
+                # decide the clip dispatch once per part, never inside
+                # the per-point loop
+                part_convex = [
+                    len(rings) == 1 and geometry.ring_is_convex(rings[0])
+                    for rings in parts]
                 for rings in parts:
                     d, nx, ny = geometry.points_to_polygon_distance(
                         xs, ys, rings)
@@ -137,8 +143,7 @@ def veg_factors(points: DataFrame, polys: DataFrame = None,
                         # holed part whose buffer intersection is
                         # disconnected would get bridged wrong by SH, so
                         # those dispatch to the exact slab clip
-                        if len(rings) == 1 \
-                                and geometry.ring_is_convex(rings[0]):
+                        if part_convex[pi]:
                             pieces = geometry.clip_polys_to_convex(
                                 [rings], buf)
                         else:
