@@ -3158,8 +3158,11 @@ _FRONT = [
     "s3_point_sample", "text_bm25", "doc_span_roundtrip",
     "sample_stratified", "v3_makevalid", "dedup_cluster_canonical",
     "text_pack_sequences", "emb_cluster_canonical",
+    "text_decontaminate", "text_chunk_windows", "text_upsample_repeats",
+    "text_take_budget",
 ]
 _BACKSEAT = [
+    "text_token_count", "doc_fingerprint", "text_quality", "text_langid",
     "v1_buffer_bbox", "v15_spatial_sort", "r2_clip_window",
     "p1_projection", "p2_filter", "p3_distinct", "p4_row_number",
     "j1_equi_join", "a3_group_counts", "a4_dynamic_max", "w2_topk",

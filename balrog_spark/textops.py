@@ -652,23 +652,59 @@ def upsample_repeats(docs: DataFrame, factor_bp: int,
 
 def take_token_budget(docs: DataFrame, budget_tokens: int,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      shards: int | None = None) -> DataFrame:
     """Curation under a token budget: rank documents (longest first,
     doc_id tiebreak — substitute any score by pre-sorting) and keep
     every document whose PRECEDING cumulative token count is still
     under the budget, so the cut is deterministic and the first
     over-budget document is included (the budget is a floor, not a
-    ceiling, matching "fill B tokens" semantics). One global window —
-    at 100 TB rank within hash shards first and budget per shard; the
-    gate-scale op keeps the single window for oracle exactness."""
-    toks = token_counts(docs, text_col, id_col).select(
-        F.col("doc_id"), "n_tokens")
+    ceiling, matching "fill B tokens" semantics).
+
+    Distributed exact prefix-sum — no single-partition window: the
+    (doc_id, n_tokens) set is range-partitioned on the ordering key
+    (n_tokens desc, doc_id), so every key in shard *i* globally
+    precedes every key in shard *i+1*. Pass 1 aggregates one
+    ``sum(n_tokens)`` per shard (``shards`` rows — driver-tiny at any
+    corpus size); the driver prefix-sums those totals into per-shard
+    offsets and discards shards whose offset already exceeds the
+    budget. Pass 2 runs the cumulative window PARTITIONED by shard
+    (offset + within-shard cumsum == exact global cumsum) over only
+    the surviving prefix shards. The ranged frame is localCheckpointed
+    so both passes see the identical partitioning (spark_partition_id
+    is only meaningful against one materialization). The DuckDB oracle
+    keeps the equivalent single-window formulation (oracle SQL runs on
+    small gate data; the production plan must not)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    ranked = toks.withColumn(
+    toks = token_counts(docs, text_col, id_col).select(
+        F.col("doc_id"), "n_tokens")
+    spark = docs.sparkSession
+    n_shards = shards or spark.sparkContext.defaultParallelism
+    ranged = toks.repartitionByRange(
+        n_shards, F.col("n_tokens").desc(), F.col("doc_id")) \
+        .withColumn("_shard", F.spark_partition_id()) \
+        .localCheckpoint()
+    totals = {int(r["_shard"]): int(r["tot"]) for r in
+              ranged.groupBy("_shard")
+              .agg(F.sum("n_tokens").alias("tot")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    keep = [pid for pid in offsets if offsets[pid] < budget_tokens]
+    if not keep:
+        return ranged.limit(0).select("doc_id", "n_tokens",
+                                      F.lit(0).cast("long")
+                                      .alias("cum_before"))
+    off_map = F.create_map(*[F.lit(v) for pid in keep
+                             for v in (pid, offsets[pid])])
+    w = Window.partitionBy("_shard").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id"))
+    ranked = ranged.filter(F.col("_shard").isin(keep)).withColumn(
         "cum_before",
-        F.coalesce(F.sum("n_tokens").over(
+        off_map[F.col("_shard")]
+        + F.coalesce(F.sum("n_tokens").over(
             w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0).cast("long")))
     return ranked.filter(F.col("cum_before") < budget_tokens) \

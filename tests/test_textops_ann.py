@@ -414,3 +414,63 @@ def test_take_token_budget_floor_semantics(spark):
     # as the crossing doc) — 20 starts at 120 >= 95, excluded
     assert list(got.doc_id) == [1, 2, 3]
     assert list(got.cum_before) == [0, 50, 90]
+
+
+def test_take_token_budget_sharded_matches_global(spark):
+    """The production range-sharded two-pass must equal the global
+    single-window formulation exactly, on a skewed corpus (one hot
+    length repeated 200x so shard boundaries land mid-tie), and its
+    plan must contain only PARTITIONED windows (no single-partition
+    global sort stage)."""
+    import pandas as pd
+
+    from pyspark.sql import Window, functions as F
+
+    from balrog_spark import textops
+
+    lens = ([500] * 3 + [37] * 200 +
+            [(i * 97) % 300 + 1 for i in range(300)])
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(len(lens))],
+        "text": ["x " * n for n in lens]}))
+    budget = sum(lens) // 3
+    got = textops.take_token_budget(docs, budget, shards=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan is partitioned by _shard — a global
+    # window would show an empty partition spec (single-task sort)
+    assert "Window" in plan
+    assert "_shard" in plan
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_shard" in m.group(0)
+    gp = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    toks = textops.token_counts(docs).select("doc_id", "n_tokens")
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    ref = toks.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"))) \
+        .filter(F.col("cum_before") < budget) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gp, ref)
+
+
+def test_take_token_budget_prunes_and_empty(spark):
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(100)],
+        "text": ["w " * 10] * 100}))
+    # budget smaller than any single document still keeps the first
+    # (floor semantics: cum_before 0 < budget)
+    one = textops.take_token_budget(docs, budget_tokens=1, shards=4) \
+        .toPandas()
+    assert len(one) == 1 and one.cum_before.iloc[0] == 0
+    # zero budget -> empty frame with the contract schema
+    zero = textops.take_token_budget(docs, budget_tokens=0, shards=4)
+    assert zero.count() == 0
+    assert zero.columns == ["doc_id", "n_tokens", "cum_before"]
