@@ -1147,6 +1147,68 @@ def v11_knn(spark, sf_dir):
         .alias("line_wkt"))
 
 
+@q("v11_topk", f"""
+WITH {PREAMBLE},
+scored AS (
+  SELECT p.addr_id, b.veg_id, p.x, p.y, b.cx, b.cy, b.hw, b.hh,
+         {_BOX_DIST} AS d
+  FROM points p CROSS JOIN boxes b),
+nearest AS (
+  SELECT *, row_number() OVER (PARTITION BY addr_id
+                               ORDER BY d ASC, veg_id ASC) AS nn_rank
+  FROM scored
+  QUALIFY nn_rank <= 3),
+npt AS (
+  SELECT *,
+         (abs(x - cx) <= hw AND abs(y - cy) <= hh) AS ins,
+         x - (cx - hw) AS dl, (cx + hw) - x AS dr,
+         y - (cy - hh) AS db, (cy + hh) - y AS dt
+  FROM nearest),
+azi AS (
+  SELECT addr_id, veg_id, nn_rank, d, x, y,
+         CASE WHEN NOT ins THEN greatest(cx - hw, least(cx + hw, x))
+              WHEN db <= dr AND db <= dt AND db <= dl THEN x
+              WHEN dr <= dt AND dr <= dl THEN cx + hw
+              WHEN dt <= dl THEN x
+              ELSE cx - hw END AS nx,
+         CASE WHEN NOT ins THEN greatest(cy - hh, least(cy + hh, y))
+              WHEN db <= dr AND db <= dt AND db <= dl THEN cy - hh
+              WHEN dr <= dt AND dr <= dl THEN y
+              WHEN dt <= dl THEN cy + hh
+              ELSE y END AS ny
+  FROM npt)
+SELECT addr_id, veg_id, CAST(nn_rank AS BIGINT) AS nn_rank,
+       CAST(round(d, 4) AS DOUBLE) AS distance_m,
+       CAST(round(nx, 4) AS DOUBLE) AS near_x,
+       CAST(round(ny, 4) AS DOUBLE) AS near_y,
+       printf('LINESTRING (%.4f %.4f, %.4f %.4f)',
+              round(x, 4), round(y, 4), round(nx, 4), round(ny, 4))
+           AS line_wkt
+FROM azi""")
+def v11_topk(spark, sf_dir):
+    """V11 generalized to top-k (k=3): the reference's op is k=1
+    (xx_fiona_testing.py:212) but veg_factors/ANN consumers want the k
+    nearest; same ring expansion, resolution gated on the k-th-best
+    distance, per-neighbour evidence line carried through."""
+    p = derived_points(spark, sf_dir).select(
+        F.col("addr_id").cast("string").alias("addr_id"), "x", "y")
+    b = boxes_with_wkt(spark, sf_dir).select(
+        F.format_string("%06d", F.col("veg_id")).alias("veg_id"),
+        "bal_number", "wkt")
+    out = joins.knn_join(p, b, max_ring=16, k=3)
+    return out.select(
+        F.col("addr_id").cast("long").alias("addr_id"),
+        F.col("veg_id").cast("long").alias("veg_id"),
+        F.col("nn_rank").cast("long").alias("nn_rank"),
+        F.round("distance_m", 4).cast("double").alias("distance_m"),
+        F.round("near_x", 4).cast("double").alias("near_x"),
+        F.round("near_y", 4).cast("double").alias("near_y"),
+        F.format_string("LINESTRING (%.4f %.4f, %.4f %.4f)",
+                        F.round("px", 4), F.round("py", 4),
+                        F.round("near_x", 4), F.round("near_y", 4))
+        .alias("line_wkt"))
+
+
 # --- text / dedup / ANN (training-data pipeline ops) -------------------------
 
 @q("dedup_exact", """
@@ -3159,10 +3221,11 @@ _FRONT = [
     "sample_stratified", "v3_makevalid", "dedup_cluster_canonical",
     "text_pack_sequences", "emb_cluster_canonical",
     "text_decontaminate", "text_chunk_windows", "text_upsample_repeats",
-    "text_take_budget",
+    "text_take_budget", "v11_topk",
 ]
 _BACKSEAT = [
     "text_token_count", "doc_fingerprint", "text_quality", "text_langid",
+    "v1_buffer_geodesic",
     "v1_buffer_bbox", "v15_spatial_sort", "r2_clip_window",
     "p1_projection", "p2_filter", "p3_distinct", "p4_row_number",
     "j1_equi_join", "a3_group_counts", "a4_dynamic_max", "w2_topk",

@@ -320,6 +320,31 @@ def _argmin_per_addr(scored: DataFrame, out_schema) -> DataFrame:
                       *[F.col(f"m.{c}").alias(c) for c in payload])
 
 
+def _topk_per_addr(scored: DataFrame, out_schema, k: int) -> DataFrame:
+    """Per-point top-k by (distance, veg_id). k=1 keeps the hash-aggregate
+    argmin (no window, map-side combine). k>1: candidates are first
+    deduplicated per (addr, veg) — the same polygon reaches a point
+    through every cover cell it spans, and duplicates must not occupy
+    ranks — then ranked with a window PARTITIONED by addr_id (never a
+    global sort). Adds ``nn_rank`` (1-based) for k>1."""
+    if k == 1:
+        return _argmin_per_addr(scored, out_schema)
+    from pyspark.sql import Window
+
+    payload = [f.name for f in out_schema if f.name != "addr_id"]
+    dd = scored.groupBy("addr_id", "veg_id").agg(
+        F.min_by(F.struct(*payload),
+                 F.struct(F.col("distance_m"), F.col("veg_id")))
+        .alias("m"))
+    w = Window.partitionBy("addr_id").orderBy(
+        F.col("m.distance_m").asc(), F.col("m.veg_id").asc())
+    return dd.withColumn("nn_rank",
+                         F.row_number().over(w).cast("long")) \
+        .filter(F.col("nn_rank") <= k) \
+        .select("addr_id",
+                *[F.col(f"m.{c}").alias(c) for c in payload], "nn_rank")
+
+
 def _clamped_annulus(unresolved: DataFrame, r: int, prev: int,
                      cov_bounds) -> DataFrame:
     """Probe cells for one ring-doubling round: Chebyshev annulus
@@ -356,17 +381,23 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
              max_ring: int = 8,
              cell_m: float = cells.DEFAULT_CELL_M,
              broadcast_cover: bool | None = None,
-             cover: DataFrame | None = None) -> DataFrame:
-    """Nearest-polygon (kNN k=1) join with bearing (V11): for each point the
-    closest polygon, its exact distance (0 if inside), nearest boundary
-    point, and forward azimuth — the reference's per-address
-    nearest-vegetation step (reference:
-    data_prep/vegetation/xx_fiona_testing.py:203-227).
+             cover: DataFrame | None = None,
+             k: int = 1) -> DataFrame:
+    """Nearest-polygon kNN join with bearing (V11): for each point the
+    ``k`` closest polygons, each with exact distance (0 if inside),
+    nearest boundary point, forward azimuth and evidence line — the
+    reference's per-address nearest-vegetation step (reference:
+    data_prep/vegetation/xx_fiona_testing.py:203-227; the reference is
+    k=1, :212 — k>1 serves the veg_factors/ANN consumers).
 
     Ring-expansion: examine cover cells at Chebyshev ring r around each
-    unresolved point; a point resolves once its best distance <=
-    (r * cell_m), the lower bound on anything in ring > r.
+    unresolved point; a point resolves once it holds k candidates AND
+    its k-th-best distance <= (r * cell_m), the lower bound on anything
+    in ring > r. k>1 output carries ``nn_rank`` (1..k); k=1 output is
+    unchanged (no rank column, argmin hash-aggregate path).
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     spark = points.sparkSession
     cover = (polygon_cover(polys, cell_m)
              if cover is None else cover).cache()
@@ -405,7 +436,33 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
     if cover.limit(1).count() == 0:
         # no polygons at all: there is no nearest neighbour to find, and
         # the straggler ring-doubling below could never terminate
-        return with_line(spark.createDataFrame([], out_schema))
+        empty_schema = out_schema if k == 1 else StructType(
+            out_schema.fields + [StructField("nn_rank", LongType(),
+                                             False)])
+        return with_line(spark.createDataFrame([], empty_schema))
+
+    # a point can only ever find min(k, #polygons) neighbours
+    k_eff = 1 if k == 1 else min(k, cover.select("veg_id")
+                                 .distinct().count())
+    rank_cols = ["nn_rank"] if k > 1 else []
+
+    def split_resolved(best: DataFrame, bound: float):
+        """(done rows, pending rows, done addr ids) under the ring
+        bound: an addr resolves when it holds k_eff candidates and its
+        k-th-best distance is within the bound."""
+        if k == 1:
+            done = best.filter(F.col("distance_m") <= F.lit(bound))
+            pending = best.filter(F.col("distance_m") > F.lit(bound))
+            return done, pending, done.select("addr_id")
+        marks = best.groupBy("addr_id").agg(
+            F.count("*").alias("cnt"),
+            F.max("distance_m").alias("kth"))
+        done_a = marks.filter((F.col("cnt") >= k_eff)
+                              & (F.col("kth") <= F.lit(bound))) \
+            .select("addr_id")
+        done = best.join(done_a, "addr_id")
+        pending = best.join(done_a, "addr_id", "left_anti")
+        return done, pending, done_a
 
     def best_candidates(cand: DataFrame) -> DataFrame:
         def refine(batches):
@@ -481,13 +538,12 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
             cover_b.withColumnRenamed("cell_id", "probe_cell"), "probe_cell")
         scored = best_candidates(cand)
         if best_so_far is not None:
-            scored = scored.unionByName(best_so_far)
-        best = _argmin_per_addr(scored, out_schema).localCheckpoint(
+            scored = scored.unionByName(best_so_far.drop(*rank_cols))
+        best = _topk_per_addr(scored, out_schema, k).localCheckpoint(
             eager=True)
 
         bound = r * cell_m
-        done = best.filter(F.col("distance_m") <= F.lit(bound))
-        pending = best.filter(F.col("distance_m") > F.lit(bound))
+        done, pending, done_addrs = split_resolved(best, bound)
         resolved_parts.append(done)
         # loop-termination accounting reads the (tiny, per-addr) checkpointed
         # `best`, NOT the probe side: on a 14M-address run the old
@@ -496,7 +552,7 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         # newly-resolved rows against the upfront probe count costs one
         # cheap filter-job over the checkpoint instead. Assumes addr_id is
         # unique on the probe side (already required by the per-addr argmin).
-        n_resolved += done.count()
+        n_resolved += done_addrs.count()
         prev = r
         if n_resolved >= n_pts:
             best_so_far = None
@@ -504,8 +560,7 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         # anti-join: drop resolved points from the frontier. `done` is
         # checkpointed, so the frontier plan stays O(#rounds) deep without
         # materializing its own checkpoint barrier per round.
-        unresolved = unresolved.join(done.select("addr_id"), "addr_id",
-                                     "left_anti")
+        unresolved = unresolved.join(done_addrs, "addr_id", "left_anti")
         best_so_far = pending
         # early exact finish: when the pending tail is small enough that
         # the distributed cross join is cheaper than another ring round,
@@ -570,8 +625,9 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         cand = ann.join(
             cover_b.withColumnRenamed("cell_id", "probe_cell"),
             "probe_cell")
-        scored = best_candidates(cand).unionByName(best_so_far)
-        best = _argmin_per_addr(scored, out_schema).localCheckpoint(
+        scored = best_candidates(cand) \
+            .unionByName(best_so_far.drop(*rank_cols))
+        best = _topk_per_addr(scored, out_schema, k).localCheckpoint(
             eager=True)
         if final_round:
             # window now spans the whole cover bbox for every pending
@@ -580,12 +636,10 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
             best_so_far = None
             break
         bound = r * cell_m
-        done = best.filter(F.col("distance_m") <= F.lit(bound))
-        pending = best.filter(F.col("distance_m") > F.lit(bound))
+        done, pending, done_addrs = split_resolved(best, bound)
         resolved_parts.append(done)
-        n_resolved += done.count()
-        unresolved = unresolved.join(done.select("addr_id"), "addr_id",
-                                     "left_anti")
+        n_resolved += done_addrs.count()
+        unresolved = unresolved.join(done_addrs, "addr_id", "left_anti")
         best_so_far = pending
         prev = r
         if n_resolved >= n_pts:
@@ -597,8 +651,8 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
             unresolved.select("addr_id", "x", "y").localCheckpoint(
                 eager=True))
         scored = best_candidates(polys_all.crossJoin(far)) \
-            .unionByName(best_so_far)
-        resolved_parts.append(_argmin_per_addr(scored, out_schema))
+            .unionByName(best_so_far.drop(*rank_cols))
+        resolved_parts.append(_topk_per_addr(scored, out_schema, k))
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:

@@ -116,6 +116,83 @@ def test_knn_join_matches_bruteforce(corpus_dfs, flat):
         assert abs(r.distance_m - ed) < 1e-9
 
 
+def brute_force_topk(addrs: pd.DataFrame, vegs: pd.DataFrame, k: int):
+    rings = {v.veg_id: geometry.parse_wkt(v.wkt)[0]
+             for v in vegs.itertuples()}
+    out = {}
+    for a in addrs.itertuples():
+        scored = []
+        for v in vegs.itertuples():
+            ring = rings[v.veg_id]
+            d, _, _ = geometry.points_to_ring_distance(
+                np.array([a.x]), np.array([a.y]), ring)
+            inside = geometry.points_in_ring(np.array([a.x]),
+                                             np.array([a.y]), ring)[0]
+            scored.append((0.0 if inside else float(d[0]), v.veg_id))
+        scored.sort()
+        out[a.addr_id] = scored[:k]
+    return out
+
+
+def _assert_topk(got: pd.DataFrame, exp: dict):
+    assert set(got.addr_id) == set(exp)
+    for aid, grp in got.groupby("addr_id"):
+        grp = grp.sort_values("nn_rank")
+        want = exp[aid]
+        assert list(grp.nn_rank) == list(range(1, len(want) + 1)), aid
+        assert list(grp.veg_id) == [v for _, v in want], aid
+        assert np.allclose(grp.distance_m.values,
+                           [d for d, _ in want], atol=1e-9), aid
+
+
+def test_knn_topk_matches_bruteforce(corpus_dfs, flat):
+    docs, _ = corpus_dfs
+    addrs, vegs = flat
+    got = joins.knn_join(
+        docparse.addresses_from_documents(docs).select("addr_id", "x", "y"),
+        docparse.veg_from_documents(docs), k=3).toPandas()
+    _assert_topk(got, brute_force_topk(addrs, vegs, 3))
+
+
+def test_knn_topk_exact_at_tiny_ring_budget(corpus_dfs, flat):
+    """max_ring=1 forces the clamped ring-doubling straggler path with
+    k>1: the k-th-best bound must gate resolution there too."""
+    docs, _ = corpus_dfs
+    addrs, vegs = flat
+    got = joins.knn_join(
+        docparse.addresses_from_documents(docs).select("addr_id", "x", "y"),
+        docparse.veg_from_documents(docs), max_ring=1, k=3).toPandas()
+    _assert_topk(got, brute_force_topk(addrs, vegs, 3))
+
+
+def test_knn_topk_tiebreak_and_k_above_poly_count(spark):
+    """Two polygons exactly equidistant order by veg_id asc; k larger
+    than the polygon count returns every polygon, ranked."""
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"addr_id": ["a1"], "x": [1000.0], "y": [1000.0]}))
+
+    def box(x0, y0, x1, y1):
+        return (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))")
+
+    polys = spark.createDataFrame(pd.DataFrame({
+        "veg_id": ["0001", "0002", "0003"],
+        "bal_number": [1, 2, 3],
+        "wkt": [box(1010, 995, 1020, 1005),     # right, d=10
+                box(980, 995, 990, 1005),       # left, d=10 (tie)
+                box(995, 1015, 1005, 1025)]}))  # above, d=15
+    got = joins.knn_join(pts, polys, k=5).toPandas() \
+        .sort_values("nn_rank")
+    assert list(got.nn_rank) == [1, 2, 3]
+    assert list(got.veg_id) == ["0001", "0002", "0003"]
+    assert np.allclose(got.distance_m, [10.0, 10.0, 15.0])
+    # k=1 output contract unchanged: no rank column
+    k1 = joins.knn_join(pts, polys)
+    assert "nn_rank" not in k1.columns
+    one = k1.toPandas()
+    assert len(one) == 1 and one.veg_id.iloc[0] == "0001"
+
+
 def test_zonal_stats_matches_bruteforce(spark, corpus_dfs, flat):
     docs, tiles = corpus_dfs
     addrs, _ = flat
