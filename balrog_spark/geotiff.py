@@ -304,30 +304,33 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
     nodata = info.nodata
 
     def fetch(batches):
-        f = open(path, "rb")
-        for pdf in batches:
-            out = {c: [] for c in
-                   ("media_ref", "layer", "tile_x", "tile_y", "x0", "y0",
-                    "pixel_m", "nrows", "ncols", "data")}
-            for r in pdf.itertuples():
-                raw = _pread(f, int(r.offset), int(r.count))
-                arr = decode_tile(raw, info)[:r.nrows, :r.ncols] \
-                    .astype(np.float32)
-                if nodata is not None and nodata_to is not None:
-                    arr = np.where(arr == np.float32(nodata),
-                                   np.float32(nodata_to), arr)
-                out["media_ref"].append(
-                    f"geotiff:{path}@{level}#{r.idx}")
-                out["layer"].append(layer)
-                out["tile_x"].append(int(r.tile_x))
-                out["tile_y"].append(int(r.tile_y))
-                out["x0"].append(float(r.x0))
-                out["y0"].append(float(r.y0))
-                out["pixel_m"].append(float(info.pixel_x))
-                out["nrows"].append(int(r.nrows))
-                out["ncols"].append(int(r.ncols))
-                out["data"].append(arr.ravel().tolist())
-            yield pd.DataFrame(out)
+        # close when the task's iterator is exhausted (or errors) —
+        # long-lived executors scanning many partitions must not
+        # accumulate open fds waiting for generator GC
+        with open(path, "rb") as f:
+            for pdf in batches:
+                out = {c: [] for c in
+                       ("media_ref", "layer", "tile_x", "tile_y", "x0",
+                        "y0", "pixel_m", "nrows", "ncols", "data")}
+                for r in pdf.itertuples():
+                    raw = _pread(f, int(r.offset), int(r.count))
+                    arr = decode_tile(raw, info)[:r.nrows, :r.ncols] \
+                        .astype(np.float32)
+                    if nodata is not None and nodata_to is not None:
+                        arr = np.where(arr == np.float32(nodata),
+                                       np.float32(nodata_to), arr)
+                    out["media_ref"].append(
+                        f"geotiff:{path}@{level}#{r.idx}")
+                    out["layer"].append(layer)
+                    out["tile_x"].append(int(r.tile_x))
+                    out["tile_y"].append(int(r.tile_y))
+                    out["x0"].append(float(r.x0))
+                    out["y0"].append(float(r.y0))
+                    out["pixel_m"].append(float(info.pixel_x))
+                    out["nrows"].append(int(r.nrows))
+                    out["ncols"].append(int(r.ncols))
+                    out["data"].append(arr.ravel().tolist())
+                yield pd.DataFrame(out)
     return mdf.mapInPandas(fetch, schema=TILES)
 
 

@@ -142,9 +142,10 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 
 def gif_frames(payload: bytes) -> list:
     """Decode every frame of a GIF to (h, w, 3) uint8 arrays. Frames are
-    composited onto the logical screen (disposal method 'leave in place'),
-    the overwhelmingly common animation layout; transparency in a GCE
-    keeps the underlying pixel."""
+    composited onto the logical screen honouring the GCE disposal
+    method: 0/1 leave in place, 2 restore the frame rect to the
+    background color, 3 restore to the pre-frame screen; transparency
+    in a GCE keeps the underlying pixel."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, bg, _ = struct.unpack("<HHBBB", payload[6:13])
@@ -156,10 +157,13 @@ def gif_frames(payload: bytes) -> list:
                             dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     screen = np.zeros((h, w, 3), dtype=np.uint8)
+    bg_rgb = np.zeros(3, dtype=np.uint8)
     if gct is not None:
-        screen[:, :] = gct[bg] if bg < len(gct) else 0
+        bg_rgb = gct[bg] if bg < len(gct) else bg_rgb
+        screen[:, :] = bg_rgb
     frames = []
     transparent = None
+    disposal = 0
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -172,6 +176,7 @@ def gif_frames(payload: bytes) -> list:
                 size = payload[pos]
                 gce = payload[pos + 1: pos + 1 + size]
                 transparent = gce[3] if (gce[0] & 1) else None
+                disposal = (gce[0] >> 2) & 7
                 pos += 1 + size
             while payload[pos] != 0:  # remaining sub-blocks
                 pos += 1 + payload[pos]
@@ -207,6 +212,7 @@ def gif_frames(payload: bytes) -> list:
         if iflags & 0x40:
             idx = _deinterlace(idx)
         rgb = ct[np.minimum(idx, len(ct) - 1)]
+        prev = screen.copy() if disposal == 3 else None
         region = screen[iy:iy + ih, ix:ix + iw]
         if transparent is not None:
             mask = (idx != transparent)[:, :, None]
@@ -214,7 +220,13 @@ def gif_frames(payload: bytes) -> list:
         else:
             region[...] = rgb
         frames.append(screen.copy())
+        # post-frame disposal prepares the canvas for the NEXT frame
+        if disposal == 2:
+            screen[iy:iy + ih, ix:ix + iw] = bg_rgb
+        elif disposal == 3 and prev is not None:
+            screen = prev
         transparent = None
+        disposal = 0
     return frames
 
 

@@ -200,9 +200,10 @@ def lzw_encode(data: bytes) -> bytes:
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a baseline TIFF to (h, w, 3) uint8: II/MM, strips,
-    compression 1 (none) / 5 (LZW) / 32773 (PackBits), photometric
-    0/1 (gray, 0 = white-is-zero inverted) / 2 (RGB), predictor 1/2."""
+    """Decode a baseline TIFF to (h, w, 3): II/MM, strips, compression
+    1 (none) / 5 (LZW) / 32773 (PackBits), photometric 0/1 (gray, 0 =
+    white-is-zero inverted) / 2 (RGB), predictor 1/2, 8- or 16-bit
+    samples (8-bit returns uint8, 16-bit returns uint16)."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -218,18 +219,34 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photo = tags.get(_PHOTO, [1])[0]
     bits = tags.get(_BITS, [8])
     pred = tags.get(_PREDICTOR, [1])[0]
-    if any(b != 8 for b in bits):
-        raise NotImplementedError("only 8-bit TIFF supported")
+    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16):
+        raise NotImplementedError(
+            f"only uniform 8/16-bit TIFF supported, got {bits}")
+    bps = bits[0] // 8
     if tags.get(_PLANAR, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
     rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
     offs = tags[_STRIP_OFF]
-    cnts = tags.get(_STRIP_CNT, [len(payload) - offs[0]])
+    if _STRIP_CNT in tags:
+        cnts = tags[_STRIP_CNT]
+    elif len(offs) == 1:
+        cnts = [len(payload) - offs[0]]
+    elif comp == 1:
+        # uncompressed strip sizes are derivable from the geometry
+        cnts, row = [], 0
+        for _ in offs:
+            nrows = min(rows_per_strip, h - row)
+            cnts.append(nrows * w * spp * bps)
+            row += nrows
+    else:
+        raise ValueError(
+            "multi-strip compressed TIFF missing StripByteCounts "
+            "(tag 279) — strip sizes are not derivable")
     raw = bytearray()
     row = 0
     for off, cnt in zip(offs, cnts):
         nrows = min(rows_per_strip, h - row)
-        expected = nrows * w * spp
+        expected = nrows * w * spp * bps
         chunk = payload[off:off + cnt]
         if comp == 1:
             raw += chunk[:expected]
@@ -240,33 +257,48 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         else:
             raise NotImplementedError(f"TIFF compression {comp}")
         row += nrows
-    img = np.frombuffer(bytes(raw), dtype=np.uint8)[:h * w * spp] \
-        .reshape(h, w, spp).astype(np.uint8)
+    dtype = np.uint8 if bps == 1 else np.dtype(bo + "u2")
+    img = np.frombuffer(bytes(raw), dtype=dtype)[:h * w * spp] \
+        .reshape(h, w, spp)
+    native = np.uint8 if bps == 1 else np.uint16
+    img = img.astype(native)
     if pred == 2:
         img = _undiff(img)
     if photo == 0:  # white-is-zero
-        img = 255 - img
+        img = (255 if bps == 1 else 65535) - img
     if spp == 1:
         img = np.repeat(img, 3, axis=2)
     return img[:, :, :3]
 
 
 def _undiff(img: np.ndarray) -> np.ndarray:
-    """Predictor 2: horizontal differencing, per sample, mod 256."""
-    return np.cumsum(img.astype(np.uint16), axis=1).astype(np.uint8)
+    """Predictor 2: horizontal differencing per sample VALUE (mod the
+    sample width — 16-bit differencing is on 16-bit words, not bytes)."""
+    wide = np.uint32 if img.dtype == np.uint16 else np.uint16
+    return np.cumsum(img.astype(wide), axis=1).astype(img.dtype)
 
 
 def _diff(img: np.ndarray) -> np.ndarray:
-    d = img.astype(np.int16)
-    d[:, 1:] -= img[:, :-1].astype(np.int16)
-    return (d % 256).astype(np.uint8)
+    wide = np.int64 if img.dtype == np.uint16 else np.int16
+    mod = 65536 if img.dtype == np.uint16 else 256
+    d = img.astype(wide)
+    d[:, 1:] -= img[:, :-1].astype(wide)
+    return (d % mod).astype(img.dtype)
 
 
 def encode_tiff(img: np.ndarray, compression: int = 1,
                 predictor: int = 1, rows_per_strip: int | None = None,
-                photometric: int | None = None) -> bytes:
-    """Encode (h, w) or (h, w, 3) uint8 to little-endian baseline TIFF."""
-    img = np.asarray(img, dtype=np.uint8)
+                photometric: int | None = None,
+                byte_order: str = "II") -> bytes:
+    """Encode (h, w) or (h, w, 3) uint8 OR uint16 to baseline TIFF
+    (``byte_order`` "II" little- or "MM" big-endian)."""
+    img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"encode_tiff takes uint8/uint16, got {img.dtype}")
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be 'II' or 'MM', got {byte_order!r}")
+    bo = "<" if byte_order == "II" else ">"
+    sample_bits = 8 * img.dtype.itemsize
     gray = img.ndim == 2
     if gray:
         img = img[:, :, None]
@@ -276,6 +308,7 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     if rows_per_strip is None:
         rows_per_strip = h
     src = _diff(img) if predictor == 2 else img
+    src = src.astype(bo + f"u{img.dtype.itemsize}")   # file byte order
     strips = []
     for r0 in range(0, h, rows_per_strip):
         chunk = src[r0:r0 + rows_per_strip].tobytes()
@@ -291,7 +324,7 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
         cnt = len(vals)
         fmt = _TYPE_FMT[typ]
         size = _TYPE_SIZE[typ] * cnt
-        packed = struct.pack(f"<{cnt}{fmt}", *vals)
+        packed = struct.pack(f"{bo}{cnt}{fmt}", *vals)
         return tag, typ, cnt, packed, size
 
     # layout: header(8) + strip data + IFD + overflow values
@@ -307,7 +340,7 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
 
     entries = [
         entry(_W, 4, [w]), entry(_H, 4, [h]),
-        entry(_BITS, 3, [8] * spp),
+        entry(_BITS, 3, [sample_bits] * spp),
         entry(_COMP, 3, [compression]),
         entry(_PHOTO, 3, [photometric]),
         entry(_STRIP_OFF, 4, strip_offs),
@@ -321,18 +354,19 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
     entries.sort(key=lambda e: e[0])
     ifd_size = 2 + 12 * len(entries) + 4
     over_off = ifd_off + ifd_size
-    ifd = bytearray(struct.pack("<H", len(entries)))
+    ifd = bytearray(struct.pack(bo + "H", len(entries)))
     overflow = bytearray()
     for tag, typ, cnt, packed, size in entries:
         if size <= 4:
             val = packed + b"\0" * (4 - size)
         else:
-            val = struct.pack("<I", over_off + len(overflow))
+            val = struct.pack(bo + "I", over_off + len(overflow))
             overflow += packed
-        ifd += struct.pack("<HHI", tag, typ, cnt) + val
-    ifd += struct.pack("<I", 0)  # next IFD
+        ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    ifd += struct.pack(bo + "I", 0)  # next IFD
 
-    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out = bytearray(struct.pack(bo + "2sHI", byte_order.encode(), 42,
+                                ifd_off))
     for s in strips:
         out += s
     if len(out) % 2:

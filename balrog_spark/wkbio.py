@@ -119,6 +119,8 @@ def _to_wkt(name: str, payload) -> str:
         return "MULTIPOLYGON (" + ", ".join(
             "(" + ", ".join(_ring_txt(r) for r in p) + ")"
             for _, p in payload) + ")"
+    if not payload:
+        return "GEOMETRYCOLLECTION EMPTY"
     return "GEOMETRYCOLLECTION (" + ", ".join(
         _to_wkt(n2, p2) for n2, p2 in payload) + ")"
 
@@ -150,12 +152,62 @@ def _enc_coords(arr, bo: str) -> bytes:
     return struct.pack(bo + "I", len(a)) + a.astype(bo + "f8").tobytes()
 
 
+def _split_top(body: str):
+    """Split on commas at paren depth 0 (WKT multi-geometry parts)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts]
+
+
 def wkt_to_wkb(wkt: str, srid: int | None = None, bo: str = "<") -> bytes:
-    """WKT -> (E)WKB bytes. ``srid`` emits the PostGIS EWKB SRID flag."""
+    """WKT -> (E)WKB bytes. ``srid`` emits the PostGIS EWKB SRID flag.
+    Covers all seven 2D types (the decoder's scope): multi-geometries
+    nest full WKB children, each with its own byte-order byte and never
+    an SRID flag."""
     from . import geometry
 
     s = wkt.strip()
     u = s.upper()
+    if u.startswith("MULTIPOINT"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        pts = [p.strip().lstrip("(").rstrip(")").strip()
+               for p in _split_top(body)]
+        out = _enc_header(4, srid, bo) + struct.pack(bo + "I", len(pts))
+        for p in pts:
+            x, y = (float(v) for v in p.split()[:2])
+            out += _enc_header(1, None, bo) + struct.pack(bo + "2d", x, y)
+        return out
+    if u.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        out = _enc_header(5, srid, bo)
+        lines = _split_top(body)
+        out += struct.pack(bo + "I", len(lines))
+        for ln in lines:
+            inner = ln[ln.index("(") + 1:ln.rindex(")")]
+            pts = np.array([[float(v) for v in pair.split()[:2]]
+                            for pair in inner.split(",")])
+            out += _enc_header(2, None, bo) + _enc_coords(pts, bo)
+        return out
+    if u.startswith("GEOMETRYCOLLECTION"):
+        if "(" not in s:                    # GEOMETRYCOLLECTION EMPTY
+            return _enc_header(7, srid, bo) + struct.pack(bo + "I", 0)
+        body = s[s.index("(") + 1:s.rindex(")")].strip()
+        if not body:
+            return _enc_header(7, srid, bo) + struct.pack(bo + "I", 0)
+        children = _split_top(body)
+        out = _enc_header(7, srid, bo) + struct.pack(bo + "I",
+                                                     len(children))
+        for child in children:
+            out += wkt_to_wkb(child, None, bo)
+        return out
     if u.startswith("POINT"):
         body = s[s.index("(") + 1:s.rindex(")")]
         x, y = (float(v) for v in body.split()[:2])

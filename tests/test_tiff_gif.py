@@ -89,6 +89,86 @@ def test_tiff_rejects_non_tiff():
         tiffcodec.decode_tiff(b"XXXX garbage")
 
 
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("byte_order", ["II", "MM"])
+def test_tiff_16bit_roundtrip(comp, pred, byte_order):
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 65536, size=(9, 13), dtype=np.uint16)
+    enc = tiffcodec.encode_tiff(gray, compression=comp, predictor=pred,
+                                rows_per_strip=4, byte_order=byte_order)
+    dec = tiffcodec.decode_tiff(enc)
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec[:, :, 0], gray)
+    rgb = rng.integers(0, 65536, size=(7, 5, 3), dtype=np.uint16)
+    enc = tiffcodec.encode_tiff(rgb, compression=comp, predictor=pred,
+                                byte_order=byte_order)
+    assert np.array_equal(tiffcodec.decode_tiff(enc), rgb)
+
+
+def test_tiff_16bit_decode_image_dispatch():
+    from balrog_spark import mediaops
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 65536, size=(6, 8, 3), dtype=np.uint16)
+    for byte_order in ("II", "MM"):
+        payload = tiffcodec.encode_tiff(img, byte_order=byte_order)
+        dec = mediaops.decode_image(payload, 8, 6)
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec, img)
+
+
+def _tiff_without_counts(comp: int, strips: list, w: int, h: int,
+                         rows_per_strip: int) -> bytes:
+    """Hand-built II file with NO StripByteCounts tag (279)."""
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos + (pos % 2)
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8]),
+               (259, 3, [comp]), (262, 3, [1]), (273, 4, offs),
+               (277, 3, [1]), (278, 4, [rows_per_strip])]
+    ifd_size = 2 + 12 * len(entries) + 4
+    over_off = ifd_off + ifd_size
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    overflow = bytearray()
+    fmt = {3: "H", 4: "I"}
+    size_of = {3: 2, 4: 4}
+    for tag, typ, vals in entries:
+        packed = struct.pack(f"<{len(vals)}{fmt[typ]}", *vals)
+        if len(vals) * size_of[typ] <= 4:
+            val = packed + b"\0" * (4 - len(packed))
+        else:
+            val = struct.pack("<I", over_off + len(overflow))
+            overflow += packed
+        ifd += struct.pack("<HHI", tag, typ, len(vals)) + val
+    ifd += struct.pack("<I", 0)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\0"
+    return bytes(out + ifd + overflow)
+
+
+def test_tiff_missing_stripbytecounts():
+    """Tag 279 absent: single strip and uncompressed multi-strip are
+    derivable; compressed multi-strip must raise a clear diagnostic
+    instead of dying later in an unrelated reshape."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    raw = [img[:3].tobytes(), img[3:].tobytes()]
+    dec = tiffcodec.decode_tiff(_tiff_without_counts(1, raw, 5, 6, 3))
+    assert np.array_equal(dec[:, :, 0], img)
+    lzw = [tiffcodec.lzw_encode(c) for c in raw]
+    with pytest.raises(ValueError, match="StripByteCounts"):
+        tiffcodec.decode_tiff(_tiff_without_counts(5, lzw, 5, 6, 3))
+    one = [tiffcodec.lzw_encode(img.tobytes())]
+    dec = tiffcodec.decode_tiff(_tiff_without_counts(5, one, 5, 6, 6))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
 # --- GIF -------------------------------------------------------------------
 
 def test_gif_roundtrip_plain_and_interlaced():
@@ -139,6 +219,60 @@ def test_gif_multiframe_compositing():
     exp = f1.copy()
     exp[1:3, 1:3] = [255, 0, 0]
     assert np.array_equal(frames[1], exp)
+
+
+def _splice_frame(body: bytearray, ix, iy, arr: np.ndarray,
+                  pal: np.ndarray, disposal: int | None):
+    """Append (optionally a GCE with a disposal method and) one image
+    block with a local color table to a trailerless GIF body."""
+    if disposal is not None:
+        body += bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+    ih, iw = arr.shape
+    mcs = 2
+    lzw = gifcodec.gif_lzw_encode(arr.astype(np.uint8).tobytes(), mcs)
+    body += struct.pack("<BHHHHB", 0x2C, ix, iy, iw, ih, 0x80 | 1)
+    body += pal.tobytes()
+    body += bytes([mcs, len(lzw)]) + lzw + b"\x00"
+
+
+def test_gif_disposal_restore_background():
+    """Disposal 2: the frame rect clears to the background color before
+    the next frame renders — the red square must NOT persist."""
+    f1 = np.zeros((4, 4, 3), np.uint8)
+    body = bytearray(gifcodec.encode_gif(f1)[:-1])
+    pal_red = np.array([[255, 0, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+                       np.uint8)
+    pal_grn = np.array([[0, 255, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+                       np.uint8)
+    _splice_frame(body, 1, 1, np.zeros((2, 2)), pal_red, disposal=2)
+    _splice_frame(body, 0, 0, np.zeros((1, 1)), pal_grn, disposal=None)
+    frames = gifcodec.gif_frames(bytes(body + b"\x3B"))
+    assert len(frames) == 3
+    exp2 = f1.copy()
+    exp2[1:3, 1:3] = [255, 0, 0]
+    assert np.array_equal(frames[1], exp2)
+    exp3 = f1.copy()                    # red square ERASED to background
+    exp3[0, 0] = [0, 255, 0]
+    assert np.array_equal(frames[2], exp3)
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the canvas reverts to the pre-frame screen."""
+    f1 = np.zeros((4, 4, 3), np.uint8)
+    body = bytearray(gifcodec.encode_gif(f1)[:-1])
+    pal_red = np.array([[255, 0, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+                       np.uint8)
+    pal_blu = np.array([[0, 0, 255], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+                       np.uint8)
+    _splice_frame(body, 0, 0, np.zeros((4, 4)), pal_red, disposal=3)
+    _splice_frame(body, 3, 3, np.zeros((1, 1)), pal_blu, disposal=None)
+    frames = gifcodec.gif_frames(bytes(body + b"\x3B"))
+    assert len(frames) == 3
+    assert np.array_equal(frames[1],
+                          np.full((4, 4, 3), [255, 0, 0], np.uint8))
+    exp3 = f1.copy()                    # full-screen red reverted
+    exp3[3, 3] = [0, 0, 255]
+    assert np.array_equal(frames[2], exp3)
 
 
 # --- Spark dispatch ---------------------------------------------------------

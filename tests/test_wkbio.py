@@ -59,6 +59,34 @@ def test_ewkb_srid_and_refusals():
         wkbio.wkb_to_wkt(b"\x01" + struct.pack("<I", 99))
 
 
+def test_multi_and_collection_encode_roundtrip():
+    """Decode->encode symmetry for the three remaining types: a WKT
+    produced by wkb_to_wkt must re-encode and decode to itself."""
+    wkts = [
+        "MULTIPOINT ((1 2), (3.5 -4.25), (0 0))",
+        "MULTILINESTRING ((0 0, 1 1, 2 0), (5 5, 6 7))",
+        ("GEOMETRYCOLLECTION (POINT (1 1), "
+         "LINESTRING (0 0, 2 2), "
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+         "MULTIPOINT ((9 9), (8 8)))"),
+        "GEOMETRYCOLLECTION EMPTY",
+    ]
+    for w in wkts:
+        for bo in ("<", ">"):
+            once = wkbio.wkb_to_wkt(wkbio.wkt_to_wkb(w, bo=bo))
+            twice = wkbio.wkb_to_wkt(wkbio.wkt_to_wkb(once, bo=bo))
+            assert once == twice
+    # canonical decoder output re-encodes exactly
+    assert wkbio.wkb_to_wkt(wkbio.wkt_to_wkb(
+        "MULTIPOINT ((1 2), (3 4))")) == "MULTIPOINT ((1 2), (3 4))"
+    # bare (unparenthesized) MULTIPOINT member form also accepted
+    assert wkbio.wkb_to_wkt(wkbio.wkt_to_wkb(
+        "MULTIPOINT (1 2, 3 4)")) == "MULTIPOINT ((1 2), (3 4))"
+    # EWKB SRID on the outer geometry only
+    b = wkbio.wkt_to_wkb("MULTILINESTRING ((0 0, 1 1))", srid=4283)
+    assert wkbio.wkb_srid(b) == 4283
+
+
 def test_geometrycollection_and_area_preserved():
     gc = (b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 2)
           + wkbio.wkt_to_wkb("POINT (1 1)")
