@@ -44,7 +44,13 @@ _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GEO_KEY_DIR = 34735
+_GEO_DOUBLES = 34736
 _GDAL_NODATA = 42113
+
+# GeoKey ids (GeoTIFF 1.1 §6-7) and coordinate-transform codes for the
+# projections the engine's geodesy module implements
+_CT_CODE = {"tm": 1, "lcc": 8, "albers": 11}
+_CT_NAME = {v: k for k, v in _CT_CODE.items()}
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 12: "d", 16: "Q", 17: "q", 18: "Q"}
@@ -66,6 +72,7 @@ class GeoTiffInfo:
     x0: float                # west edge
     y_top: float             # north edge
     nodata: float | None
+    crs: object = None       # None | EPSG int | {"proj": ..., params}
 
     @property
     def tiles_x(self) -> int:
@@ -176,7 +183,80 @@ def read_info(f, level: int = 0) -> GeoTiffInfo:
         offsets=tags[_TILE_OFF], counts=tags[_TILE_CNT],
         compression=comp, dtype=dtype, bo=bo,
         pixel_x=float(scale[0]), pixel_y=float(scale[1]),
-        x0=float(x0), y_top=float(y_top), nodata=nodata)
+        x0=float(x0), y_top=float(y_top), nodata=nodata,
+        crs=_parse_geokeys(tags))
+
+
+def _parse_geokeys(tags: dict):
+    """GeoKeyDirectory (+ GeoDoubleParams) -> the engine's CRS value:
+    an EPSG int (ProjectedCSType set and not user-defined), a param
+    dict for a user-defined TM/Albers/LCC, else None."""
+    gk = tags.get(_GEO_KEY_DIR)
+    if not gk or len(gk) < 4:
+        return None
+    doubles = tags.get(_GEO_DOUBLES, [])
+    kv = {}
+    for i in range(gk[3]):
+        kid, loc, cnt, val = gk[4 + 4 * i:8 + 4 * i]
+        if loc == 0:
+            kv[kid] = val
+        elif loc == _GEO_DOUBLES and val + cnt <= len(doubles):
+            kv[kid] = doubles[val] if cnt == 1 else doubles[val:val + cnt]
+    pcs = kv.get(3072)                    # ProjectedCSTypeGeoKey
+    if pcs is not None and pcs != 32767:
+        return int(pcs)
+    name = _CT_NAME.get(kv.get(3075))     # ProjCoordTransGeoKey
+    if name == "tm":
+        return {"proj": "tm", "lon0": kv.get(3080, 0.0),
+                "lat0": kv.get(3081, 0.0), "fe": kv.get(3082, 0.0),
+                "fn": kv.get(3083, 0.0), "k0": kv.get(3092, 1.0)}
+    if name in ("albers", "lcc"):
+        return {"proj": name, "lat1": kv.get(3078, 0.0),
+                "lat2": kv.get(3079, 0.0), "lon0": kv.get(3080, 0.0),
+                "lat0": kv.get(3081, 0.0), "fe": kv.get(3082, 0.0),
+                "fn": kv.get(3083, 0.0)}
+    return None
+
+
+def _geokey_entries(crs):
+    """CRS value -> IFD entries: the GeoKeyDirectory (sorted by key id,
+    version 1.1.0) and, for param dicts, the GeoDoubleParams array."""
+    doubles = []
+    if crs is None:
+        keys = [(1025, 0, 1, 1)]           # raster type: PixelIsArea
+    elif isinstance(crs, int):
+        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1),
+                (3072, 0, 1, int(crs)), (3076, 0, 1, 9001)]
+    else:
+        ct = _CT_CODE[crs["proj"]]
+        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1),
+                (2048, 0, 1, 4283),        # GDA94 geographic (GRS80)
+                (3072, 0, 1, 32767), (3074, 0, 1, 32767),
+                (3075, 0, 1, ct), (3076, 0, 1, 9001)]
+
+        def dbl(kid, v):
+            keys.append((kid, _GEO_DOUBLES, 1, len(doubles)))
+            doubles.append(float(v))
+
+        if crs["proj"] == "tm":
+            dbl(3080, crs["lon0"])
+            dbl(3081, crs.get("lat0", 0.0))
+            dbl(3082, crs.get("fe", 500000.0))
+            dbl(3083, crs.get("fn", 10000000.0))
+            dbl(3092, crs.get("k0", 0.9996))
+        else:
+            dbl(3078, crs["lat1"])
+            dbl(3079, crs["lat2"])
+            dbl(3080, crs["lon0"])
+            dbl(3081, crs.get("lat0", 0.0))
+            dbl(3082, crs.get("fe", 0.0))
+            dbl(3083, crs.get("fn", 0.0))
+    keys.sort()
+    dir_vals = [1, 1, 0, len(keys)] + [v for k in keys for v in k]
+    out = [(_GEO_KEY_DIR, 3, dir_vals)]
+    if doubles:
+        out.append((_GEO_DOUBLES, 12, doubles))
+    return out
 
 
 def decode_tile(raw: bytes, info: GeoTiffInfo) -> np.ndarray:
@@ -363,7 +443,8 @@ def _downsample2(arr: np.ndarray, nodata: float | None) -> np.ndarray:
 def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
                    pixel_m: float, tile: int = 64, compression: int = 1,
                    nodata: float | None = None, bo: str = "<",
-                   bigtiff: bool = False, overviews: int = 0) -> bytes:
+                   bigtiff: bool = False, overviews: int = 0,
+                   crs=None) -> bytes:
     """(h, w) float32 or uint8 array -> tiled GeoTIFF bytes. ``x0`` is
     the west edge, ``y_top`` the north edge (row 0 = northern row),
     square pixels. ``compression``: 1 none, 5 LZW, 32773 PackBits.
@@ -372,7 +453,12 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
     offsets cap the file at 4 GB. ``overviews=k`` appends k chained
     reduced-resolution IFDs (2x block-mean each, NewSubfileType=1, geo
     tags scaled per level) — the 'O' in COG: a zoomed-out read touches
-    the small overview, never the full-res tiles."""
+    the small overview, never the full-res tiles. ``crs`` stamps the
+    GeoKeyDirectory so granule interchange keeps the datum (the
+    reference's mosaics carry it via ``gdal.Warp -t_srs``,
+    ga_5m/01_mosaic...py:251-253): an EPSG int, or a param dict
+    {"proj": "tm"|"albers"|"lcc", ...} matching the engine's geodesy
+    signatures — see :func:`geodesy.projector_for_crs`."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         arr = arr.astype(np.float32)
@@ -398,14 +484,14 @@ def encode_geotiff(arr: np.ndarray, x0: float, y_top: float,
                 struct.pack(bo + pfmt, len(out))
         next_ptr_pos = _append_ifd(
             out, a, x0, y_top, pixel_m * (2 ** lv), tile, compression,
-            nodata, bo, bigtiff, subfile=1 if lv else None)
+            nodata, bo, bigtiff, subfile=1 if lv else None, crs=crs)
     return bytes(out)
 
 
 def _append_ifd(out: bytearray, arr: np.ndarray, x0: float, y_top: float,
                 pixel_m: float, tile: int, compression: int,
                 nodata: float | None, bo: str, bigtiff: bool,
-                subfile: int | None) -> int:
+                subfile: int | None, crs=None) -> int:
     """Append one IFD + overflow values + tile data for ``arr`` at the
     current end of ``out``; returns the absolute position of this IFD's
     next-IFD pointer (written as 0) so the caller can chain overviews."""
@@ -451,9 +537,8 @@ def _append_ifd(out: bytearray, arr: np.ndarray, x0: float, y_top: float,
     entry(_SAMPLE_FORMAT, 3, [fmt])
     entry(_MODEL_PIXEL_SCALE, 12, [pixel_m, pixel_m, 0.0])
     entry(_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, x0, y_top, 0.0])
-    # minimal GeoKey directory (version 1.1, projected CRS left to the
-    # engine's own geodesy — model space is already projected meters)
-    entry(_GEO_KEY_DIR, 3, [1, 1, 1, 1, 1025, 0, 1, 1])
+    for gk_tag, gk_typ, gk_vals in _geokey_entries(crs):
+        entry(gk_tag, gk_typ, gk_vals)
     if nodata is not None:
         nd = (f"{nodata:g}".encode() + b"\x00")
         entry(_GDAL_NODATA, 2, list(nd))
@@ -521,7 +606,7 @@ def _append_ifd(out: bytearray, arr: np.ndarray, x0: float, y_top: float,
 def write_geotiff_granules(tiles: DataFrame, out_dir: str,
                            granule_tiles: int = 8, compression: int = 5,
                            nodata: float = -99.0,
-                           overviews: int = 0) -> DataFrame:
+                           overviews: int = 0, crs=None) -> DataFrame:
     """Engine TILES DataFrame -> a directory of tiled GeoTIFF granules,
     written BY THE EXECUTORS (reference sink: gdal.Warp mosaic -> COG,
     01_mosaic_and_transform_images_in_one_go.py:245-266).
@@ -588,7 +673,7 @@ def write_geotiff_granules(tiles: DataFrame, out_dir: str,
         payload = encode_geotiff(mosaic, x0=gx0, y_top=gy0 + side_r * pm,
                                  pixel_m=pm, tile=tn_r,
                                  compression=compression, nodata=nodata,
-                                 overviews=overviews)
+                                 overviews=overviews, crs=crs)
         tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
             f.write(payload)

@@ -286,6 +286,84 @@ def test_granule_sink_with_overviews(spark, tmp_path):
         assert i1.pixel_x == 2 * corpus.PIXEL_M
 
 
+def test_geokey_crs_roundtrip():
+    """CRS GeoKeys survive encode->read_info for the EPSG-int form, all
+    three user-defined param-dict forms, overview levels, and both
+    byte orders; files without a CRS stay crs=None."""
+    arr = np.arange(64, dtype=np.float32).reshape(8, 8)
+    dicts = [
+        {"proj": "tm", "lon0": 147.0, "lat0": 0.0, "k0": 0.9996,
+         "fe": 500000.0, "fn": 10000000.0},
+        {"proj": "albers", "lat1": -18.0, "lat2": -36.0, "lon0": 132.0,
+         "lat0": 0.0, "fe": 0.0, "fn": 0.0},
+        {"proj": "lcc", "lat1": -36.0, "lat2": -38.0, "lon0": 145.0,
+         "lat0": -37.0, "fe": 2500000.0, "fn": 2500000.0},
+    ]
+    for bo in ("<", ">"):
+        for crs in [28355, 3577, *dicts]:
+            enc = geotiff.encode_geotiff(arr, 0.0, 80.0, 10.0, tile=4,
+                                         bo=bo, overviews=1, crs=crs)
+            for level in (0, 1):
+                info = geotiff.read_info(io.BytesIO(enc), level=level)
+                assert info.crs == crs, (bo, crs, level)
+        enc = geotiff.encode_geotiff(arr, 0.0, 80.0, 10.0, tile=4, bo=bo)
+        assert geotiff.read_info(io.BytesIO(enc)).crs is None
+
+
+def test_reprojection_from_file_carried_crs():
+    """Reproject using ONLY the CRS read back from the file: the
+    projected coords must equal calling the geodesy projection with the
+    explicit parameters (bit-identical — same code path, params carried
+    through GeoDoubleParams f8s)."""
+    from balrog_spark import geodesy
+
+    arr = np.zeros((4, 4), dtype=np.float32)
+    vicgrid = {"proj": "lcc", "lat1": -36.0, "lat2": -38.0,
+               "lon0": 145.0, "lat0": -37.0,
+               "fe": 2500000.0, "fn": 2500000.0}
+    enc = geotiff.encode_geotiff(arr, 2490000.0, 2420000.0, 100.0,
+                                 tile=4, crs=vicgrid)
+    info = geotiff.read_info(io.BytesIO(enc))
+    fwd, inv = geodesy.projector_for_crs(info.crs)
+    lon, lat = np.array([145.5, 146.2]), np.array([-37.4, -36.9])
+    gx, gy = fwd(lon, lat)
+    ex, ey = geodesy.lcc_forward(lon, lat, **{k: v for k, v in
+                                              vicgrid.items()
+                                              if k != "proj"})
+    assert np.array_equal(gx, ex) and np.array_equal(gy, ey)
+    blon, blat = inv(gx, gy)
+    assert np.allclose(blon, lon, atol=1e-9)
+    assert np.allclose(blat, lat, atol=1e-9)
+    # EPSG registry: MGA55 int code resolves to TM lon0=147
+    enc = geotiff.encode_geotiff(arr, 300000.0, 6000000.0, 100.0,
+                                 tile=4, crs=28355)
+    info = geotiff.read_info(io.BytesIO(enc))
+    assert info.crs == 28355
+    fwd, _ = geodesy.projector_for_crs(info.crs)
+    gx, gy = fwd(np.array([147.0]), np.array([-37.0]))
+    ex, ey = geodesy.tm_forward(np.array([147.0]), np.array([-37.0]),
+                                lon0=147.0)
+    assert np.array_equal(gx, ex) and np.array_equal(gy, ey)
+    with pytest.raises(ValueError, match="registry"):
+        geodesy.projector_for_crs(999999)
+
+
+def test_granule_sink_carries_crs(spark, dem_tif, tmp_path):
+    from balrog_spark import geodesy
+
+    tiles = geotiff.geotiff_tiles(spark, dem_tif[0], layer="dem")
+    man = geotiff.write_geotiff_granules(
+        tiles, str(tmp_path / "gran"), granule_tiles=2,
+        crs=3577).toPandas()
+    assert len(man) > 0
+    with open(man.path.iloc[0], "rb") as f:
+        info = geotiff.read_info(f)
+    assert info.crs == 3577
+    fwd, _ = geodesy.projector_for_crs(info.crs)
+    x, y = fwd(np.array([132.0]), np.array([0.0]))
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+
+
 def test_full_bal_chain_from_geotiff(spark, dem_tif):
     """Switchability: the ENTIRE per-address BAL factors chain (kNN +
     zonal medians + AS 3959 lookup) produces identical rows whether the
