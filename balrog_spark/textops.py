@@ -463,7 +463,8 @@ def bm25_scores(docs: DataFrame, terms, k1: float = 1.2, b: float = 0.75,
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id", a_col: str = "doc_a",
-                   b_col: str = "doc_b", max_rounds: int = 20) -> DataFrame:
+                   b_col: str = "doc_b", max_rounds: int = 20,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs — the dedup
     family's final step: banding (MinHash/SimHash) yields PAIRS, but the
     keep/drop decision needs CLUSTERS (duplicate groups are transitive
@@ -476,7 +477,16 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     path compression, localCheckpoint per round (constant plan depth —
     the lineage never grows), convergence in ~log(component diameter)
     rounds; each round is two equi-joins + one aggregate, never a
-    driver-side graph."""
+    driver-side graph.
+
+    Skew note (the 100-TB reality: one boilerplate mega-component):
+    per-round shuffle volume is STRUCTURALLY bounded at 2|E| join rows
+    + |V| label rows regardless of component shape — the propagation
+    join carries each (directed) edge exactly once per round and the
+    min-aggregate combines map-side, so a hub holding 90% of edges
+    concentrates one join key but can never multiply rows; AQE's skew
+    split handles the task imbalance. ``stats`` (optional dict) gets
+    {"rounds": n, "edge_rows": 2|E|} for probes/monitoring."""
     spark = docs.sparkSession  # noqa: F841  (parallelism via inputs)
     nodes = docs.select(F.col(id_col).alias("nid")).distinct() \
         .localCheckpoint(eager=True)
@@ -486,7 +496,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         half.select(F.col("v_").alias("u"), F.col("u").alias("v_"))) \
         .distinct().localCheckpoint(eager=True)
     labels = nodes.select("nid", F.col("nid").alias("label"))
+    if stats is not None:
+        stats["edge_rows"] = edges.count()
+        stats["rounds"] = 0
     for _ in range(max_rounds):
+        if stats is not None:
+            stats["rounds"] += 1
         nb = (edges.join(labels.select(F.col("nid").alias("v_"),
                                        F.col("label").alias("nb_label")),
                          "v_")

@@ -416,6 +416,45 @@ def test_take_token_budget_floor_semantics(spark):
     assert list(got.cum_before) == [0, 50, 90]
 
 
+def test_dedup_clusters_skewed_giant_component(spark):
+    """One hub component holding ~90% of all edges (the boilerplate-page
+    reality at corpus scale): clustering must stay correct, converge in
+    a handful of rounds (the checkpoint-truncated propagation is
+    O(log diameter), and a star has diameter 2), and its per-round
+    shuffle volume must stay at the structural 2|E| bound — no row
+    multiplication from the hot key."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    hub_edges = [(0, i) for i in range(1, 1801)]       # star: 1800 edges
+    chain_edges = [(2000 + c * 100 + i, 2000 + c * 100 + i + 1)
+                   for c in range(10) for i in range(19)]  # 10 chains
+    edges = hub_edges + chain_edges
+    assert len(hub_edges) / len(edges) > 0.89
+    node_ids = sorted({n for e in edges for n in e} | {9999})  # +isolate
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": node_ids}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    stats = {}
+    got = textops.dedup_clusters(docs, pairs, stats=stats).toPandas() \
+        .set_index("doc_id")
+    # correctness: star floods to 0, chains to their min, isolate alone
+    assert (got.loc[list(range(0, 1801))].cluster_id == 0).all()
+    for c in range(10):
+        base = 2000 + c * 100
+        members = list(range(base, base + 20))
+        assert (got.loc[members].cluster_id == base).all()
+    assert got.loc[9999].cluster_id == 9999
+    assert got.is_canonical.sum() == 12      # hub + 10 chains + isolate
+    # round bound: chains of 20 dominate (log diameter with path
+    # compression); the giant star must NOT inflate the round count
+    assert stats["rounds"] <= 7, stats
+    # structural shuffle bound: symmetric dedup'd edge list, 2|E| rows
+    assert stats["edge_rows"] == 2 * len(edges)
+
+
 def test_take_token_budget_sharded_matches_global(spark):
     """The production range-sharded two-pass must equal the global
     single-window formulation exactly, on a skewed corpus (one hot
