@@ -762,13 +762,19 @@ def polygonize_components(rects: DataFrame, max_rounds: int = 20
     - edges via two EQUI-joins on the shared boundary row/column (a.grow0
       == b.grow1 + 1, resp. a.gcol0 == b.gcol1 + 1, both keyed with the
       class) followed by an overlap filter — no inequality join;
-    - iterative min-label propagation with path compression
-      (label <- min(label, neighbours' labels); label <- label[label]),
-      localCheckpoint per round, stop when no label changes. Compression
-      makes convergence ~log(diameter) rounds rather than diameter.
+    - iterative min-label propagation with pointer-jumping path
+      compression (label <- min(label, neighbours' labels); then
+      label <- label[label] repeated to fixpoint — each hop halves the
+      label-forest height, so convergence is ~log(diameter) rounds
+      rather than diameter), a stats-resetting localCheckpoint per step
+      (session.local_checkpoint_fresh — a plain localCheckpoint lets the
+      self-joins square the Catalyst size estimate every round until the
+      driver stalls in BigInteger math), stop when no label changes.
 
     Returns (nid, class_val, component) — component = min node id of the
     region, deterministic."""
+    from .session import local_checkpoint_fresh
+
     spark = rects.sparkSession
     BITS = 21
     # materialize the node set once: it feeds both sides of two adjacency
@@ -804,24 +810,45 @@ def polygonize_components(rects: DataFrame, max_rounds: int = 20
                                        F.col("label").alias("nb_label")),
                          "v_")
               .groupBy("u").agg(F.min("nb_label").alias("nb_min")))
-        stepped = (labels.join(nb, labels.nid == nb.u, "left")
-                   .select("nid", "class_val",
-                           F.least("label", F.coalesce("nb_min", "label"))
-                           .alias("label")))
-        # path compression: label <- label(label)
-        compressed = (stepped.alias("s")
-                      .join(stepped.select(F.col("nid").alias("label"),
-                                           F.col("label").alias("ll"))
-                            .alias("t"), "label", "left")
-                      .select("nid", "class_val",
-                              F.least("label", F.coalesce("ll", "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (compressed.alias("n")
+        stepped = local_checkpoint_fresh(
+            labels.select("nid", "class_val",
+                          F.col("label").alias("old"))
+            .join(nb, F.col("nid") == nb.u, "left")
+            .select("nid", "class_val", "old",
+                    F.least("old", F.coalesce("nb_min", "old"))
+                    .alias("label")))
+        # star contraction: each old label tree learns its members' best
+        # newly-discovered min — this is what keeps the round count
+        # logarithmic in component diameter (edge hops alone move the
+        # min O(1) edges per round regardless of compression)
+        treemin = stepped.groupBy("old").agg(F.min("label").alias("tm"))
+        stepped = local_checkpoint_fresh(
+            stepped.join(treemin, "old")
+            .select("nid", "class_val",
+                    F.least("label", "tm").alias("label")))
+        # pointer jumping: label <- label(label) to fixpoint — O(log d)
+        # hops on |V| label rows, never edges
+        for _ in range(16):
+            compressed = local_checkpoint_fresh(
+                stepped.alias("s")
+                .join(stepped.select(F.col("nid").alias("label"),
+                                     F.col("label").alias("ll"))
+                      .alias("t"), "label", "left")
+                .select("nid", "class_val",
+                        F.least("label", F.coalesce("ll", "label"))
+                        .alias("label")))
+            hop_changed = (compressed.alias("n")
+                           .join(stepped.alias("o"), "nid")
+                           .filter(F.col("n.label") != F.col("o.label"))
+                           .limit(1).count())
+            stepped = compressed
+            if hop_changed == 0:
+                break
+        changed = (stepped.alias("n")
                    .join(labels.alias("o"), "nid")
                    .filter(F.col("n.label") != F.col("o.label")).limit(1)
                    .count())
-        labels = compressed
+        labels = stepped
         if changed == 0:
             break
     return labels.select("nid", "class_val",

@@ -53,3 +53,36 @@ def get_spark(app: str = "balrog_spark", master: str | None = None,
                    .config("spark.shuffle.compress", "false")
                    .config("spark.shuffle.spill.compress", "false"))
     return builder.getOrCreate()
+
+
+def local_checkpoint_fresh(df):
+    """``localCheckpoint(eager=True)`` + Catalyst-statistics reset — the
+    checkpoint barrier iterative self-join algorithms need.
+
+    ``Dataset.localCheckpoint`` truncates the LOGICAL plan but carries the
+    truncated plan's ``sizeInBytes`` estimate onto the resulting
+    LogicalRDD. A loop that joins a checkpointed frame with itself (label
+    propagation, connected components) therefore SQUARES the estimate
+    every iteration — join stats are the product of the children — so the
+    BigInt's digit count doubles per round and the driver ends up doing
+    Toom-Cook multiplications on million-digit integers inside every
+    stats visit. Measured on 50k constant rows with a constant 10-line
+    plan: flat 0.3 s/round for ~18 rounds, then ~2.8x growth per round up
+    to 300 s/round (jstack: one driver thread pinned in
+    ``BigInteger.multiply``); reliable ``checkpoint()`` inherits the same
+    stats and behaves identically.
+
+    Rebuilding the DataFrame over the just-checkpointed InternalRow RDD
+    yields a LogicalRDD with the DEFAULT sizeInBytes, keeping stats O(1)
+    across unlimited rounds. The materialized partitions are reused — no
+    data moves, no extra job. Side effect: the frame reports
+    defaultSizeInBytes (Long.MaxValue) and thus never auto-broadcasts,
+    which is the correct default for |V|-row label tables; broadcast
+    explicitly where a frame is known-small."""
+    from pyspark.sql import DataFrame
+
+    spark = df.sparkSession
+    jdf = df._jdf.localCheckpoint(True)
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return DataFrame(fresh, spark)

@@ -25,6 +25,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 # MinHash permutation family: h_i = (A[i] * h + B[i]) mod P over the
@@ -59,6 +61,15 @@ def _norm(col):
     return F.lower(F.regexp_replace(col, r"\s+", " "))
 
 
+# Python twin of _norm for Arrow-batched scans; [ \t\n\x0b\f\r] is exactly
+# Java's (non-unicode) \s so both sides collapse the same characters
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _norm_py(s: str) -> str:
+    return _WS_RE.sub(" ", s).lower()
+
+
 def normalize(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", spread: bool = False) -> DataFrame:
     out = docs.select(F.col(id_col).alias("doc_id"),
@@ -91,14 +102,21 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
 
 def shingles(docs: DataFrame, k: int = 8, text_col: str = "text",
              id_col: str = "doc_id",
-             max_df: int | None = None) -> DataFrame:
+             max_df: int | None = None,
+             distinct: bool = True) -> DataFrame:
     """Distinct character k-gram shingles per document: (doc_id, shingle).
 
     ``max_df`` drops shingles present in more than that many documents —
     the hot-shingle skew control: one stopword-like shingle (e.g. ``"the
     quic"``) otherwise makes the downstream self-join quadratic on that
     key. The hot set is tiny by construction, so the filter is a broadcast
-    anti-join."""
+    anti-join.
+
+    ``distinct=False`` skips the per-document dedup — that dedup is a
+    full-corpus shuffle (every character position of every document), so
+    consumers that immediately reduce the stream (e.g. decontamination's
+    broadcast probe, which filters to the tiny benchmark-hit set map-side)
+    must take the raw stream and dedup after their own filter."""
     n = normalize(docs, text_col, id_col, spread=True) \
         .filter(F.length("norm") >= k)
     sh = (n.select(
@@ -107,8 +125,9 @@ def shingles(docs: DataFrame, k: int = 8, text_col: str = "text",
         .alias("pos"),
         "norm")
         .select("doc_id",
-                F.expr(f"substring(norm, pos, {k})").alias("shingle"))
-        .distinct())
+                F.expr(f"substring(norm, pos, {k})").alias("shingle")))
+    if distinct:
+        sh = sh.distinct()
     if max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("shingle"))
@@ -474,10 +493,17 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
 
     Same Spark-first shape as the polygonize component labelling
     (raster.polygonize_components): iterative min-label propagation with
-    path compression, localCheckpoint per round (constant plan depth —
-    the lineage never grows), convergence in ~log(component diameter)
-    rounds; each round is two equi-joins + one aggregate, never a
-    driver-side graph.
+    star contraction + pointer-jumping compression, a stats-resetting
+    checkpoint per step (constant plan depth — the lineage never grows),
+    convergence in ~log(component diameter) rounds; each round is two
+    equi-joins + two aggregates + ≤16 |V|-row compression hops, never a
+    driver-side graph. The star step (each node's OLD label tree learns
+    its members' best newly-discovered min through one groupBy + join)
+    is what makes the round count logarithmic: edge-hop propagation
+    alone moves the min O(1) edges per round however hard the label
+    forest is flattened, and a 47-link template-family near-dup chain
+    at 50k docs needed >20 such rounds; with the star step the same
+    corpus converges in 6.
 
     Skew note (the 100-TB reality: one boilerplate mega-component):
     per-round shuffle volume is STRUCTURALLY bounded at 2|E| join rows
@@ -486,7 +512,14 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     min-aggregate combines map-side, so a hub holding 90% of edges
     concentrates one join key but can never multiply rows; AQE's skew
     split handles the task imbalance. ``stats`` (optional dict) gets
-    {"rounds": n, "edge_rows": 2|E|} for probes/monitoring."""
+    {"rounds": n, "edge_rows": 2|E|} for probes/monitoring.
+
+    Checkpoints go through session.local_checkpoint_fresh: a plain
+    localCheckpoint keeps the truncated plan's Catalyst size estimate,
+    which the per-round self-joins square until the driver stalls in
+    BigInteger math (see that helper's docstring for the measurements)."""
+    from .session import local_checkpoint_fresh
+
     spark = docs.sparkSession  # noqa: F841  (parallelism via inputs)
     nodes = docs.select(F.col(id_col).alias("nid")).distinct() \
         .localCheckpoint(eager=True)
@@ -506,23 +539,46 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                                        F.col("label").alias("nb_label")),
                          "v_")
               .groupBy("u").agg(F.min("nb_label").alias("nb_min")))
-        stepped = (labels.join(nb, labels.nid == nb.u, "left")
-                   .select("nid",
-                           F.least("label", F.coalesce("nb_min", "label"))
-                           .alias("label")))
-        compressed = (stepped.alias("s")
-                      .join(stepped.select(F.col("nid").alias("label"),
-                                           F.col("label").alias("ll"))
-                            .alias("t"), "label", "left")
-                      .select("nid",
-                              F.least("label", F.coalesce("ll", "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (compressed.alias("n")
+        stepped = local_checkpoint_fresh(
+            labels.select("nid", F.col("label").alias("old"))
+            .join(nb, F.col("nid") == nb.u, "left")
+            .select("nid", "old",
+                    F.least("old", F.coalesce("nb_min", "old"))
+                    .alias("label")))
+        # star contraction: broadcast each old tree's best new min to
+        # all its members (one |V|-row aggregate + join)
+        treemin = stepped.groupBy("old").agg(F.min("label").alias("tm"))
+        stepped = local_checkpoint_fresh(
+            stepped.join(treemin, "old")
+            .select("nid", F.least("label", "tm").alias("label")))
+        # Pointer jumping: flatten the label forest to its roots before
+        # the next edge round. Each hop replaces label with
+        # label-of-label, halving tree height, so a diameter-d chain
+        # collapses in O(log d) hops — without the loop a single
+        # compression hop leaves the outer loop O(d) (a 47-link
+        # template-family chain blew the 20-round cap at 50k docs).
+        # The hop join is on |V| label rows only, never edges.
+        for _ in range(16):
+            compressed = local_checkpoint_fresh(
+                stepped.alias("s")
+                .join(stepped.select(F.col("nid").alias("label"),
+                                     F.col("label").alias("ll"))
+                      .alias("t"), "label", "left")
+                .select("nid",
+                        F.least("label", F.coalesce("ll", "label"))
+                        .alias("label")))
+            hop_changed = (compressed.alias("n")
+                           .join(stepped.alias("o"), "nid")
+                           .filter(F.col("n.label") != F.col("o.label"))
+                           .limit(1).count())
+            stepped = compressed
+            if hop_changed == 0:
+                break
+        changed = (stepped.alias("n")
                    .join(labels.alias("o"), "nid")
                    .filter(F.col("n.label") != F.col("o.label")).limit(1)
                    .count())
-        labels = compressed
+        labels = stepped
         if changed == 0:
             break
     return labels.select(
@@ -579,6 +635,37 @@ def pack_sequences(docs: DataFrame, budget_tokens: int,
                                                   schema=PACKED_SCHEMA)
 
 
+_SHINGLE_MULTS = None
+
+
+def _shingle_hash_mults(k: int):
+    """Fixed odd uint64 multipliers for the vectorized shingle hash
+    (position-weighted dot product mod 2^64, natural wraparound)."""
+    import numpy as np
+
+    m = np.empty(k, dtype=np.uint64)
+    x = np.uint64(0x9E3779B97F4A7C15)        # golden-ratio odd constant
+    for j in range(k):
+        m[j] = x | np.uint64(1)
+        x = x * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(j * 2 + 1)
+    return m
+
+
+def _shingle_hashes(norm: str, k: int, mults):
+    """All k-char-window hashes of an (already normalized) string as a
+    uint64 array — numpy sliding windows over the utf-32 code-point
+    array, one fused multiply-add per window position. O(k·L) C-speed;
+    no per-position string materialization."""
+    import numpy as np
+
+    cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
+    if cps.size < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(cps, k).astype(
+        np.uint64)
+    return (win * mults).sum(axis=1)         # uint64 wraparound
+
+
 def decontaminate_flags(docs: DataFrame, benchmark: DataFrame,
                         k: int = 8, min_hits: int = 1,
                         text_col: str = "text",
@@ -586,22 +673,62 @@ def decontaminate_flags(docs: DataFrame, benchmark: DataFrame,
     """Benchmark decontamination: flag every training document sharing
     >= ``min_hits`` distinct character k-gram shingles with ANY
     benchmark text — the standard eval-leakage sweep before
-    pretraining. The benchmark shingle set is small by construction, so
-    the probe is a broadcast equi-join on the shingle (never a scan of
-    benchmark×corpus); documents too short to shingle report 0 hits."""
-    doc_sh = shingles(docs, k, text_col, id_col)
-    bench_sh = shingles(benchmark, k, text_col, id_col) \
-        .select("shingle").distinct()
-    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_hit_shingles")))
-    return (docs.select(F.col(id_col).alias("doc_id")).distinct()
-            .join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_hit_shingles", F.lit(0)).cast("long")
-                    .alias("n_hit_shingles"))
-            .withColumn("contaminated",
-                        F.col("n_hit_shingles") >= min_hits))
+    pretraining. Documents too short to shingle report 0 hits.
+
+    Shape: the benchmark shingle-hash set is small by construction
+    (benchmarks are), so it ships to every task inside an Arrow-batched
+    ``mapInPandas`` closure and the corpus is scanned ONCE — each task
+    emits exactly one (doc_id, n_hit_shingles) row per document, so
+    nothing shuffles at all. This deliberately leaves whole-stage
+    codegen: the pure-column formulation (explode positions →
+    ``substring`` → broadcast join) pays O(position) per ``substring``
+    because UTF8String addressing walks from the string head, i.e.
+    O(L²) bytes per document — measured 59 s for 50k × 2 kB docs vs
+    ~4 s for this numpy rolling-window scan (sliding_window_view over
+    the utf-32 code points, one fused multiply-add per window,
+    searchsorted against the benchmark set). Hit shingles are counted
+    distinct-by-64-bit-hash; a cross-shingle collision inside one
+    document's hit set (probability ~2^-64 per pair) is the only
+    divergence from exact string semantics.
+
+    Normalization matches :func:`normalize` (lower + whitespace
+    collapse) for ASCII text; both engines' ``lower`` agree there."""
+    import numpy as np
+
+    mults = _shingle_hash_mults(k)
+    bench_rows = benchmark.select(F.col(text_col)).collect()
+    bench_hashes = [_shingle_hashes(_norm_py(r[0]), k, mults)
+                    for r in bench_rows if r[0] is not None]
+    bench_set = np.unique(np.concatenate(bench_hashes)) if bench_hashes \
+        else np.empty(0, dtype=np.uint64)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts = []
+            for text in pdf[text_col]:
+                if text is None:
+                    counts.append(0)
+                    continue
+                h = _shingle_hashes(_norm_py(text), k, mults)
+                if h.size == 0 or bench_set.size == 0:
+                    counts.append(0)
+                    continue
+                idx = np.searchsorted(bench_set, h)
+                idx[idx == bench_set.size] = 0
+                counts.append(int(np.unique(h[bench_set[idx] == h]).size))
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "n_hit_shingles": counts})
+
+    out = (docs.select(id_col, text_col)
+           .repartition(n_par, id_col)
+           .mapInPandas(scan,
+                        f"doc_id {id_type}, n_hit_shingles long"))
+    return out.withColumn("contaminated",
+                          F.col("n_hit_shingles") >= min_hits)
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int,

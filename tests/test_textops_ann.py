@@ -513,3 +513,81 @@ def test_take_token_budget_prunes_and_empty(spark):
     zero = textops.take_token_budget(docs, budget_tokens=0, shards=4)
     assert zero.count() == 0
     assert zero.columns == ["doc_id", "n_tokens", "cum_before"]
+
+
+def test_local_checkpoint_fresh_pins_stats_across_self_join_rounds(spark):
+    """Pin the iterative-self-join stats pathology and its fix.
+
+    Dataset.localCheckpoint carries the truncated plan's sizeInBytes
+    onto the LogicalRDD, and a self-join SQUARES it — digit count
+    doubles per round, and by round ~20 the driver stalls for minutes
+    inside BigInteger.multiply (measured 0.3 s/round flat then
+    2.8x/round up to 300 s on 50k constant rows). The engine's CC loops
+    (textops.dedup_clusters, raster.polygonize_components) therefore
+    checkpoint through session.local_checkpoint_fresh, which rebuilds
+    the frame over the checkpointed InternalRow RDD with default stats.
+
+    Asserts (a) the mechanism: plain localCheckpoint's estimate at
+    least squares per self-join round; (b) the fix: the helper's
+    estimate stays pinned at the default across 25 rounds — far past
+    the round-18 wall — with the data intact."""
+    from pyspark.sql import functions as F
+
+    from balrog_spark.session import local_checkpoint_fresh
+
+    def hop(df):
+        m = df.select(F.col("nid").alias("label"),
+                      F.col("label").alias("ll"))
+        return (df.alias("s").join(m.alias("t"), "label", "left")
+                .select("nid",
+                        F.least("label", F.coalesce("ll", "label"))
+                        .alias("label")))
+
+    def size_digits(df):
+        return len(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+
+    base = spark.range(500).select(
+        F.col("id").cast("string").alias("nid"),
+        F.col("id").cast("string").alias("label"))
+
+    plain = base.localCheckpoint(eager=True)
+    digits = [size_digits(plain)]
+    for _ in range(4):
+        plain = hop(plain).localCheckpoint(eager=True)
+        digits.append(size_digits(plain))
+    assert digits[-1] >= 2 * digits[0] + 2, digits   # squaring growth
+
+    fixed = local_checkpoint_fresh(base)
+    d0 = size_digits(fixed)
+    for _ in range(25):
+        fixed = local_checkpoint_fresh(hop(fixed))
+    assert size_digits(fixed) == d0 <= 19            # pinned at default
+    out = fixed.toPandas()
+    assert len(out) == 500 and (out.nid == out.label).all()
+
+
+def test_dedup_clusters_shuffled_id_chain_logarithmic_rounds(spark):
+    """Adversarial id layout: a 300-link chain whose node ids are
+    pseudo-randomly permuted along the chain. Edge-hop propagation
+    moves the min O(1) links per round however hard the label forest
+    is flattened (the 50k campaign's diameter-47 template chains blew
+    a 20-round cap this way); the star-contraction step makes rounds
+    logarithmic. Asserts convergence within 12 rounds and exact
+    component labels."""
+    import pandas as pd
+
+    from balrog_spark import textops
+
+    n = 300
+    perm = sorted(range(n), key=lambda i: (i * 127) % n)  # gcd(127,300)=1
+    pairs = pd.DataFrame({"doc_a": [perm[i] for i in range(n - 1)],
+                          "doc_b": [perm[i + 1] for i in range(n - 1)]})
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    stats = {}
+    got = textops.dedup_clusters(
+        docs, spark.createDataFrame(pairs), max_rounds=12,
+        stats=stats).toPandas()
+    assert (got.cluster_id == 0).all()
+    assert got.is_canonical.sum() == 1
+    assert stats["rounds"] <= 12, stats
