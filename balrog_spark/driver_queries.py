@@ -1236,20 +1236,27 @@ shingle AS (
        LATERAL (SELECT unnest(generate_series(1, length(n) - 7)) AS g) p)"""
 
 
-# df-filtered shingle space (the hot-shingle skew control, max_df = 100)
-_SHINGLES_F_CTE = _SHINGLES_CTE + """,
-dfreq AS (SELECT shingle, count(*) AS df FROM shingle GROUP BY shingle),
+# df-filtered HASHED shingle space (the hot-shingle skew control,
+# max_df = 100): shingle identity is the portable polynomial hash on
+# both engines, in lockstep with textops.shingle_hash_stream — the
+# engine computes it in one vectorized scan per document instead of the
+# O(L²) per-position substring plan, and any hash collision merges the
+# same shingles on both sides
+from .textops import shingle_hash_sql  # noqa: E402
+
+
+@q("dedup_ngram_jaccard", """
+WITH """ + _SHINGLES_CTE + f""",
+hs AS (SELECT DISTINCT doc_id, {shingle_hash_sql('shingle', 8)} AS h
+       FROM shingle),
+dfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
 shingle_f AS (
-  SELECT s.doc_id, s.shingle FROM shingle s
-  JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= 100)"""
-
-
-@q("dedup_ngram_jaccard", f"""
-WITH {_SHINGLES_F_CTE},
+  SELECT s.doc_id, s.h FROM hs s
+  JOIN dfreq d ON s.h = d.h WHERE d.df <= 100),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_f GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingle_f a JOIN shingle_f b ON a.shingle = b.shingle
+  FROM shingle_f a JOIN shingle_f b ON a.h = b.h
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT c.doc_a, c.doc_b,
        CAST(round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS DOUBLE)

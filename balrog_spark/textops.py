@@ -135,21 +135,98 @@ def shingles(docs: DataFrame, k: int = 8, text_col: str = "text",
     return sh
 
 
+def _poly_shingle_hashes(norm: str, k: int):
+    """All k-window portable polynomial hashes of an (already
+    normalized) string — the EXACT values :func:`shingle_hash_col` /
+    :func:`shingle_hash_sql` produce for each window, computed as a
+    vectorized Horner scan over the utf-32 code-point array (Spark's
+    ``ascii`` returns the code point, as does utf-32). O(k·L) C-speed;
+    the per-position ``substring`` formulation is O(L²) bytes per
+    document because UTF8String addresses by walking from the string
+    head. int64-safe: h < 2^31 and code points < 2^21, so the Horner
+    step peaks below 2^36."""
+    import numpy as np
+
+    cps = np.frombuffer(norm.encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.int64)
+    n = cps.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        h = (h * 31 + cps[j:j + n]) % MH_P
+    return h
+
+
+def shingle_hash_stream(docs: DataFrame, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        distinct: bool = True) -> DataFrame:
+    """(doc_id, h) for every k-char shingle of every document, where h
+    is the portable polynomial shingle hash — ONE Arrow-batched scan
+    per document instead of the explode→substring plan (which pays
+    O(L²) bytes per document, see :func:`_poly_shingle_hashes`).
+    ``distinct`` dedups per document (np.unique inside the scan — no
+    Spark-side shuffle). Documents shorter than k emit nothing, like
+    the string path."""
+    import numpy as np
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                h = _poly_shingle_hashes(_norm_py(text), k)
+                if h.size == 0:
+                    continue
+                if distinct:
+                    h = np.unique(h)
+                ids.append(np.full(h.size, doc_id, dtype=object))
+                hs.append(h)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids) if ids else [],
+                "h": np.concatenate(hs) if hs else []})
+
+    return (docs.select(id_col, text_col)
+            .repartition(n_par, id_col)
+            .mapInPandas(scan, f"doc_id {id_type}, h long"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
                         threshold: float = 0.4,
                         text_col: str = "text",
                         id_col: str = "doc_id",
                         max_df: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b,
-    jaccard >= threshold). Quadratic only in documents *sharing shingles* —
-    the shingle equi-join is the prefilter. With ``max_df`` set, Jaccard is
-    defined over the df-filtered shingle space (sizes AND intersections both
-    exclude dropped hot shingles, so the measure stays a true Jaccard)."""
-    sh = shingles(docs, k, text_col, id_col, max_df=max_df).cache()
+    """N-gram Jaccard near-duplicate pairs (doc_a < doc_b,
+    jaccard >= threshold). Quadratic only in documents *sharing
+    shingles* — the shingle equi-join is the prefilter. With ``max_df``
+    set, Jaccard is defined over the df-filtered shingle space (sizes
+    AND intersections both exclude dropped hot shingles, so the measure
+    stays a true Jaccard).
+
+    Shingle identity is the portable polynomial HASH (the oracle
+    computes the identical hash in SQL, so the two engines agree
+    deterministically, collisions included): the corpus is scanned once
+    per document (:func:`shingle_hash_stream`), and every downstream
+    join/aggregate keys on a long instead of an 8-char string. A
+    cross-shingle hash collision inside one document merges two
+    shingles for BOTH engines alike — at 2^31 hash space and
+    real-world shingle counts this perturbs a Jaccard by at most one
+    count, identically on both sides."""
+    sh = shingle_hash_stream(docs, k, text_col, id_col).cache()
+    if max_df is not None:
+        hot = (sh.groupBy("h").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("h"))
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (a.join(b, "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (a.join(b, "h")
               .filter(F.col("doc_a") < F.col("doc_b"))
               .groupBy("doc_a", "doc_b")
               .agg(F.count("*").alias("n_common")))
@@ -175,31 +252,58 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,
     affine permutations (A[i]*h + B[i]) mod P simulate independent hash
     functions; the per-doc min of each permutation is the signature. Band
     keys concatenate the band's minhash values; candidates share any
-    (band, key). Output: distinct (doc_a < doc_b). Pure integer/string
-    column ops — identical SQL runs on the DuckDB oracle, and there is no
-    md5 on the per-shingle hot path (12x cheaper than hashing per
-    permutation).
-    """
+    (band, key). Output: distinct (doc_a < doc_b). The oracle runs the
+    identical arithmetic in SQL, and there is no md5 on the per-shingle
+    hot path (12x cheaper than hashing per permutation).
+
+    The whole signature computes inside ONE Arrow-batched scan: shingle
+    hashes come from the vectorized Horner scan
+    (:func:`_poly_shingle_hashes` — the explode→substring plan pays
+    O(L²) bytes per document) and the affine mins reduce per document
+    IN the scan, so each task emits exactly one signature row per
+    document and the banding self-join is the operator's only shuffle.
+    min() is duplicate-insensitive, so no per-doc dedup is needed.
+    With ``max_df`` the signature must see only the df-filtered
+    shingle space (a global frequency), so that path keeps the
+    (doc_id, h) stream + broadcast anti-join + groupBy shape."""
     rows_per_band = n_hashes // bands
+    affine = [(MH_A[i], MH_B[i]) for i in range(n_hashes)]
     if max_df is None:
-        # min() is duplicate-insensitive, so the minhash path skips the
-        # shingle DISTINCT (a full shuffle of ~n_chars rows per doc) and
-        # hashes characters straight off the normalized text
-        n = normalize(docs, text_col, id_col, spread=True) \
-            .filter(F.length("norm") >= k)
-        sh = (n.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("norm") - (k - 1)))
-            .alias("pos"), "norm")
-            .select("doc_id",
-                    F.expr(f"substring(norm, pos, {k})").alias("shingle")))
+        id_type = docs.schema[id_col].dataType.simpleString()
+        n_par = docs.sparkSession.sparkContext.defaultParallelism
+        sig_schema = f"doc_id {id_type}, " + ", ".join(
+            f"mh{i} long" for i in range(n_hashes))
+
+        def scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {c: [] for c in
+                       ["doc_id", *(f"mh{i}" for i in range(n_hashes))]}
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        continue
+                    h = _poly_shingle_hashes(_norm_py(text), k)
+                    if h.size == 0:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    for i, (a_c, b_c) in enumerate(affine):
+                        out[f"mh{i}"].append(
+                            int(((a_c * h + b_c) % MH_P).min()))
+                yield pd.DataFrame(out)
+
+        mh = (docs.select(id_col, text_col)
+              .repartition(n_par, id_col)
+              .mapInPandas(scan, sig_schema))
     else:
-        sh = shingles(docs, k, text_col, id_col, max_df=max_df)
-    hs = sh.select("doc_id",
-                   shingle_hash_col(F.col("shingle"), k).alias("h"))
-    mh = hs.groupBy("doc_id").agg(*[
-        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % F.lit(MH_P))
-        .alias(f"mh{i}") for i in range(n_hashes)])
+        hs = shingle_hash_stream(docs, k, text_col, id_col).cache()
+        hot = (hs.groupBy("h").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("h"))
+        hs = hs.join(F.broadcast(hot), "h", "left_anti")
+        mh = hs.groupBy("doc_id").agg(*[
+            F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i]))
+                  % F.lit(MH_P))
+            .alias(f"mh{i}") for i in range(n_hashes)])
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{i}").cast("string")
@@ -633,9 +737,6 @@ def pack_sequences(docs: DataFrame, budget_tokens: int,
 
     return sharded.groupBy("shard").applyInPandas(pack,
                                                   schema=PACKED_SCHEMA)
-
-
-_SHINGLE_MULTS = None
 
 
 def _shingle_hash_mults(k: int):
