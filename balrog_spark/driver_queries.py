@@ -1276,6 +1276,116 @@ def dedup_ngram_jaccard(spark, sf_dir):
                       F.col("jaccard").cast("double").alias("jaccard"))
 
 
+# maximal exact shared runs: window identity is TWO independent
+# polynomial hashes (bases 31/37) packed into 62 bits — both engines
+# compute the identical pack, so window equality is deterministic and a
+# false cross-document match needs a double collision (~2^-62).
+# Shared between dedup_substring_runs and dedup_remove_spans.
+_RUNS_CTE = f"""nrm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+  FROM documents),
+pos AS (
+  SELECT doc_id, g AS pos, substr(n, g, 12) AS w
+  FROM nrm, LATERAL (SELECT unnest(generate_series(1, length(n) - 11))
+                     AS g) p),
+hs AS (SELECT doc_id, pos,
+              ({shingle_hash_sql('w', 12, 31)}) * 2147483648
+              + ({shingle_hash_sql('w', 12, 37)}) AS h
+       FROM pos),
+dfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+f AS (SELECT doc_id, pos, h FROM hs JOIN dfreq USING (h)
+      WHERE df <= 100),
+rpairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT *, pa - row_number() OVER
+      (PARTITION BY da, db, diag ORDER BY pa) AS grp
+  FROM rpairs),
+runs AS (
+  SELECT da, db, min(pa) AS a_start, min(pb) AS b_start,
+         count(*) + 11 AS run_len
+  FROM isl GROUP BY da, db, diag, grp
+  HAVING count(*) + 11 >= 24)"""
+
+
+@q("dedup_substring_runs", f"""
+WITH {_RUNS_CTE}
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       CAST(a_start AS BIGINT) AS a_start,
+       CAST(b_start AS BIGINT) AS b_start,
+       CAST(run_len AS BIGINT) AS run_len
+FROM runs""")
+def dedup_substring_runs(spark, sf_dir):
+    """Maximal exact shared character runs >= 24 between document pairs
+    (the exact-substring dedup family member): dual-hash window scan,
+    h equi-join, gaps-and-islands per (pair, diagonal)."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.substring_runs(d, min_len=24, k=12, max_df=100)
+    return out.select(F.col("doc_a").cast("long").alias("doc_a"),
+                      F.col("doc_b").cast("long").alias("doc_b"),
+                      F.col("a_start").cast("long").alias("a_start"),
+                      F.col("b_start").cast("long").alias("b_start"),
+                      F.col("run_len").cast("long").alias("run_len"))
+
+
+# span-removal endgame: runs are excised from the LATER doc (doc_a < doc_b
+# keeps the canonical earliest occurrence verbatim); per-doc intervals
+# merge with the standard cummax gaps-and-islands, then the kept segments
+# splice back with string_agg ordered by segment start — both windows
+# partitioned by doc_id, mirroring the engine's per-doc F.aggregate fold
+@q("dedup_remove_spans", f"""
+WITH {_RUNS_CTE},
+spans AS (
+  SELECT db AS doc_id, b_start AS s, b_start + run_len AS e FROM runs),
+mrk AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+              PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         THEN 1 ELSE 0 END AS ng
+  FROM spans),
+gro AS (
+  SELECT *, sum(ng) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM mrk),
+iv AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM gro
+  GROUP BY doc_id, grp),
+seg AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+         s AS ke
+  FROM iv
+  UNION ALL
+  SELECT i.doc_id, max(i.e), length(n.n) + 1
+  FROM iv i JOIN nrm n USING (doc_id) GROUP BY i.doc_id, length(n.n)),
+spliced AS (
+  SELECT s.doc_id,
+         string_agg(substr(n.n, CAST(s.ks AS INT),
+                           CAST(s.ke - s.ks AS INT)), '' ORDER BY s.ks)
+             AS clean_text
+  FROM seg s JOIN nrm n USING (doc_id) GROUP BY s.doc_id),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS n_removed FROM iv
+  GROUP BY doc_id)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       coalesce(sp.clean_text, n.n) AS clean_text,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed
+FROM nrm n
+LEFT JOIN spliced sp USING (doc_id)
+LEFT JOIN stats st USING (doc_id)""")
+def dedup_remove_spans(spark, sf_dir):
+    """Exact-substring span removal: every shared run >= 24 chars is
+    excised from the later (higher-id) document; output one row per doc
+    with the cleaned normalized text + removal stats."""
+    d = _load(spark, sf_dir, "documents")
+    out = textops.remove_duplicate_spans(d, min_len=24, k=12, max_df=100)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "clean_text", "n_spans", "n_removed")
+
+
 from .textops import MH_A, MH_B, MH_P, shingle_hash_sql  # noqa: E402
 
 @q("dedup_minhash_lsh", f"""

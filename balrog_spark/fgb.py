@@ -678,7 +678,8 @@ def _leaf_offsets(path: str, info: dict) -> list:
 
 
 def read_fgb(spark, path: str, bbox=None, wkt_col: str = "wkt",
-             features_per_task: int = 4096) -> DataFrame:
+             features_per_task: int = 4096,
+             coalesce_gap: int = 1 << 16) -> DataFrame:
     """FlatGeobuf -> DataFrame (property columns + ``wkt``).
 
     The driver reads header + (for bbox queries) only the touched
@@ -688,7 +689,13 @@ def read_fgb(spark, path: str, bbox=None, wkt_col: str = "wkt",
     discipline of the engine's COG source. ``bbox`` prunes via the
     packed R-tree; the returned features are index candidates
     (bbox-intersecting), matching fiona's mask filter — exact
-    predicates stay downstream (pip_join / dwithin)."""
+    predicates stay downstream (pip_join / dwithin).
+
+    Offsets within ``coalesce_gap`` bytes of their predecessor are
+    fetched in ONE range read (Hilbert clustering makes bbox hits
+    byte-adjacent, so a window read is typically a couple of ranges,
+    not one request per feature — the discipline that matters when
+    pread is an object-store GetRange)."""
     info = read_fgb_info(path)
     if bbox is not None:
         offsets = fgb_search(path, bbox)["offsets"]
@@ -716,11 +723,26 @@ def read_fgb(spark, path: str, bbox=None, wkt_col: str = "wkt",
             for pdf in batches:
                 rows = []
                 for offs in pdf["offs"]:
-                    for off in offs:
-                        (sz,) = struct.unpack(
-                            "<I", os.pread(fd, 4, int(off)))
-                        buf = os.pread(fd, sz, int(off) + 4)
-                        rows.append(decode_feature(buf, cols, gtype))
+                    offs = [int(o) for o in offs]   # sorted by contract
+                    runs, s = [], 0
+                    for i in range(1, len(offs)):
+                        if offs[i] - offs[i - 1] > coalesce_gap:
+                            runs.append((s, i))
+                            s = i
+                    runs.append((s, len(offs)))
+                    for lo, hi in runs:
+                        base, last = offs[lo], offs[hi - 1]
+                        # one range read through the last size prefix,
+                        # then exactly the last feature's body
+                        head = os.pread(fd, last + 4 - base, base)
+                        (last_sz,) = struct.unpack_from(
+                            "<I", head, last - base)
+                        buf = head + os.pread(fd, last_sz, last + 4)
+                        for off in offs[lo:hi]:
+                            rel = off - base
+                            (sz,) = struct.unpack_from("<I", buf, rel)
+                            rows.append(decode_feature(
+                                buf[rel + 4:rel + 4 + sz], cols, gtype))
                 if rows:
                     out = pd.DataFrame(
                         rows, columns=[c for c, _ in cols] + [wkt_col])

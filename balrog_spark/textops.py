@@ -48,12 +48,12 @@ def shingle_hash_col(col, k: int):
     return h
 
 
-def shingle_hash_sql(col: str, k: int) -> str:
+def shingle_hash_sql(col: str, k: int, base: int = 31) -> str:
     """DuckDB twin of :func:`shingle_hash_col` (BIGINT seed keeps DuckDB's
     literal-typed arithmetic out of INT32 overflow)."""
     h = "CAST(0 AS BIGINT)"
     for j in range(1, k + 1):
-        h = f"(({h}) * 31 + ascii(substr({col}, {j}, 1))) % {MH_P}"
+        h = f"(({h}) * {base} + ascii(substr({col}, {j}, 1))) % {MH_P}"
     return h
 
 # whitespace-normalized, lowercased text — the canonical form every op uses
@@ -135,7 +135,7 @@ def shingles(docs: DataFrame, k: int = 8, text_col: str = "text",
     return sh
 
 
-def _poly_shingle_hashes(norm: str, k: int):
+def _poly_shingle_hashes(norm: str, k: int, base: int = 31):
     """All k-window portable polynomial hashes of an (already
     normalized) string — the EXACT values :func:`shingle_hash_col` /
     :func:`shingle_hash_sql` produce for each window, computed as a
@@ -154,7 +154,7 @@ def _poly_shingle_hashes(norm: str, k: int):
         return np.empty(0, dtype=np.int64)
     h = np.zeros(n, dtype=np.int64)
     for j in range(k):
-        h = (h * 31 + cps[j:j + n]) % MH_P
+        h = (h * base + cps[j:j + n]) % MH_P
     return h
 
 
@@ -240,6 +240,173 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
                      / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
     return j.filter(F.col("jaccard") >= threshold) \
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def substring_runs(docs: DataFrame, min_len: int = 24, k: int = 12,
+                   max_df: int | None = 100,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Maximal exact shared character runs >= ``min_len`` between
+    document pairs — the exact-substring dedup family member (the
+    published suffix-array approach to training-set dedup finds the
+    same spans; this is its shuffle-native formulation). Output one row
+    per maximal run: (doc_a, doc_b, a_start, b_start, run_len), with
+    1-based positions into the whitespace-normalized lowercased text.
+
+    Shape: one Arrow-batched scan emits (doc_id, pos, h) per k-char
+    window, where h packs TWO independent polynomial hashes (bases
+    31/37 mod 2^31-1) into 62 bits — a cross-document false match needs
+    both to collide (~2^-62 per window pair). A shared run of length R
+    shares exactly R-k+1 consecutive windows, so the h equi-join gives
+    the matching window pairs, and a gaps-and-islands pass over each
+    pair's DIAGONAL (pa - pb; window partitioned by (doc_a, doc_b,
+    diag), never global) merges them back into maximal runs:
+    run_len = n_windows + k - 1.
+
+    ``max_df`` drops windows with more than that many occurrences
+    corpus-wide BEFORE the join — the boilerplate/skew control that
+    also bounds the within-document repetition blowup (a run of one
+    repeated character generates occurrences^2 position pairs on every
+    diagonal). A dropped hot window splits any run crossing it;
+    deterministic, and the identical cap applies in the SQL oracle.
+
+    Requires ``min_len >= k`` (a single matching window already proves
+    a k-char run; windows can't prove anything shorter)."""
+    if min_len < k:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    import numpy as np
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                norm = _norm_py(text)
+                h1 = _poly_shingle_hashes(norm, k, 31)
+                if h1.size == 0:
+                    continue
+                h2 = _poly_shingle_hashes(norm, k, 37)
+                ids.append(np.full(h1.size, doc_id, dtype=object))
+                poss.append(np.arange(1, h1.size + 1, dtype=np.int64))
+                hs.append(h1 * (1 << 31) + h2)
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids) if ids else [],
+                "pos": np.concatenate(poss) if poss else [],
+                "h": np.concatenate(hs) if hs else []})
+
+    hs = (docs.select(id_col, text_col)
+          .repartition(n_par, id_col)
+          .mapInPandas(scan, f"doc_id {id_type}, pos long, h long"))
+    if max_df is not None:
+        hs = hs.cache()
+        hot = (hs.groupBy("h").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("h"))
+        hs = hs.join(F.broadcast(hot), "h", "left_anti")
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
+                  "h")
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+                  "h")
+    pairs = (a.join(b, "h")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "pa", "pb",
+                     (F.col("pa") - F.col("pb")).alias("diag")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = (isl.groupBy("doc_a", "doc_b", "diag", "grp")
+            .agg(F.min("pa").alias("a_start"),
+                 F.min("pb").alias("b_start"),
+                 (F.count("*") + F.lit(k - 1)).alias("run_len"))
+            .filter(F.col("run_len") >= min_len)
+            .select("doc_a", "doc_b", "a_start", "b_start", "run_len"))
+    return runs
+
+
+def remove_duplicate_spans(docs: DataFrame, min_len: int = 24, k: int = 12,
+                           max_df: int | None = 100,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           runs: DataFrame | None = None) -> DataFrame:
+    """Exact-substring dedup, completed: splice the shared runs OUT of
+    every document's normalized text, keeping the canonical (lowest-id)
+    occurrence intact — the published suffix-array span-removal
+    endgame, here as the downstream half of :func:`substring_runs`.
+
+    Policy: a run found between ``doc_a < doc_b`` is removed from
+    ``doc_b`` only, so the id-earliest document carrying a span keeps
+    it verbatim and later documents lose it. Per-document spans are
+    merged (overlapping or touching half-open intervals collapse) in a
+    window PARTITIONED BY doc_id — never global — then the kept
+    segments are rebuilt with one ``F.aggregate`` fold over the sorted
+    interval array (pure columns, whole-stage codegen; no UDF).
+
+    Output one row per input document (including span-free ones):
+    (doc_id, clean_text, n_spans, n_removed) where ``clean_text`` is
+    the whitespace-normalized lowercased text with removed spans
+    excised, ``n_spans`` the number of merged removal intervals and
+    ``n_removed`` the count of removed characters.
+
+    Pass ``runs=`` to reuse an already-computed (cached/checkpointed)
+    :func:`substring_runs` result instead of recomputing it."""
+    if runs is None:
+        runs = substring_runs(docs, min_len=min_len, k=k, max_df=max_df,
+                              text_col=text_col, id_col=id_col)
+    from pyspark.sql import Window
+
+    # half-open [s, e) removal intervals in doc_b's normalized text
+    spans = runs.select(F.col("doc_b").alias("doc_id"),
+                        F.col("b_start").alias("s"),
+                        (F.col("b_start") + F.col("run_len")).alias("e"))
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    merged = (
+        spans
+        .withColumn("prev_e", F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ng", F.when(F.col("prev_e").isNull()
+                                 | (F.col("s") > F.col("prev_e")), 1)
+                    .otherwise(0))
+        .withColumn("grp", F.sum("ng").over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    per_doc = (merged.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                    .alias("iv"),
+                    F.count("*").alias("n_spans"),
+                    F.sum(F.col("e") - F.col("s")).alias("n_removed")))
+
+    n = normalize(docs, text_col, id_col)
+    j = n.join(per_doc, "doc_id", "left")
+
+    def step(acc, x):
+        return F.struct(
+            x["e"].cast("long").alias("pos"),
+            F.concat(acc["txt"], F.substr(
+                "norm", acc["pos"], x["s"] - acc["pos"])).alias("txt"))
+
+    def finish(acc):
+        return F.concat(acc["txt"], F.substr(
+            "norm", acc["pos"],
+            F.length("norm") - acc["pos"] + F.lit(1)))
+
+    clean = F.when(F.col("iv").isNull(), F.col("norm")).otherwise(
+        F.aggregate(
+            "iv",
+            F.struct(F.lit(1).cast("long").alias("pos"),
+                     F.lit("").alias("txt")),
+            step, finish))
+    return j.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+        .alias("n_spans"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+        .alias("n_removed"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,

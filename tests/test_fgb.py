@@ -139,6 +139,27 @@ def test_fgb_spark_read_full_and_bbox(spark, tmp_path):
     assert "wkt" in empty.columns
 
 
+def test_fgb_read_coalescing_invariant(spark, tmp_path):
+    """The coalesced-range fetch is a pure IO optimization: gap=0
+    (one pread per feature), a mid-size gap (mixed runs: adjacent
+    Hilbert neighbours coalesce, far ones split), and the default
+    64 KiB gap (whole partition in few ranges) must all decode the
+    identical frame, full-scan and bbox-pruned alike."""
+    pdf = _grid_polys(12)
+    p = str(tmp_path / "c.fgb")
+    fgb.write_fgb(p, pdf)
+    want = pdf.sort_values("fid").reset_index(drop=True)
+    for gap in (0, 96, 1 << 16):
+        got = fgb.read_fgb(spark, p, coalesce_gap=gap).toPandas() \
+            .sort_values("fid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["fid", "cls", "score", "wkt"]], want)
+        sub = fgb.read_fgb(spark, p, bbox=(0, 0, 25, 25),
+                           coalesce_gap=gap).toPandas()
+        assert set(sub.fid) == {i * 12 + j for i in range(3)
+                                for j in range(3)}
+
+
 def test_fgb_pip_join_parity_with_geoparquet(spark, tmp_path):
     """Identical polygons ingested via FlatGeobuf and via WKB/
     GeoParquet must drive joins.pip_join to identical output."""

@@ -638,3 +638,149 @@ def test_vectorized_shingle_scan_matches_expression_path(spark):
         for i in range(12):
             assert int(((textops.MH_A[i] * h + textops.MH_B[i])
                         % textops.MH_P).min()) == row[f"mh{i}"]
+
+
+def _brute_runs(a_norm, b_norm, min_len):
+    """All maximal common character runs >= min_len between two strings
+    as (a_start, b_start, run_len), 1-based positions."""
+    out = []
+    for diag in range(-(len(b_norm) - 1), len(a_norm)):
+        i, j = max(0, diag), max(0, -diag)
+        cur, si, sj = 0, 0, 0
+        while i < len(a_norm) and j < len(b_norm):
+            if a_norm[i] == b_norm[j]:
+                if cur == 0:
+                    si, sj = i, j
+                cur += 1
+            else:
+                if cur >= min_len:
+                    out.append((si + 1, sj + 1, cur))
+                cur = 0
+            i += 1
+            j += 1
+        if cur >= min_len:
+            out.append((si + 1, sj + 1, cur))
+    return out
+
+
+def test_substring_runs_match_bruteforce(spark):
+    """Operator output == per-pair brute-force maximal common runs on a
+    corpus exercising: planted shared spans at different offsets,
+    whitespace/case normalization, internal repetition (same window at
+    many positions), multiple runs on one diagonal, and docs too short
+    to window."""
+    shared = "the exact same long boilerplate sentence appears here"
+    texts = [
+        f"intro one {shared} tail alpha",
+        f"a different much longer preamble before {shared} and more",
+        f"intro one {shared.upper()}   tail beta",   # case+ws normalize
+        "zz " + "ab" * 40 + " yy",                    # internal repetition
+        "qq " + "ab" * 40 + " ww",
+        "short",
+        f"intro one {shared} tail alpha",             # exact dup of 0
+    ]
+    d = _docs(spark, texts)
+    got = textops.substring_runs(d, min_len=24, k=12, max_df=None) \
+        .toPandas().sort_values(
+            ["doc_a", "doc_b", "a_start", "b_start"]).reset_index(drop=True)
+    want = []
+    norms = [textops._norm_py(t) for t in texts]
+    for ia in range(len(texts)):
+        for ib in range(ia + 1, len(texts)):
+            for (sa, sb, ln) in _brute_runs(norms[ia], norms[ib], 24):
+                want.append((ia, ib, sa, sb, ln))
+    want = sorted(want)
+    assert [tuple(r) for r in got[
+        ["doc_a", "doc_b", "a_start", "b_start", "run_len"]].values] == want
+    # sanity on the fixture: dup pair covers the whole doc, offset pair
+    # found, repetition pair produced a long diagonal family
+    full = got[(got.doc_a == 0) & (got.doc_b == 6)]
+    assert len(full) == 1 and full.run_len.iloc[0] == len(norms[0])
+    assert ((got.doc_a == 3) & (got.doc_b == 4)).any()
+
+
+def test_substring_runs_max_df_splits_hot_windows(spark):
+    """Windows over the occurrence cap are dropped before the join;
+    runs through them split deterministically (both engines apply the
+    identical cap) and fragments below min_len disappear."""
+    boiler = "every document carries this exact boilerplate string"
+    texts = [f"doc {i} prefix {boiler} suffix {i}" for i in range(12)]
+    d = _docs(spark, texts)
+    uncapped = textops.substring_runs(d, min_len=24, k=12, max_df=None)
+    capped = textops.substring_runs(d, min_len=24, k=12, max_df=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == 12 * 11 // 2  # every pair shares the boilerplate run
+    assert n_cap == 0            # the hot windows all exceed df=10
+    assert textops.substring_runs(d, min_len=24, k=12,
+                                  max_df=10_000).count() == n_un
+
+
+def test_substring_runs_rejects_min_len_below_k(spark):
+    d = _docs(spark, ["some text"])
+    with pytest.raises(ValueError):
+        textops.substring_runs(d, min_len=8, k=12)
+
+
+def _brute_remove(norms, runs, min_len):
+    """Reference span removal: excise every run from the later doc,
+    merging overlaps, via a boolean keep-mask per document."""
+    masks = {i: [True] * len(n) for i, n in enumerate(norms)}
+    for (da, db, sa, sb, ln) in runs:
+        for p in range(sb - 1, sb - 1 + ln):
+            masks[db][p] = False
+    out = {}
+    for i, n in enumerate(norms):
+        kept = "".join(c for c, m in zip(n, masks[i]) if m)
+        removed = len(n) - len(kept)
+        # merged span count: falling edges of the keep mask
+        spans = sum(1 for p in range(len(n))
+                    if not masks[i][p] and (p == 0 or masks[i][p - 1]))
+        out[i] = (kept, spans, removed)
+    return out
+
+
+def test_remove_duplicate_spans_matches_mask_reference(spark):
+    """Span removal == per-character mask reference on a corpus with
+    overlapping runs from different partners, a doc that is both keeper
+    (as doc_a) and loser (as doc_b), exact dups, and span-free docs."""
+    shared = "the exact same long boilerplate sentence appears here"
+    other = "another distinct repeated fragment of considerable size"
+    texts = [
+        f"intro one {shared} tail alpha",
+        f"{other} leading then {shared} trailing",   # loses shared to 0,
+                                                     # keeps other (vs 3)
+        "completely unrelated text with no long repeats at all",
+        f"closing doc has {other} inside it",        # loses other to 1
+        f"intro one {shared} tail alpha",            # exact dup of 0
+    ]
+    d = _docs(spark, texts)
+    norms = [textops._norm_py(t) for t in texts]
+    runs = [tuple(r) for r in textops.substring_runs(
+        d, min_len=24, k=12, max_df=None).toPandas()[
+        ["doc_a", "doc_b", "a_start", "b_start", "run_len"]].values]
+    want = _brute_remove(norms, runs, 24)
+    got = textops.remove_duplicate_spans(d, min_len=24, k=12, max_df=None) \
+        .toPandas().set_index("doc_id").sort_index()
+    assert len(got) == len(texts)
+    for i in range(len(texts)):
+        r = got.loc[i]
+        assert (r.clean_text, r.n_spans, r.n_removed) == want[i], i
+    # fixture sanity: doc 0 untouched, dup doc 4 loses everything it
+    # shares with doc 0 (the whole text), doc 1 loses shared only
+    assert got.loc[0].clean_text == norms[0]
+    assert got.loc[4].clean_text == ""
+    assert shared not in got.loc[1].clean_text
+    assert other in got.loc[1].clean_text
+    assert got.loc[2].n_spans == 0
+
+
+def test_remove_duplicate_spans_accepts_precomputed_runs(spark):
+    texts = ["abcdefghijklmnopqrstuvwxyz 0123456789 shared tail here",
+             "prefix abcdefghijklmnopqrstuvwxyz 0123456789 shared tail"]
+    d = _docs(spark, texts)
+    runs = textops.substring_runs(d, min_len=24, k=12, max_df=None)
+    a = textops.remove_duplicate_spans(d, min_len=24, k=12, max_df=None)
+    b = textops.remove_duplicate_spans(d, runs=runs)
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)

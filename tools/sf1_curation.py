@@ -116,6 +116,13 @@ def main():
             F.substring("text", -60, 60).alias("text"))
     stage("decontaminate", lambda: _force(
         textops.decontaminate_flags(docs, bench)))
+    # template families share full-prefix runs (20 docs/family -> 190
+    # pairs x ~2k-char runs); the giant boilerplate cluster's windows
+    # exceed max_df=100 and are dropped BEFORE the join — the cap is
+    # what keeps the 515-doc identical cluster from contributing
+    # C(515,2) full-length diagonals (exact dups are exact_dedup's job)
+    stage("substring_runs", lambda: _force(
+        textops.substring_runs(docs, min_len=24, k=12, max_df=100)))
     stage("chunk_documents", lambda: _force(
         textops.chunk_documents(docs, chunk_tokens=128,
                                 overlap_tokens=32)))
