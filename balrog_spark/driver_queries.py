@@ -1280,17 +1280,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # polynomial hashes (bases 31/37) packed into 62 bits — both engines
 # compute the identical pack, so window equality is deterministic and a
 # false cross-document match needs a double collision (~2^-62).
+# Window size equals min_len (k=24): a df-capped window is then by
+# definition a corpus-hot string of run length itself (boilerplate);
+# smaller windows are determined by single tokens whose corpus
+# frequency grows with N, so a fixed cap would shred every run at
+# scale (textops.substring_runs docstring).
 # Shared between dedup_substring_runs and dedup_remove_spans.
+_RK = 24
 _RUNS_CTE = f"""nrm AS (
   SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
   FROM documents),
 pos AS (
-  SELECT doc_id, g AS pos, substr(n, g, 12) AS w
-  FROM nrm, LATERAL (SELECT unnest(generate_series(1, length(n) - 11))
+  SELECT doc_id, g AS pos, substr(n, g, {_RK}) AS w
+  FROM nrm, LATERAL (SELECT unnest(generate_series(1, length(n) - {_RK - 1}))
                      AS g) p),
 hs AS (SELECT doc_id, pos,
-              ({shingle_hash_sql('w', 12, 31)}) * 2147483648
-              + ({shingle_hash_sql('w', 12, 37)}) AS h
+              ({shingle_hash_sql('w', _RK, 31)}) * 2147483648
+              + ({shingle_hash_sql('w', _RK, 37)}) AS h
        FROM pos),
 dfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
 f AS (SELECT doc_id, pos, h FROM hs JOIN dfreq USING (h)
@@ -1305,9 +1311,9 @@ isl AS (
   FROM rpairs),
 runs AS (
   SELECT da, db, min(pa) AS a_start, min(pb) AS b_start,
-         count(*) + 11 AS run_len
+         count(*) + {_RK - 1} AS run_len
   FROM isl GROUP BY da, db, diag, grp
-  HAVING count(*) + 11 >= 24)"""
+  HAVING count(*) + {_RK - 1} >= 24)"""
 
 
 @q("dedup_substring_runs", f"""
@@ -1322,7 +1328,7 @@ def dedup_substring_runs(spark, sf_dir):
     (the exact-substring dedup family member): dual-hash window scan,
     h equi-join, gaps-and-islands per (pair, diagonal)."""
     d = _load(spark, sf_dir, "documents")
-    out = textops.substring_runs(d, min_len=24, k=12, max_df=100)
+    out = textops.substring_runs(d, min_len=24, k=_RK, max_df=100)
     return out.select(F.col("doc_a").cast("long").alias("doc_a"),
                       F.col("doc_b").cast("long").alias("doc_b"),
                       F.col("a_start").cast("long").alias("a_start"),
@@ -1381,7 +1387,7 @@ def dedup_remove_spans(spark, sf_dir):
     excised from the later (higher-id) document; output one row per doc
     with the cleaned normalized text + removal stats."""
     d = _load(spark, sf_dir, "documents")
-    out = textops.remove_duplicate_spans(d, min_len=24, k=12, max_df=100)
+    out = textops.remove_duplicate_spans(d, min_len=24, k=_RK, max_df=100)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "clean_text", "n_spans", "n_removed")
 

@@ -242,7 +242,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def substring_runs(docs: DataFrame, min_len: int = 24, k: int = 12,
+def substring_runs(docs: DataFrame, min_len: int = 24, k: int | None = None,
                    max_df: int | None = 100,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -264,14 +264,31 @@ def substring_runs(docs: DataFrame, min_len: int = 24, k: int = 12,
     run_len = n_windows + k - 1.
 
     ``max_df`` drops windows with more than that many occurrences
-    corpus-wide BEFORE the join — the boilerplate/skew control that
-    also bounds the within-document repetition blowup (a run of one
-    repeated character generates occurrences^2 position pairs on every
-    diagonal). A dropped hot window splits any run crossing it;
+    corpus-wide BEFORE the join — the skew control that bounds the
+    equi-join at sum(C(df,2)) pairs per window value (hot windows are
+    otherwise occurrences^2: boilerplate clusters AND within-document
+    repetition). A dropped hot window splits any run crossing it;
     deterministic, and the identical cap applies in the SQL oracle.
+
+    ``k`` defaults to ``min_len``, and that default is a SCALE
+    invariant, not a convenience: the df of a window is the corpus
+    frequency of its k-char string, which grows linearly with corpus
+    size for any string determined by fewer tokens than the window
+    spans. At k=12 a window fits inside ``" word w"`` — one token —
+    so on a large corpus EVERY word-boundary window crosses any fixed
+    cap and the cap shreds every run into sub-``min_len`` fragments
+    (observed: this operator returned 0 rows at 50k docs with k=12
+    while returning 150k at 2k docs). At k = min_len a capped window
+    is by definition a corpus-hot string of run length itself — real
+    boilerplate, which is :func:`exact_dedup` / cluster territory —
+    and pair-specific runs survive at any corpus size. Pass a smaller
+    k only with ``max_df=None`` (exact mode) or when the corpus is
+    known small.
 
     Requires ``min_len >= k`` (a single matching window already proves
     a k-char run; windows can't prove anything shorter)."""
+    if k is None:
+        k = min_len
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     import numpy as np
@@ -328,7 +345,8 @@ def substring_runs(docs: DataFrame, min_len: int = 24, k: int = 12,
     return runs
 
 
-def remove_duplicate_spans(docs: DataFrame, min_len: int = 24, k: int = 12,
+def remove_duplicate_spans(docs: DataFrame, min_len: int = 24,
+                           k: int | None = None,
                            max_df: int | None = 100,
                            text_col: str = "text",
                            id_col: str = "doc_id",

@@ -721,6 +721,44 @@ def test_substring_runs_rejects_min_len_below_k(spark):
         textops.substring_runs(d, min_len=8, k=12)
 
 
+def test_substring_runs_default_k_survives_common_token_windows(spark):
+    """The k=12 scale defect in miniature (sf1 campaign: 0 rows at 50k
+    docs): a token phrase common across the corpus makes the 12-char
+    windows inside it corpus-hot, so a fixed df cap drops them and
+    SHREDS any pair-specific run crossing the phrase. With the default
+    k = min_len the window key is as selective as the run floor itself:
+    only corpus-hot run-length strings (real boilerplate — here the
+    filler docs' shared template, correctly capped away) are dropped,
+    and the pair-specific run survives intact."""
+    run = "alpha beta keyword gamma delta epsilon zeta"
+    texts = [f"filler {i} mentions keyword gamma only" for i in range(60)]
+    pa, pb = len(texts), len(texts) + 1
+    texts += [f"first document shares {run} here",
+              f"second one also carries {run} trailing"]
+    d = _docs(spark, texts)
+    norms = [textops._norm_py(t) for t in texts]
+    want = sorted(_brute_runs(norms[pa], norms[pb], 24))
+    assert len(want) == 1 and want[0][2] > 40  # fixture: one long run
+
+    whole = textops.substring_runs(d, min_len=24, max_df=30).toPandas()
+    pair = whole[(whole.doc_a == pa) & (whole.doc_b == pb)]
+    assert sorted(map(tuple, pair[
+        ["a_start", "b_start", "run_len"]].values)) == want
+    # the filler template IS corpus-hot boilerplate: its pure-template
+    # windows (df=60) are capped, so filler-pair runs survive only where
+    # a rare digit-anchored window (df=6) proves them — truncated below
+    # the 29-char brute-force template run
+    others = whole[(whole.doc_a != pa) | (whole.doc_b != pb)]
+    assert (others.run_len < 29).all()
+
+    # k=12 under the same cap: " keyword gamma " windows are hot
+    # (df=62 > 30), the run fragments and no fragment covers it whole
+    frag = textops.substring_runs(d, min_len=24, k=12,
+                                  max_df=30).toPandas()
+    fpair = frag[(frag.doc_a == pa) & (frag.doc_b == pb)]
+    assert fpair.empty or fpair.run_len.max() < want[0][2]
+
+
 def _brute_remove(norms, runs, min_len):
     """Reference span removal: excise every run from the later doc,
     merging overlaps, via a boolean keep-mask per document."""

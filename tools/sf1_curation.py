@@ -117,12 +117,15 @@ def main():
     stage("decontaminate", lambda: _force(
         textops.decontaminate_flags(docs, bench)))
     # template families share full-prefix runs (20 docs/family -> 190
-    # pairs x ~2k-char runs); the giant boilerplate cluster's windows
+    # pairs x ~1-4k-char runs); the giant boilerplate cluster's windows
     # exceed max_df=100 and are dropped BEFORE the join — the cap is
     # what keeps the 515-doc identical cluster from contributing
-    # C(515,2) full-length diagonals (exact dups are exact_dedup's job)
+    # C(515,2) full-length diagonals (exact dups are exact_dedup's job).
+    # k defaults to min_len: THIS stage found the k=12 scale defect
+    # (single-token windows cross any fixed df cap as the corpus grows
+    # and the cap shreds every run — 0 rows at 50k docs)
     stage("substring_runs", lambda: _force(
-        textops.substring_runs(docs, min_len=24, k=12, max_df=100)))
+        textops.substring_runs(docs, min_len=24, max_df=100)))
     stage("chunk_documents", lambda: _force(
         textops.chunk_documents(docs, chunk_tokens=128,
                                 overlap_tokens=32)))
