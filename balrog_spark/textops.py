@@ -931,9 +931,10 @@ def _shingle_hash_mults(k: int):
 
     m = np.empty(k, dtype=np.uint64)
     x = np.uint64(0x9E3779B97F4A7C15)        # golden-ratio odd constant
-    for j in range(k):
-        m[j] = x | np.uint64(1)
-        x = x * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(j * 2 + 1)
+    with np.errstate(over="ignore"):         # uint64 wraparound intended
+        for j in range(k):
+            m[j] = x | np.uint64(1)
+            x = x * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(j * 2 + 1)
     return m
 
 

@@ -20,7 +20,8 @@ HEADLINE = [
     "r4_slope_aspect_tiled", "a1_zonal_stats", "a2_circular_stats",
     "v9_pip_join", "v10_dwithin_join", "v11_knn", "v8_subdivide",
     "v6_dissolve_union", "j1_equi_join", "dedup_exact",
-    "dedup_minhash_lsh", "ann_cosine_topk", "text_quality",
+    "dedup_minhash_lsh", "dedup_substring_runs", "dedup_remove_spans",
+    "ann_cosine_topk", "text_quality",
     "r14_polygonize",
 ]
 
