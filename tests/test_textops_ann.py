@@ -455,6 +455,20 @@ def test_dedup_clusters_skewed_giant_component(spark):
     assert stats["edge_rows"] == 2 * len(edges)
 
 
+def test_substring_runs_plan_has_no_global_stage(spark):
+    """Every window in substring_runs / remove_duplicate_spans is
+    partitioned ((pair, diag) islands; per-doc interval merge) — the
+    physical plan must contain no SinglePartition exchange anywhere."""
+    texts = [f"document {i} shares this exact boilerplate sentence body"
+             for i in range(6)]
+    d = _docs(spark, texts)
+    for df in (textops.substring_runs(d, min_len=24),
+               textops.remove_duplicate_spans(d, min_len=24)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+
+
 def test_take_token_budget_sharded_matches_global(spark):
     """The production range-sharded two-pass must equal the global
     single-window formulation exactly, on a skewed corpus (one hot
