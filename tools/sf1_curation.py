@@ -79,19 +79,13 @@ def _force(df) -> int:
     return int(row["n"])
 
 
-def main():
+def run_stages(docs, verbose: bool = True):
+    """The curation pipeline stage set, each forced to full
+    materialization. Returns (walls, rows, cluster_stats) — reused by
+    bench_scaling.py's `curation` job for the N vs 4N evidence."""
     from pyspark.sql import functions as F
 
     from balrog_spark import textops
-    from balrog_spark.session import get_spark
-
-    # the clique pair-verify + clustering checkpoints want headroom
-    # beyond the 8g test default on one local JVM
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    spark = get_spark(app="sf1-curation", master="local[32]",
-                      shuffle_partitions=64)
-    docs = synth_docs(spark)
-    n = docs.count()
 
     walls, rows = {}, {}
 
@@ -99,8 +93,9 @@ def main():
         t0 = time.time()
         rows[name] = fn()
         walls[name] = round(time.time() - t0, 2)
-        print(f"  {name}: {walls[name]} s, {rows[name]} rows",
-              file=sys.stderr)
+        if verbose:
+            print(f"  {name}: {walls[name]} s, {rows[name]} rows",
+                  file=sys.stderr)
 
     stage("simhash_pairs", lambda: _force(
         textops.simhash_neardup_pairs(docs).localCheckpoint(eager=True)))
@@ -133,6 +128,20 @@ def main():
         textops.upsample_repeats(docs, factor_bp=23000)))
     stage("take_token_budget", lambda: _force(
         textops.take_token_budget(docs, budget_tokens=4_000_000)))
+    return walls, rows, cluster_stats
+
+
+def main():
+    from balrog_spark.session import get_spark
+
+    # the clique pair-verify + clustering checkpoints want headroom
+    # beyond the 8g test default on one local JVM
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(app="sf1-curation", master="local[32]",
+                      shuffle_partitions=64)
+    docs = synth_docs(spark)
+    n = docs.count()
+    walls, rows, cluster_stats = run_stages(docs)
 
     total = round(sum(walls.values()), 2)
     print(json.dumps({
