@@ -1422,6 +1422,51 @@ def dedup_minhash_lsh(spark, sf_dir):
                       F.col("doc_b").cast("long").alias("doc_b"))
 
 
+@q("dedup_incremental", f"""
+WITH {_SHINGLES_CTE},
+hs AS (SELECT doc_id, {shingle_hash_sql('shingle', 8)} AS h FROM shingle),
+mh AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         min(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}"
+    for i in range(12))
+    + """
+  FROM hs GROUP BY doc_id),
+banded AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, "
+    f"concat_ws('|', mh{3 * b}, mh{3 * b + 1}, mh{3 * b + 2}) AS key FROM mh"
+    for b in range(4)) + """
+),
+newb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+oldb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+cand AS (
+  SELECT n.doc_id AS doc_id, o.doc_id AS partner
+  FROM newb n JOIN oldb o ON n.band = o.band AND n.key = o.key
+  UNION ALL
+  SELECT n.doc_id, p.doc_id
+  FROM newb n JOIN newb p
+    ON n.band = p.band AND n.key = p.key AND p.doc_id < n.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(partner) AS BIGINT) AS dup_of
+FROM cand GROUP BY doc_id""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the 10^12-doc crawl-pipeline requirement the
+    full-corpus ops can't serve: an ingest batch (odd doc ids) dedups
+    against the persisted signature STORE of everything already
+    ingested (even doc ids) plus earlier-id docs of its own batch,
+    without re-reading or re-shuffling the stored corpus (the batch's
+    band rows broadcast against the store). dup_of = minimum colliding
+    partner, a deterministic canonical drop decision."""
+    d = _load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    sigs = textops.minhash_signatures(old)
+    out = textops.dedup_incremental(new, sigs)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("dup_of").cast("long").alias("dup_of"))
+
+
 from .textops import simhash_sql  # noqa: E402
 
 _NORM_CTE = """
@@ -3344,9 +3389,10 @@ _FRONT = [
     "sample_stratified", "v3_makevalid", "dedup_cluster_canonical",
     "text_pack_sequences", "emb_cluster_canonical",
     "text_decontaminate", "text_chunk_windows", "text_upsample_repeats",
-    "text_take_budget", "v11_topk",
+    "text_take_budget", "v11_topk", "dedup_incremental",
 ]
 _BACKSEAT = [
+    "j5_self_join_delta",
     "text_token_count", "doc_fingerprint", "text_quality", "text_langid",
     "v1_buffer_geodesic",
     "v1_buffer_bbox", "v15_spatial_sort", "r2_clip_window",

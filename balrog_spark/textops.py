@@ -427,59 +427,90 @@ def remove_duplicate_spans(docs: DataFrame, min_len: int = 24,
         .alias("n_removed"))
 
 
+def minhash_signatures(docs: DataFrame, k: int = 8, n_hashes: int = 12,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document MinHash signature: (doc_id, mh0..mh{n-1}).
+
+    Each shingle is hashed ONCE with the polynomial hash, then
+    ``n_hashes`` affine permutations (A[i]*h + B[i]) mod P simulate
+    independent hash functions; the per-doc min of each permutation is
+    the signature. The whole signature computes inside ONE
+    Arrow-batched scan: shingle hashes come from the vectorized Horner
+    scan (:func:`_poly_shingle_hashes` — the explode→substring plan
+    pays O(L²) bytes per document) and the affine mins reduce per
+    document IN the scan, so each task emits exactly one row per
+    document — no shuffle at all. min() is duplicate-insensitive, so
+    no per-doc dedup is needed.
+
+    The signature is a pure function of the document text, which is
+    what makes it STORABLE: persist it (parquet / snapshot table) and
+    later batches dedup against the store via
+    :func:`dedup_incremental` without ever re-reading old text."""
+    affine = [(MH_A[i], MH_B[i]) for i in range(n_hashes)]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    sig_schema = f"doc_id {id_type}, " + ", ".join(
+        f"mh{i} long" for i in range(n_hashes))
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in
+                   ["doc_id", *(f"mh{i}" for i in range(n_hashes))]}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                h = _poly_shingle_hashes(_norm_py(text), k)
+                if h.size == 0:
+                    continue
+                out["doc_id"].append(doc_id)
+                for i, (a_c, b_c) in enumerate(affine):
+                    out[f"mh{i}"].append(
+                        int(((a_c * h + b_c) % MH_P).min()))
+            yield pd.DataFrame(out)
+
+    return (docs.select(id_col, text_col)
+            .repartition(n_par, id_col)
+            .mapInPandas(scan, sig_schema))
+
+
+def _banded(mh: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Signature rows -> (doc_id, band, key) LSH band rows; key
+    concatenates the band's minhash values."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat_ws("|", *cols).alias("key")))
+    return mh.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,
                       bands: int = 4, text_col: str = "text",
                       id_col: str = "doc_id",
                       max_df: int | None = None) -> DataFrame:
     """MinHash + LSH banding candidate pairs.
 
-    Each shingle is hashed ONCE with the polynomial hash, then ``n_hashes``
-    affine permutations (A[i]*h + B[i]) mod P simulate independent hash
-    functions; the per-doc min of each permutation is the signature. Band
-    keys concatenate the band's minhash values; candidates share any
-    (band, key). Output: distinct (doc_a < doc_b). The oracle runs the
-    identical arithmetic in SQL, and there is no md5 on the per-shingle
-    hot path (12x cheaper than hashing per permutation).
+    Signatures from :func:`minhash_signatures` (one Arrow scan, no
+    shuffle); band keys concatenate the band's minhash values;
+    candidates share any (band, key). Output: distinct
+    (doc_a < doc_b). The oracle runs the identical arithmetic in SQL,
+    and there is no md5 on the per-shingle hot path (12x cheaper than
+    hashing per permutation). The banding self-join is the operator's
+    only shuffle.
 
-    The whole signature computes inside ONE Arrow-batched scan: shingle
-    hashes come from the vectorized Horner scan
-    (:func:`_poly_shingle_hashes` — the explode→substring plan pays
-    O(L²) bytes per document) and the affine mins reduce per document
-    IN the scan, so each task emits exactly one signature row per
-    document and the banding self-join is the operator's only shuffle.
-    min() is duplicate-insensitive, so no per-doc dedup is needed.
     With ``max_df`` the signature must see only the df-filtered
     shingle space (a global frequency), so that path keeps the
     (doc_id, h) stream + broadcast anti-join + groupBy shape."""
-    rows_per_band = n_hashes // bands
-    affine = [(MH_A[i], MH_B[i]) for i in range(n_hashes)]
     if max_df is None:
-        id_type = docs.schema[id_col].dataType.simpleString()
-        n_par = docs.sparkSession.sparkContext.defaultParallelism
-        sig_schema = f"doc_id {id_type}, " + ", ".join(
-            f"mh{i} long" for i in range(n_hashes))
-
-        def scan(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                out = {c: [] for c in
-                       ["doc_id", *(f"mh{i}" for i in range(n_hashes))]}
-                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                    if text is None:
-                        continue
-                    h = _poly_shingle_hashes(_norm_py(text), k)
-                    if h.size == 0:
-                        continue
-                    out["doc_id"].append(doc_id)
-                    for i, (a_c, b_c) in enumerate(affine):
-                        out[f"mh{i}"].append(
-                            int(((a_c * h + b_c) % MH_P).min()))
-                yield pd.DataFrame(out)
-
-        mh = (docs.select(id_col, text_col)
-              .repartition(n_par, id_col)
-              .mapInPandas(scan, sig_schema))
+        mh = minhash_signatures(docs, k, n_hashes, text_col, id_col)
     else:
         hs = shingle_hash_stream(docs, k, text_col, id_col).cache()
         hot = (hs.groupBy("h").agg(F.count("*").alias("df"))
@@ -489,21 +520,52 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,
             F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i]))
                   % F.lit(MH_P))
             .alias(f"mh{i}") for i in range(n_hashes)])
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}").cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.concat_ws("|", *cols).alias("key")))
-    banded = mh.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
+    banded = _banded(mh, n_hashes, bands)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (a.join(b, ["band", "key"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
+
+
+def dedup_incremental(new_docs: DataFrame, sigs: DataFrame,
+                      k: int = 8, n_hashes: int = 12, bands: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      broadcast_new: bool = True) -> DataFrame:
+    """Incremental MinHash-LSH dedup: flag documents of an ingest
+    BATCH that collide with an existing signature STORE (or with an
+    earlier-id document of the same batch) — without re-reading or
+    re-shuffling the stored corpus.
+
+    ``sigs`` is the persisted output of :func:`minhash_signatures`
+    over everything ingested so far (at 10^12-doc scale: a bucketed
+    table appended per batch — the batch's own signatures are what
+    you append after this call). The batch side is tiny relative to
+    the store, so its band rows are BROADCAST against the store's
+    band rows (``broadcast_new=False`` falls back to a shuffle join
+    for giant backfill batches): the store never moves.
+
+    Output: one row per flagged new document — (doc_id, dup_of) where
+    dup_of is the MINIMUM colliding partner id (stored or earlier
+    in-batch), a deterministic canonical drop decision."""
+    new_sigs = minhash_signatures(new_docs, k, n_hashes, text_col, id_col)
+    nb = _banded(new_sigs, n_hashes, bands)
+    ob = _banded(sigs, n_hashes, bands)
+    probe = F.broadcast(nb) if broadcast_new else nb
+    vs_store = (ob.join(probe.select(F.col("doc_id").alias("new_id"),
+                                     "band", "key"),
+                        ["band", "key"])
+                .select("new_id", F.col("doc_id").alias("partner")))
+    older = nb.select(F.col("doc_id").alias("partner"), "band", "key")
+    vs_batch = (older.join(probe.select(F.col("doc_id").alias("new_id"),
+                                        "band", "key"),
+                           ["band", "key"])
+                .filter(F.col("partner") < F.col("new_id"))
+                .select("new_id", "partner"))
+    return (vs_store.unionByName(vs_batch)
+            .groupBy("new_id")
+            .agg(F.min("partner").alias("dup_of"))
+            .select(F.col("new_id").alias("doc_id"), "dup_of"))
 
 
 SIMHASH_BITS = 32

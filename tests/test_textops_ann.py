@@ -455,6 +455,54 @@ def test_dedup_clusters_skewed_giant_component(spark):
     assert stats["edge_rows"] == 2 * len(edges)
 
 
+def test_dedup_incremental_matches_full_banding(spark, tmp_path):
+    """Incremental dedup (batch vs persisted signature store) equals
+    the full-corpus banding restricted to pairs whose LATER doc is in
+    the batch, with dup_of = min colliding partner; signatures survive
+    a parquet store round trip (the persisted-store contract) and the
+    shuffle-join fallback agrees with the broadcast path."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide open field looking for more")
+    texts = [
+        base,                                   # 0 old
+        base + " with a tiny suffix",           # 1 old (near-dup of 0)
+        "completely different old document about spark physical plans "
+        "and adaptive query execution at large scale",   # 2 old
+        "another unrelated old text describing parquet row groups and "
+        "column chunk statistics in great detail",       # 3 old
+        base,                                   # 4 new: dup of old 0/1
+        "fresh unique new document mentioning nothing shared with any "
+        "other text in this corpus whatsoever today",    # 5 new clean
+        "batch internal duplicate sentence repeated across two new docs "
+        "for the in-batch pairing path of the operator",  # 6 new
+        "batch internal duplicate sentence repeated across two new docs "
+        "for the in-batch pairing path of the operator",  # 7 new: dup of 6
+    ]
+    d = _docs(spark, texts)
+    old = d.filter(F.col("doc_id") < 4)
+    new = d.filter(F.col("doc_id") >= 4)
+    store = str(tmp_path / "sigs")
+    textops.minhash_signatures(old).write.parquet(store)
+    sigs = spark.read.parquet(store)
+
+    inc = textops.dedup_incremental(new, sigs).toPandas() \
+        .set_index("doc_id").dup_of.to_dict()
+    alt = textops.dedup_incremental(new, sigs, broadcast_new=False) \
+        .toPandas().set_index("doc_id").dup_of.to_dict()
+    assert inc == alt
+
+    full = textops.minhash_lsh_pairs(d).toPandas()
+    want = {}
+    for a, b in full[["doc_a", "doc_b"]].values:
+        if b >= 4:                       # later doc is in the batch
+            want[b] = min(want.get(b, a), a)
+    assert inc == want
+    # fixture sanity: exact new dup flagged against the store's
+    # earliest partner, in-batch dup flagged against its twin,
+    # clean doc absent
+    assert inc[4] == 0 and inc[7] == 6 and 5 not in inc
+
+
 def test_substring_runs_plan_has_no_global_stage(spark):
     """Every window in substring_runs / remove_duplicate_spans is
     partitioned ((pair, diag) islands; per-doc interval merge) — the
