@@ -128,6 +128,64 @@ def start_snapshot_ingest(spark: SparkSession, drop_dir: str,
             .trigger(availableNow=True).start())
 
 
+def doc_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): the document's text spans concatenated in span
+    order — the canonical text view the dedup family operates on."""
+    txt = F.concat_ws(
+        " ", F.transform(
+            F.filter("spans", lambda s: s.getField("kind") == "text"),
+            lambda s: s.getField("text")))
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def start_dedup_ingest(spark: SparkSession, drop_dir: str,
+                       sig_table: str, flags_table: str,
+                       checkpoint_dir: str,
+                       max_files_per_trigger: int = 1):
+    """Streaming INCREMENTAL dedup — the 10^12-doc crawl-ingest loop:
+    each micro-batch of documents dedups against the signature store
+    accumulated by every batch before it (plus earlier-id docs of the
+    same batch), appends its flags to ``flags_table`` and its own
+    signatures to ``sig_table``, exactly-once.
+
+    The store is a versioned snapshot table of
+    :func:`textops.minhash_signatures` rows — a pure function of the
+    text, so the stored corpus is never re-read or re-shuffled: only
+    the batch's band rows move (broadcast against the store). Both
+    commits are idempotent by batch id with the sig-table commit LAST:
+    a replay after checkpoint loss finds the sig stage and skips
+    everything; a crash between the two commits replays into a flags
+    stage-skip + sig commit. Time travel on ``sig_table`` shows the
+    dedup frontier exactly as of any batch."""
+    from . import snapshots, textops
+
+    src = with_span_violations(
+        read_document_stream(spark, drop_dir, max_files_per_trigger))
+    ok = src.filter(F.col("n_violations") == 0).drop("n_violations")
+
+    def commit(batch_df, batch_id: int):
+        stage = f"dedup-batch-{batch_id}"
+        sig_hist = snapshots.history(sig_table)
+        if any(rec.get("stage") == stage for rec in sig_hist):
+            return                     # replayed batch: fully committed
+        texts = doc_text(batch_df)
+        new_sigs = textops.minhash_signatures(texts) \
+            .localCheckpoint(eager=True)   # consumed by flags AND append
+        sigs = (snapshots.read_table(spark, sig_table) if sig_hist
+                else new_sigs.limit(0))
+        flags = textops.dedup_incremental(texts, sigs, new_sigs=new_sigs)
+        if not any(rec.get("stage") == stage
+                   for rec in snapshots.history(flags_table)):
+            snapshots.commit_append(flags, flags_table, stage=stage,
+                                    metrics={"batch_id": int(batch_id)})
+        snapshots.commit_append(new_sigs, sig_table, stage=stage,
+                                metrics={"batch_id": int(batch_id)})
+
+    return (ok.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 # ---------------------------------------------------------------------------
 # event-time processing: a nightly/quarterly drop carries a release
 # timestamp per document; TIMED_DOCUMENTS is DOCUMENTS + that event time

@@ -531,7 +531,8 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_hashes: int = 12,
 def dedup_incremental(new_docs: DataFrame, sigs: DataFrame,
                       k: int = 8, n_hashes: int = 12, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
-                      broadcast_new: bool = True) -> DataFrame:
+                      broadcast_new: bool = True,
+                      new_sigs: DataFrame | None = None) -> DataFrame:
     """Incremental MinHash-LSH dedup: flag documents of an ingest
     BATCH that collide with an existing signature STORE (or with an
     earlier-id document of the same batch) — without re-reading or
@@ -547,8 +548,14 @@ def dedup_incremental(new_docs: DataFrame, sigs: DataFrame,
 
     Output: one row per flagged new document — (doc_id, dup_of) where
     dup_of is the MINIMUM colliding partner id (stored or earlier
-    in-batch), a deterministic canonical drop decision."""
-    new_sigs = minhash_signatures(new_docs, k, n_hashes, text_col, id_col)
+    in-batch), a deterministic canonical drop decision.
+
+    Pass ``new_sigs=`` to reuse already-computed batch signatures
+    (e.g. when the caller appends the same signatures to the store
+    afterwards — the streaming ingest sink does exactly that)."""
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_docs, k, n_hashes,
+                                      text_col, id_col)
     nb = _banded(new_sigs, n_hashes, bands)
     ob = _banded(sigs, n_hashes, bands)
     probe = F.broadcast(nb) if broadcast_new else nb

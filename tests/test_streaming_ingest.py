@@ -77,3 +77,69 @@ def test_streaming_stateful_counts_match_batch(spark, tmp_path):
                  spark.read.parquet(drop)).groupBy("fdi").count()
              .collect()}
     assert got == batch
+
+
+def _text_doc(doc_id, *texts):
+    off, spans = 0, []
+    for t in texts:
+        spans.append({"kind": "text", "text": t, "media_ref": "",
+                      "offset": off})
+        off += len(t) + 1
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """The crawl-ingest loop end-to-end: three micro-batches dedup
+    against the accumulating signature store; flags land exactly-once;
+    a full replay after checkpoint loss changes nothing (both tables
+    are stage-idempotent by batch id); time travel on the sig table
+    shows the dedup frontier as of each batch."""
+    import time
+
+    from balrog_spark import snapshots
+
+    drop = str(tmp_path / "drop4")
+    sig = str(tmp_path / "sigtable")
+    flags = str(tmp_path / "flagstable")
+    ckpt = str(tmp_path / "ckpt4")
+
+    t1 = ("the first unique document body with plenty of shingle "
+          "material spread over", "two separate text spans")
+    t2 = ("a second entirely different document about raster tiles "
+          "and zonal medians in the engine",)
+    t4 = ("fourth doc with its own distinct content concerning "
+          "minhash signatures and band keys",)
+    batches = [
+        [_text_doc("d01", *t1), _text_doc("d02", *t2)],
+        [_text_doc("d03", *t1),                     # dup of stored d01
+         _text_doc("d04", *t4),
+         _text_doc("d05", *t4)],                    # in-batch dup of d04
+        [_text_doc("d06", *t2)],                    # dup of stored d02
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema=streaming.DOCUMENTS) \
+            .coalesce(1).write.mode("append").parquet(drop)
+        time.sleep(1.1)   # distinct mtimes -> deterministic batch order
+
+    q = streaming.start_dedup_ingest(spark, drop, sig, flags, ckpt)
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r.dup_of for r in
+           snapshots.read_table(spark, flags).collect()}
+    assert got == {"d03": "d01", "d05": "d04", "d06": "d02"}
+    assert snapshots.read_table(spark, sig).count() == 6
+    stages = [rec["stage"] for rec in snapshots.history(sig)]
+    assert stages == [f"dedup-batch-{i}" for i in range(3)]
+    # time travel: the frontier as of batch 0 holds only batch 0's sigs
+    first = snapshots.history(sig)[0]["snapshot_id"]
+    assert snapshots.read_table(spark, sig, as_of=first).count() == 2
+
+    # checkpoint loss: a fresh checkpoint replays every file with the
+    # same batch ids -> both tables stage-skip, nothing changes
+    q = streaming.start_dedup_ingest(spark, drop, sig, flags,
+                                     str(tmp_path / "ckpt4b"))
+    q.awaitTermination(120)
+    got2 = {r.doc_id: r.dup_of for r in
+            snapshots.read_table(spark, flags).collect()}
+    assert got2 == got
+    assert snapshots.read_table(spark, sig).count() == 6
