@@ -1467,6 +1467,118 @@ def dedup_incremental(spark, sf_dir):
                       F.col("dup_of").cast("long").alias("dup_of"))
 
 
+_PACK_BUDGET = 256        # tokens per packed training sequence
+_BUDGET_TOKENS = 4000     # curation-cut token budget
+
+
+# the full training-data curation chain as ONE value-hashed oracle:
+# exact dedup -> MinHash-LSH near-dup drop -> benchmark decontamination
+# -> token-budget cut -> sequence packing. Every stage is the same
+# logic its standalone oracle pins; composing them end-to-end is what a
+# pretraining data pipeline actually runs.
+_CUR_MH = ",\n".join(
+    f"         min(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}) AS mh{i}"
+    for i in range(12))
+_CUR_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, "
+    f"concat_ws('|', mh{3 * b}, mh{3 * b + 1}, mh{3 * b + 2}) AS key "
+    f"FROM mh1" for b in range(4))
+
+@q("flagship_curation", f"""
+WITH RECURSIVE
+nrmall AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+  FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM nrmall GROUP BY md5(n)),
+s1 AS (SELECT a.doc_id, a.n FROM nrmall a JOIN keep USING (doc_id)),
+sh1 AS (
+  SELECT DISTINCT doc_id, substr(n, p.g, 8) AS shingle
+  FROM (SELECT doc_id, n FROM s1 WHERE length(n) >= 8) ld,
+       LATERAL (SELECT unnest(generate_series(1, length(n) - 7)) AS g) p),
+hs1 AS (SELECT doc_id, {shingle_hash_sql('shingle', 8)} AS h FROM sh1),
+mh1 AS (
+  SELECT doc_id,
+{_CUR_MH}
+  FROM hs1 GROUP BY doc_id),
+banded1 AS (
+{_CUR_BANDS}
+),
+neardrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM banded1 a JOIN banded1 b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+s2 AS (SELECT doc_id, n FROM s1
+       WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+bsh AS (
+  SELECT DISTINCT substr(n, p.g, 8) AS shingle
+  FROM (SELECT n FROM nrmall
+        WHERE CAST(doc_id AS BIGINT) % 97 = 0 AND length(n) >= 8) bd,
+       LATERAL (SELECT unnest(generate_series(1, length(n) - 7)) AS g) p),
+s2sh AS (
+  SELECT DISTINCT doc_id, substr(n, p.g, 8) AS shingle
+  FROM (SELECT doc_id, n FROM s2 WHERE length(n) >= 8) ld,
+       LATERAL (SELECT unnest(generate_series(1, length(n) - 7)) AS g) p),
+cont AS (SELECT doc_id FROM s2sh JOIN bsh USING (shingle)
+         GROUP BY doc_id HAVING count(*) >= 100),
+s3 AS (SELECT doc_id, n FROM s2
+       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(trim(n), ' ')) AS BIGINT) AS nt
+  FROM s3 WHERE length(n) > 0),
+ranked AS (
+  SELECT doc_id, nt,
+         CAST(coalesce(sum(nt) OVER (ORDER BY nt DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM toks),
+s4 AS (SELECT doc_id, nt FROM ranked WHERE cum_before < {_BUDGET_TOKENS}),
+shd AS (
+  SELECT doc_id AS id, nt, doc_id % 16 AS shard,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+           AS rn
+  FROM s4),
+pack(shard, rn, id, nt, seq, off, used) AS (
+  SELECT shard, rn, id, nt, CAST(0 AS BIGINT), CAST(0 AS BIGINT), nt
+  FROM shd WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.id, s.nt,
+         CASE WHEN p.used + s.nt <= {_PACK_BUDGET} THEN p.seq
+              ELSE p.seq + 1 END,
+         CASE WHEN p.used + s.nt <= {_PACK_BUDGET} THEN p.used
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.used + s.nt <= {_PACK_BUDGET} THEN p.used + s.nt
+              ELSE s.nt END
+  FROM pack p JOIN shd s ON s.shard = p.shard AND s.rn = p.rn + 1)
+SELECT CAST(shard AS INTEGER) AS shard, id AS doc_id, nt AS n_tokens,
+       seq AS seq_idx, off AS offset_tokens
+FROM pack""")
+def flagship_curation(spark, sf_dir):
+    """The end-to-end training-data curation chain — exact dedup keep →
+    MinHash-LSH near-dup drop (later doc of every candidate pair) →
+    benchmark decontamination (>= 100 distinct shared 8-gram shingles
+    with the every-97th-doc benchmark set — a fraction-of-content
+    criterion; 1-hit flagging empties a same-vocabulary corpus) → token-budget cut (longest-first floor fill) →
+    fixed-budget next-fit sequence packing. Each stage is the exact
+    operator its standalone oracle pins; the composite value-hash
+    covers the whole pipeline a pretraining data run executes."""
+    d = _load(spark, sf_dir, "documents")
+    keep = textops.exact_dedup_groups(d).select(
+        F.col("keep_id").alias("doc_id"))
+    s1 = d.join(keep, "doc_id")
+    pairs = textops.minhash_lsh_pairs(s1, k=8, n_hashes=12, bands=4)
+    s2 = s1.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                 "doc_id", "left_anti")
+    bench = d.filter(F.col("doc_id").cast("long") % 97 == 0)
+    flags = textops.decontaminate_flags(s2, bench, k=8, min_hits=100)
+    s3 = s2.join(flags.filter(~F.col("contaminated")).select("doc_id"),
+                 "doc_id")
+    cut = textops.take_token_budget(s3, budget_tokens=_BUDGET_TOKENS)
+    s4 = s3.join(cut.select("doc_id"), "doc_id")
+    return textops.pack_sequences(s4, budget_tokens=_PACK_BUDGET,
+                                  n_shards=16)
+
+
 from .textops import simhash_sql  # noqa: E402
 
 _NORM_CTE = """
@@ -3390,6 +3502,7 @@ _FRONT = [
     "text_pack_sequences", "emb_cluster_canonical",
     "text_decontaminate", "text_chunk_windows", "text_upsample_repeats",
     "text_take_budget", "v11_topk", "dedup_incremental",
+    "flagship_curation",
 ]
 _BACKSEAT = [
     "j5_self_join_delta",
@@ -3457,8 +3570,6 @@ def dedup_cluster_canonical(spark, sf_dir):
         F.col("doc_b").cast("long").alias("doc_b"))
     return textops.dedup_clusters(docs, pairs)
 
-
-_PACK_BUDGET = 256
 
 @q("text_pack_sequences", f"""
 WITH RECURSIVE toks AS (
@@ -3621,9 +3732,6 @@ def text_upsample_repeats(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return textops.upsample_repeats(d, factor_bp=_UPSAMPLE_BP) \
         .select(F.col("doc_id").cast("long").alias("doc_id"), "copy_idx")
-
-
-_BUDGET_TOKENS = 4000
 
 
 @q("text_take_budget", f"""
