@@ -21,6 +21,7 @@ HEADLINE = [
     "v9_pip_join", "v10_dwithin_join", "v11_knn", "v8_subdivide",
     "v6_dissolve_union", "j1_equi_join", "dedup_exact",
     "dedup_minhash_lsh", "dedup_substring_runs", "dedup_remove_spans",
+    "dedup_incremental", "flagship_curation",
     "ann_cosine_topk", "text_quality",
     "r14_polygonize",
 ]
