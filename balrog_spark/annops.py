@@ -105,20 +105,38 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
         .filter(F.col("rn") == 1).select("vec_id", vec_col, "cell_id")
 
 
-def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10,
-             n_cells: int = 16, n_probe: int = 4,
-             vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
-    """IVF approximate top-k: the cell-probing scale path next to the
-    LSH one. Centroids are the ``n_cells`` smallest-id vectors (a
-    deterministic seeding — swap in k-means centroids on a cluster, the
-    probe/rerank plan is identical); the query probes its ``n_probe``
-    nearest cells and reranks ONLY their members exactly. At 10^12 scale
-    the assignment is one broadcast pass and each query touches
-    n_probe/n_cells of the data instead of all of it."""
+def ivf_index(emb: DataFrame, n_cells: int = 16,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Build a STORABLE IVF index: (centroids, assignments).
+
+    Centroids are the ``n_cells`` smallest-id vectors (deterministic
+    seeding — swap in k-means centroids on a cluster, every downstream
+    plan is identical); assignments are one broadcast pass over the
+    corpus. Persist BOTH (parquet / snapshot table): later batches add
+    via :func:`ivf_append` and queries probe via :func:`ivf_search`
+    without ever re-reading or re-assigning the stored vectors."""
     cents = emb.orderBy(id_col).limit(n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
-    assigned = ivf_assign(emb, cents, vec_col, id_col)
+    return cents, ivf_assign(emb, cents, vec_col, id_col)
+
+
+def ivf_append(new_emb: DataFrame, cents: DataFrame,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Incremental index add: assign a NEW batch against the frozen
+    centroids — one broadcast pass over the batch only (append the
+    result to the stored assignment table; the store never moves)."""
+    return ivf_assign(new_emb, cents, vec_col, id_col)
+
+
+def ivf_search(assigned: DataFrame, cents: DataFrame, query: DataFrame,
+               k: int = 10, n_probe: int = 4,
+               vec_col: str = "embedding") -> DataFrame:
+    """Probe a stored IVF index: the query ranks the centroids, its
+    ``n_probe`` nearest cells' members are reranked exactly. At 10^12
+    scale each query touches n_probe/n_cells of the data — and with the
+    assignment table bucketed by cell_id, only those buckets' files."""
     q = F.broadcast(query.select(F.col(vec_col).alias("qvec")))
     qcells = (cents.crossJoin(q)
               .select("cell_id",
@@ -138,6 +156,19 @@ def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10,
         .alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()) \
         .limit(k)
+
+
+def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: the cell-probing scale path next to the
+    LSH one — :func:`ivf_index` build + :func:`ivf_search` probe in
+    one call. At 10^12 scale the assignment is one broadcast pass and
+    each query touches n_probe/n_cells of the data instead of all of
+    it."""
+    cents, assigned = ivf_index(emb, n_cells, vec_col, id_col)
+    return ivf_search(assigned, cents, query, k, n_probe, vec_col)
 
 
 def centroids_by_label(emb: DataFrame, vec_col: str = "embedding",

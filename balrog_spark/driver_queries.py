@@ -1723,6 +1723,57 @@ def ann_ivf_topk(spark, sf_dir):
                       F.col("cosine").cast("double").alias("cosine"))
 
 
+@q("ann_ivf_incremental", f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 2 = 0),
+batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+          FROM base ORDER BY vec_id LIMIT 16),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS s
+  FROM base e CROSS JOIN cents c),
+best0 AS (
+  SELECT vec_id, embedding, cell_id FROM assign0
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, cell_id ASC) = 1),
+assign1 AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS s
+  FROM batch e CROSS JOIN cents c),
+best1 AS (
+  SELECT vec_id, embedding, cell_id FROM assign1
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, cell_id ASC) = 1),
+idx AS (SELECT * FROM best0 UNION ALL SELECT * FROM best1),
+qcells AS (
+  SELECT cell_id FROM cents CROSS JOIN q
+  ORDER BY {_cos_sql('cvec', 'qvec')} DESC, cell_id ASC LIMIT 4),
+scored AS (
+  SELECT b.vec_id, round({_cos_sql('b.embedding', 'q.qvec')}, 5) AS cosine
+  FROM idx b JOIN qcells USING (cell_id) CROSS JOIN q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cosine AS DOUBLE) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""")
+def ann_ivf_incremental(spark, sf_dir):
+    """Incremental ANN: the IVF index is built ONCE over the stored
+    half (even vec_ids — centroids + assignments, both persistable),
+    a new batch (odd vec_ids) is appended with one broadcast pass
+    against the frozen centroids, and the query probes the combined
+    assignment table — the stored vectors are never re-read or
+    re-assigned. Mirrors dedup_incremental's store-and-append shape
+    for the embedding modality."""
+    e = _load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter(F.col("vec_id") % 2 == 1)
+    cents, assigned = annops.ivf_index(base, n_cells=16)
+    combined = assigned.unionByName(annops.ivf_append(batch, cents))
+    query = e.orderBy("vec_id").limit(1)
+    out = annops.ivf_search(combined, cents, query, k=10, n_probe=4)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("cosine").cast("double").alias("cosine"))
+
+
 @q("emb_centroid_by_label", """
 WITH dims AS (
   SELECT label, u.i AS i, avg(CAST(embedding[u.i] AS DOUBLE)) AS c
@@ -3502,7 +3553,7 @@ _FRONT = [
     "text_pack_sequences", "emb_cluster_canonical",
     "text_decontaminate", "text_chunk_windows", "text_upsample_repeats",
     "text_take_budget", "v11_topk", "dedup_incremental",
-    "flagship_curation",
+    "flagship_curation", "ann_ivf_incremental",
 ]
 _BACKSEAT = [
     "j5_self_join_delta",

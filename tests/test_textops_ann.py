@@ -884,3 +884,45 @@ def test_remove_duplicate_spans_accepts_precomputed_runs(spark):
     pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
     pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_ivf_index_store_append_search(spark, tmp_path):
+    """The IVF index is storable: centroids + assignments round-trip
+    through parquet, a new batch appends with ONE broadcast assign
+    against the frozen centroids, and a planted batch vector identical
+    in direction to the query surfaces in the combined search with
+    cosine 1.0 — the stored vectors are never re-assigned."""
+    def vec(i, scale=1.0):
+        return [(((i * 31 + j * 17) % 97) / 97.0 + 0.1) * scale
+                for j in range(8)]
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(40)),
+                      "embedding": [vec(i) for i in range(40)]}))
+    cents, assigned = annops.ivf_index(base, n_cells=8)
+    cdir, adir = str(tmp_path / "cents"), str(tmp_path / "assigned")
+    cents.write.parquet(cdir)
+    assigned.write.parquet(adir)
+    cents2 = spark.read.parquet(cdir)
+    assigned2 = spark.read.parquet(adir)
+
+    # batch: 9 unrelated vectors + one pointing exactly along vec(0)
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(100, 110)),
+                      "embedding": [vec(i) for i in range(100, 109)]
+                      + [vec(0, scale=0.5)]}))
+    combined = assigned2.unionByName(annops.ivf_append(batch, cents2))
+
+    query = base.filter(F.col("vec_id") == 0)
+    got = annops.ivf_search(combined, cents2, query, k=5,
+                            n_probe=3).toPandas()
+    # query vector itself and the planted colinear batch vector share
+    # cosine 1.0; tie-break is vec_id asc
+    assert list(got.vec_id[:2]) == [0, 109]
+    assert got.cosine.iloc[0] == 1.0 and got.cosine.iloc[1] == 1.0
+
+    # store round trip is exact: in-memory index gives the same search
+    mem = annops.ivf_search(
+        assigned.unionByName(annops.ivf_append(batch, cents)),
+        cents, query, k=5, n_probe=3).toPandas()
+    pd.testing.assert_frame_equal(got, mem)
