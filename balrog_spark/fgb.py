@@ -303,7 +303,17 @@ def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 def _level_bounds(num_items: int, node_size: int):
     """[(start, end)] node-index bounds per level, leaf level first,
-    root last; nodes are stored root-first so leaves occupy the tail."""
+    root last; nodes are stored root-first so leaves occupy the tail.
+
+    Guards: node_size < 2 never converges (n = (n+s-1)//s stays put)
+    and num_items <= 0 loops forever at n == 0 — both are spec-legal
+    header values (unindexed file / unknown feature count) that the
+    CALLERS must route around, so failing loud here beats a silent
+    driver hang."""
+    if node_size < 2:
+        raise ValueError(f"index node_size must be >= 2, got {node_size}")
+    if num_items <= 0:
+        raise ValueError(f"num_items must be positive, got {num_items}")
     level_sizes = [num_items]
     n = num_items
     while True:
@@ -347,6 +357,9 @@ def _build_rtree(leaf: np.ndarray, node_size: int = NODE_SIZE) -> bytes:
 
 
 def _rtree_size(num_items: int, node_size: int = NODE_SIZE) -> int:
+    """0 for the no-index cases (unknown feature count / node_size 0)."""
+    if num_items <= 0 or node_size < 2:
+        return 0
     return _level_bounds(num_items, node_size)[1] * _NODE_BYTES
 
 
@@ -568,8 +581,14 @@ def write_fgb(path: str, pdf: pd.DataFrame, wkt_col: str = "wkt",
         feat_offs[len(feat_blobs) - 1] = acc
         acc += len(blob)
 
-    leaf = np.column_stack([boxes[order], feat_offs])
-    tree = _build_rtree(leaf, node_size)
+    # node_size=0: spec-legal unindexed file (streaming writers);
+    # features stay Hilbert-sorted but no R-tree is emitted — readers
+    # take the sequential full-scan path and bbox search refuses loud
+    if node_size == 0:
+        tree = b""
+    else:
+        leaf = np.column_stack([boxes[order], feat_offs])
+        tree = _build_rtree(leaf, node_size)
 
     hb = _FB()
     col_offs = []
@@ -649,8 +668,11 @@ def fgb_search(path: str, bbox) -> dict:
     (absolute file positions) + exact accounting of bytes touched."""
     info = read_fgb_info(path)
     n, node_size = info["features_count"], info["index_node_size"]
-    if not node_size:
-        raise ValueError(f"{path} has no spatial index")
+    if node_size < 2 or n == 0:
+        raise ValueError(
+            f"{path} has no spatial index (features_count={n}, "
+            f"node_size={node_size}) — bbox search needs the packed "
+            f"R-tree; use read_fgb(path) for a full scan")
     idx0 = info["index_offset"]
     feat0 = idx0 + info["index_bytes"]
     with open(path, "rb") as f:
@@ -663,9 +685,31 @@ def fgb_search(path: str, bbox) -> dict:
             "info": info}
 
 
+def _sequential_offsets(path: str, info: dict) -> list:
+    """Full-scan manifest for UNINDEXED files (index_node_size 0, or
+    unknown features_count): walk the size prefixes from the data
+    section. O(features) 4-byte preads on the driver — manifest-build
+    cost, not a data read; the feature bytes still stream on the
+    executors."""
+    feat0 = info["index_offset"] + info["index_bytes"]
+    fsize = os.path.getsize(path)
+    offs = []
+    with open(path, "rb") as f:
+        cur = feat0
+        while cur + 4 <= fsize:
+            (sz,) = struct.unpack("<I", os.pread(f.fileno(), 4, cur))
+            offs.append(cur)
+            cur += 4 + sz
+    return offs
+
+
 def _leaf_offsets(path: str, info: dict) -> list:
-    """All feature offsets (full-scan manifest) from the leaf nodes."""
+    """All feature offsets (full-scan manifest) from the leaf nodes,
+    or the sequential size-prefix walk when the file carries no
+    index."""
     n, node_size = info["features_count"], info["index_node_size"]
+    if node_size < 2 or n == 0:
+        return _sequential_offsets(path, info)
     bounds, _ = _level_bounds(n, node_size)
     lo, hi = bounds[0]
     idx0 = info["index_offset"]

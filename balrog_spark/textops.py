@@ -83,6 +83,31 @@ def normalize(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def normalize_py(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, norm) via the PYTHON normalizer (:func:`_norm_py`) in
+    an Arrow-batched scan. Use this when downstream math consumes
+    CHARACTER OFFSETS produced by the Python-side scans
+    (substring_runs positions): Spark's ``lower`` falls back to
+    JVM-locale toLowerCase for non-ASCII, which is not guaranteed
+    length-identical to ``str.lower`` (e.g. U+0130 on a tr_TR JVM), so
+    splicing JVM-normalized text at Python-computed offsets would
+    silently shift."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "norm": [None if t is None else _norm_py(t)
+                         for t in pdf[text_col]]})
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(scan, f"doc_id {id_type}, norm string"))
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash: (content_hash, keep_id,
@@ -114,9 +139,11 @@ def shingles(docs: DataFrame, k: int = 8, text_col: str = "text",
 
     ``distinct=False`` skips the per-document dedup — that dedup is a
     full-corpus shuffle (every character position of every document), so
-    consumers that immediately reduce the stream (e.g. decontamination's
-    broadcast probe, which filters to the tiny benchmark-hit set map-side)
-    must take the raw stream and dedup after their own filter."""
+    a consumer that immediately reduces the stream map-side should take
+    the raw stream and dedup after its own filter. (Decontamination used
+    to be that consumer; it now scans documents in
+    :func:`decontaminate_flags`'s Arrow pass instead, so this knob
+    currently serves external callers building their own probes.)"""
     n = normalize(docs, text_col, id_col, spread=True) \
         .filter(F.length("norm") >= k)
     sh = (n.select(
@@ -398,7 +425,10 @@ def remove_duplicate_spans(docs: DataFrame, min_len: int = 24,
                     F.count("*").alias("n_spans"),
                     F.sum(F.col("e") - F.col("s")).alias("n_removed")))
 
-    n = normalize(docs, text_col, id_col)
+    # Python normalizer, NOT the JVM one: the interval offsets came
+    # from the Python-side window scan, and JVM lower() is not
+    # guaranteed length-identical for non-ASCII (see normalize_py)
+    n = normalize_py(docs, text_col, id_col)
     j = n.join(per_doc, "doc_id", "left")
 
     def step(acc, x):
@@ -1009,17 +1039,23 @@ def _shingle_hash_mults(k: int):
 
 def _shingle_hashes(norm: str, k: int, mults):
     """All k-char-window hashes of an (already normalized) string as a
-    uint64 array — numpy sliding windows over the utf-32 code-point
-    array, one fused multiply-add per window position. O(k·L) C-speed;
-    no per-position string materialization."""
+    uint64 array — k multiply-add passes over the code-point array,
+    O(k·L) time and O(L) TRANSIENT memory (an earlier
+    sliding_window_view formulation materialized the full L×k uint64
+    window matrix: ~128 MB of copies per MB of document, an executor
+    OOM risk on the large-document tail)."""
     import numpy as np
 
-    cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
-    if cps.size < k:
+    cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    n = cps.size - k + 1
+    if n <= 0:
         return np.empty(0, dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(cps, k).astype(
-        np.uint64)
-    return (win * mults).sum(axis=1)         # uint64 wraparound
+    with np.errstate(over="ignore"):          # uint64 wraparound intended
+        h = cps[:n] * mults[0]
+        for j in range(1, k):
+            h += cps[j:j + n] * mults[j]
+    return h
 
 
 def decontaminate_flags(docs: DataFrame, benchmark: DataFrame,

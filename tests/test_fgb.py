@@ -246,3 +246,40 @@ def test_fgb_hilbert_locality(tmp_path):
     gaps = [abs(fid_off[i * n + j] - fid_off[(i + 1) * n + j])
             for i in range(n - 1) for j in range(n)]
     assert np.mean(gaps) < 0.15 * meta["total_bytes"]
+
+
+def test_level_bounds_guards_spec_legal_headers():
+    """features_count=0 (unknown) and node_size<2 are spec-legal header
+    values that used to hang / ZeroDivision the driver — now they fail
+    loud at the math layer and size to 0 at the info layer."""
+    with pytest.raises(ValueError, match="num_items"):
+        fgb._level_bounds(0, 16)
+    with pytest.raises(ValueError, match="node_size"):
+        fgb._level_bounds(5, 1)
+    assert fgb._rtree_size(0) == 0
+    assert fgb._rtree_size(5, 0) == 0
+
+
+def test_unindexed_fgb_full_scan_and_loud_bbox_refusal(spark, tmp_path):
+    """node_size=0 writes a spec-legal UNINDEXED file: info parses,
+    the full scan walks size prefixes sequentially and matches the
+    indexed twin row-for-row, and a bbox search refuses with a clear
+    error instead of hanging."""
+    pdf = _grid_polys(4)
+    plain = str(tmp_path / "plain.fgb")
+    noidx = str(tmp_path / "noindex.fgb")
+    fgb.write_fgb(plain, pdf, node_size=16)
+    out = fgb.write_fgb(noidx, pdf, node_size=0)
+    assert out["index_bytes"] == 0
+
+    info = fgb.read_fgb_info(noidx)
+    assert info["index_node_size"] == 0 and info["index_bytes"] == 0
+
+    a = fgb.read_fgb(spark, plain).toPandas().sort_values("fid") \
+        .reset_index(drop=True)
+    b = fgb.read_fgb(spark, noidx).toPandas().sort_values("fid") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="no spatial index"):
+        fgb.fgb_search(noidx, (0, 0, 15, 15))

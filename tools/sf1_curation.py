@@ -97,10 +97,16 @@ def run_stages(docs, verbose: bool = True):
             print(f"  {name}: {walls[name]} s, {rows[name]} rows",
                   file=sys.stderr)
 
-    stage("simhash_pairs", lambda: _force(
-        textops.simhash_neardup_pairs(docs).localCheckpoint(eager=True)))
-    pairs = textops.simhash_neardup_pairs(docs).localCheckpoint(eager=True)
-    cluster_stats = {}
+    pairs_box = {}
+
+    def _pairs_stage():
+        pairs_box["df"] = textops.simhash_neardup_pairs(docs) \
+            .localCheckpoint(eager=True)
+        return _force(pairs_box["df"])
+
+    stage("simhash_pairs", _pairs_stage)
+    pairs = pairs_box["df"]        # reuse: do NOT recompute the most
+    cluster_stats = {}             # expensive stage between stages
     stage("dedup_clusters", lambda: _force(
         textops.dedup_clusters(docs, pairs, stats=cluster_stats)))
     stage("pack_sequences", lambda: _force(
