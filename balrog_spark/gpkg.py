@@ -33,7 +33,13 @@ _MAGIC = b"GP"
 
 def parse_gpkg_geometry(blob: bytes) -> str:
     """GPKG geometry blob -> WKT: validate the GP header, skip the
-    envelope (its size is coded in the flags), decode the WKB tail."""
+    envelope (its size is coded in the flags), decode the WKB tail.
+    Empty-flagged blobs keep their WKB-declared type (``POINT EMPTY``
+    etc — ogr2ogr writes typed empties routinely) instead of collapsing
+    to GEOMETRYCOLLECTION EMPTY."""
+    if len(blob) < 8:
+        raise ValueError(
+            f"GPKG geometry blob truncated ({len(blob)} bytes < 8)")
     if blob[:2] != _MAGIC:
         raise ValueError("not a GPKG geometry blob")
     version, flags = blob[2], blob[3]
@@ -45,9 +51,17 @@ def parse_gpkg_geometry(blob: bytes) -> str:
     env_doubles = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}.get(env_code)
     if env_doubles is None:
         raise ValueError(f"invalid GPKG envelope code {env_code}")
+    tail = blob[8 + 8 * env_doubles:]
     if flags & 0x10:                       # empty-geometry flag
+        if len(tail) >= 5:
+            import struct
+            bo = "<" if tail[0] == 1 else ">"
+            (code,) = struct.unpack(f"{bo}I", tail[1:5])
+            name = wkbio.WKB_TYPE_NAMES.get(code % 1000)
+            if name:
+                return f"{name} EMPTY"
         return "GEOMETRYCOLLECTION EMPTY"
-    return wkbio.wkb_to_wkt(blob[8 + 8 * env_doubles:])
+    return wkbio.wkb_to_wkt(tail)
 
 
 def _connect_ro(path: str) -> sqlite3.Connection:
@@ -102,12 +116,16 @@ def gpkg_features(spark, path: str, table: str | None = None,
     try:
         lo, hi = con.execute(
             f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
-        cols = [r[1] for r in con.execute(
-            f'PRAGMA table_info("{table}")').fetchall()]
-        probe = pd.read_sql_query(
-            f'SELECT * FROM "{table}" LIMIT 1', con)
+        tinfo = con.execute(f'PRAGMA table_info("{table}")').fetchall()
     finally:
         con.close()
+    cols = [r[1] for r in tinfo]
+    # schema from the DECLARED sqlite types, not a one-row probe: a
+    # nullable INTEGER whose first row happens to be non-null would
+    # otherwise be typed from an int64 probe and then break (or cast
+    # garbage) when a later range's pandas frame arrives as
+    # float64-with-NaN; declared affinity is null-stable
+    decl = {r[1]: _spark_type_decl(r[2]) for r in tinfo}
     attr_cols = [c for c in cols if c != gcol]
     if lo is None:
         lo, hi = 0, -1
@@ -119,8 +137,9 @@ def gpkg_features(spark, path: str, table: str | None = None,
                          spark.sparkContext.defaultParallelism))
 
     out_schema = ", ".join(
-        [f"`{c}` {_spark_type(probe[c])}" for c in attr_cols]
+        [f"`{c}` {decl[c]}" for c in attr_cols]
         + [f"{wkt_col} STRING"])
+    int_cols = [c for c in attr_cols if decl[c] == "BIGINT"]
 
     def fetch(batches):
         con = _connect_ro(path)
@@ -130,6 +149,10 @@ def gpkg_features(spark, path: str, table: str | None = None,
                 q = (f'SELECT {sel} FROM "{table}" '
                      f"WHERE rowid BETWEEN {int(r.lo)} AND {int(r.hi)}")
                 part = pd.read_sql_query(q, con)
+                for c in int_cols:
+                    # NULL-bearing ranges come back float64+NaN; the
+                    # nullable Int64 dtype converts to BIGINT cleanly
+                    part[c] = part[c].astype("Int64")
                 part[wkt_col] = part[gcol].map(
                     lambda b: None if b is None
                     else parse_gpkg_geometry(bytes(b)))
@@ -137,17 +160,18 @@ def gpkg_features(spark, path: str, table: str | None = None,
     return mdf.mapInPandas(fetch, schema=out_schema)
 
 
-def _spark_type(series: pd.Series) -> str:
-    import numpy as np
-
-    dt = series.dtype
-    if np.issubdtype(dt, np.integer):
+def _spark_type_decl(decl: str) -> str:
+    """sqlite declared type -> Spark type by SQLite affinity rules
+    (the GPKG spec's column types all resolve through these)."""
+    d = (decl or "").upper()
+    if "INT" in d or d in ("BOOLEAN", "BOOL"):
         return "BIGINT"
-    if np.issubdtype(dt, np.floating):
-        return "DOUBLE"
-    if dt == object and len(series) and isinstance(series.iloc[0],
-                                                   (bytes, bytearray)):
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT", "DATE", "TIME")):
+        return "STRING"
+    if "BLOB" in d or d == "":
         return "BINARY"
+    if any(k in d for k in ("REAL", "FLOA", "DOUB", "NUMERIC", "DECIMAL")):
+        return "DOUBLE"
     return "STRING"
 
 

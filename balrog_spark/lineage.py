@@ -26,7 +26,13 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> set:
+def completed_buckets(spark: SparkSession, out_dir: str,
+                      stage: str | None = None) -> set:
+    """Bucket ids with a committed lineage row. ``out_dir`` is a
+    SINGLE-stage output (bucket data dirs are keyed by bucket only), so
+    when ``stage`` is given a manifest row from a DIFFERENT stage is a
+    caller error — resuming would silently relabel stage-A output as
+    stage B and process zero buckets — and raises instead."""
     path = _manifest_path(out_dir)
     if not os.path.isdir(path):
         return set()
@@ -35,6 +41,12 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set:
         if fn.endswith(".json"):
             with open(os.path.join(path, fn)) as f:
                 rec = json.load(f)
+            if stage is not None and rec.get("stage") != stage:
+                raise ValueError(
+                    f"{out_dir} already holds stage "
+                    f"{rec.get('stage')!r} output (bucket "
+                    f"{rec['bucket']}); refusing to resume it as stage "
+                    f"{stage!r} — use a fresh out_dir per stage")
             done.add(rec["bucket"])
     return done
 
@@ -71,7 +83,7 @@ def run_partitioned(spark: SparkSession, inputs: DataFrame, key_cols,
     motivating restart-from-zero case,
     reference: data_prep/vegetation/04_merge_geometries.py:129-205).
     """
-    done = completed_buckets(spark, out_dir)
+    done = completed_buckets(spark, out_dir, stage=stage)
     bucket_col = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
     src = inputs.withColumn("_bucket", bucket_col)
     processed = 0

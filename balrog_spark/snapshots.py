@@ -152,10 +152,18 @@ def commit_append(df: DataFrame, table_dir: str, stage: str = "",
     immutable dir. Each writer stages to its own unique dir and the
     published snapshot records that exact dir, so concurrent appends
     conflict at publish time instead of corrupting each other; the loser's
-    staged dir is an invisible orphan."""
-    attempt = (current_snapshot_id(table_dir) or 0) + 1
-    rel = _write_data(df, table_dir, f"snap-{attempt:05d}")
-    dirs = _visible_dirs(table_dir, current_snapshot_id(table_dir))
+    staged dir is an invisible orphan.
+
+    The publish is PINNED to the parent whose dirs were read
+    (``expected_parent``): between the dirs read and the publish, this
+    writer spends seconds in the data write + footer count, and an
+    unpinned publish would take the next free version id while still
+    carrying the OLD dirs list — silently dropping whatever a
+    concurrent writer published in between. Pinning turns that lost
+    update into a loud CommitConflict."""
+    parent = current_snapshot_id(table_dir)
+    rel = _write_data(df, table_dir, f"snap-{(parent or 0) + 1:05d}")
+    dirs = _visible_dirs(table_dir, parent)
     if rel not in dirs:
         dirs = dirs + [rel]
     return _publish(table_dir, {
@@ -163,32 +171,38 @@ def commit_append(df: DataFrame, table_dir: str, stage: str = "",
         "schema": df.schema.jsonValue(),
         "metrics": dict(metrics or {}, rows_written=_rows_on_disk(
             df.sparkSession, table_dir, rel)),
-    })
+    }, expected_parent=parent or 0)
 
 
 def commit_overwrite(df: DataFrame, table_dir: str, stage: str = "",
                      metrics: dict | None = None) -> int:
     """Replace the visible file set (Iceberg REPLACE): old snapshots keep
-    reading the old dirs — nothing is deleted until expire_snapshots."""
-    attempt = (current_snapshot_id(table_dir) or 0) + 1
-    rel = _write_data(df, table_dir, f"snap-{attempt:05d}")
+    reading the old dirs — nothing is deleted until expire_snapshots.
+    Pinned to the parent read at entry (same lost-update rationale as
+    :func:`commit_append`: an overwrite that raced an append would
+    otherwise silently discard the append with no conflict)."""
+    parent = current_snapshot_id(table_dir)
+    rel = _write_data(df, table_dir, f"snap-{(parent or 0) + 1:05d}")
     return _publish(table_dir, {
         "operation": "overwrite", "stage": stage, "data_dirs": [rel],
         "schema": df.schema.jsonValue(),
         "metrics": dict(metrics or {}, rows_written=_rows_on_disk(
             df.sparkSession, table_dir, rel)),
-    })
+    }, expected_parent=parent or 0)
 
 
 def rollback(table_dir: str, snapshot_id: int) -> int:
     """Non-destructive rollback: a NEW snapshot re-exposing ``snapshot_id``'s
-    file set (Iceberg ``rollback_to_snapshot``). History is preserved."""
+    file set (Iceberg ``rollback_to_snapshot``). History is preserved.
+    Pinned to the head read at entry so a rollback that races another
+    writer conflicts instead of silently discarding their commit."""
     target = _load(table_dir, snapshot_id)
+    parent = current_snapshot_id(table_dir)
     return _publish(table_dir, {
         "operation": "rollback", "stage": f"rollback-to-{snapshot_id}",
         "data_dirs": target["data_dirs"], "schema": target["schema"],
         "metrics": {"rolled_back_to": snapshot_id},
-    })
+    }, expected_parent=parent or 0)
 
 
 def read_table(spark: SparkSession, table_dir: str,
@@ -207,6 +221,45 @@ def read_table(spark: SparkSession, table_dir: str,
         raise KeyError(f"snapshot {snap} of {table_dir} is empty")
     return (spark.read.option("mergeSchema", "true")
             .parquet(*[os.path.join(table_dir, rel) for rel in dirs]))
+
+
+def _ledger_path(table_dir: str) -> str:
+    return os.path.join(_log_dir(table_dir), "stage-ledger.json")
+
+
+def _ledger_entries(table_dir: str) -> list[dict]:
+    lp = _ledger_path(table_dir)
+    if not os.path.isfile(lp):
+        return []
+    with open(lp) as f:
+        return json.load(f)
+
+
+def stage_committed(table_dir: str, stage: str) -> bool:
+    """Has ANY snapshot — retained or since-expired — committed this
+    stage? This is the idempotence primitive the streaming sinks and
+    bucket resume must use instead of scanning ``history()``:
+    ``expire_snapshots`` deletes version files, so a history scan
+    forgets committed batch ids after log truncation and a replayed
+    micro-batch would double-append. Expiry therefore folds the expired
+    records' (stage, bucket) pairs into a compact ledger that this
+    check consults after the version files. Retained files are scanned
+    newest-first — a streaming replay probes the most recent batch, so
+    the common case is O(1)."""
+    if not stage:
+        return False
+    for i in reversed(_all_ids(table_dir)):
+        if _load(table_dir, i).get("stage") == stage:
+            return True
+    return any(e.get("stage") == stage for e in _ledger_entries(table_dir))
+
+
+def ledger_buckets(table_dir: str, stage: str) -> set:
+    """Bucket ids recorded for ``stage`` in the expiry ledger (the
+    since-expired half of :func:`run_partitioned_snapshots`' resume
+    set)."""
+    return {e.get("bucket") for e in _ledger_entries(table_dir)
+            if e.get("stage") == stage and e.get("bucket") is not None}
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
@@ -232,10 +285,29 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     keep_dirs: set[str] = set()
     for i in retained:
         keep_dirs.update(_visible_dirs(table_dir, i))
+    doomed = [i for i in ids if i not in retained]
+    # fold the doomed records' stages into the ledger FIRST (atomic
+    # tmp+rename, dedup'd): a crash mid-expiry must never leave a
+    # committed batch id forgotten by both the log and the ledger
+    new_entries = []
+    for i in doomed:
+        rec = _load(table_dir, i)
+        if rec.get("stage"):
+            new_entries.append({
+                "stage": rec["stage"],
+                "bucket": (rec.get("metrics") or {}).get("bucket")})
+    if new_entries:
+        entries = _ledger_entries(table_dir)
+        seen = {(e.get("stage"), e.get("bucket")) for e in entries}
+        entries += [e for e in new_entries
+                    if (e["stage"], e["bucket"]) not in seen]
+        lp = _ledger_path(table_dir)
+        tmp = lp + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, lp)
     expired = []
-    for i in ids:
-        if i in retained:
-            continue
+    for i in doomed:
         for rel in _visible_dirs(table_dir, i):
             if rel not in keep_dirs:
                 shutil.rmtree(os.path.join(table_dir, rel),
@@ -261,8 +333,10 @@ def run_partitioned_snapshots(spark: SparkSession, inputs: DataFrame,
 
     from .lineage import _cheap_checksum
 
+    # retained snapshots + the expiry ledger: a bucket completed before
+    # an expire_snapshots run must still be skipped on resume
     done = {rec["metrics"].get("bucket") for rec in history(table_dir)
-            if rec.get("stage") == stage}
+            if rec.get("stage") == stage} | ledger_buckets(table_dir, stage)
     bucket_col = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
     src = inputs.withColumn("_bucket", bucket_col)
     processed = 0
@@ -277,16 +351,19 @@ def run_partitioned_snapshots(spark: SparkSession, inputs: DataFrame,
         # metrics describe what is actually on disk (single compute)
         rel = _write_data(out, table_dir, f"{stage}-bucket-{b:05d}")
         written = spark.read.parquet(os.path.join(table_dir, rel))
-        dirs = _visible_dirs(table_dir, current_snapshot_id(table_dir))
+        parent = current_snapshot_id(table_dir)
+        dirs = _visible_dirs(table_dir, parent)
         if rel not in dirs:
             dirs = dirs + [rel]
+        # pinned publish: two racing resumes of the same stage would
+        # otherwise silently drop each other's bucket dirs
         snap = _publish(table_dir, {
             "operation": "append", "stage": stage, "data_dirs": dirs,
             "schema": written.schema.jsonValue(),
             "metrics": {"bucket": b, "rows_out": written.count(),
                         "wall_ms": int((time.time() - t0) * 1000),
                         "checksum": _cheap_checksum(written)},
-        })
+        }, expected_parent=parent or 0)
         processed += 1
         if fail_after is not None and processed >= fail_after:
             raise RuntimeError(f"simulated failure after {processed} buckets")

@@ -75,17 +75,35 @@ def start_ingest(spark: SparkSession, drop_dir: str, out_dir: str,
                  checkpoint_dir: str,
                  reject_dir: str | None = None):
     """Append-only exactly-once corpus ingest: valid documents land in
-    ``out_dir`` (S8 streaming append), violations are counted out of band.
-    Returns the StreamingQuery (caller awaits/stops)."""
+    ``out_dir`` (S8 streaming append). With ``reject_dir`` set, the
+    violating documents land there too (n_violations column kept for
+    triage) via a SECOND file-sink query with its own checkpoint — the
+    parquet streaming sink's transaction log keeps BOTH paths
+    exactly-once, so a bad drop is preserved and countable instead of
+    silently vanishing. Returns the main StreamingQuery; the reject
+    query rides along as ``._reject_query`` (awaited/stopped with the
+    same calls the caller makes on the main one)."""
     src = with_span_violations(read_document_stream(spark, drop_dir))
     ok = src.filter(F.col("n_violations") == 0).drop("n_violations")
-    return (ok.writeStream
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start())
+    q = (ok.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    if reject_dir is not None:
+        bad = with_span_violations(read_document_stream(spark, drop_dir)) \
+            .filter(F.col("n_violations") > 0)
+        q._reject_query = (bad.writeStream
+                           .format("parquet")
+                           .option("path", reject_dir)
+                           .option("checkpointLocation",
+                                   checkpoint_dir + "-rejects")
+                           .outputMode("append")
+                           .trigger(availableNow=True)
+                           .start())
+    return q
 
 
 def streaming_address_counts(spark: SparkSession, drop_dir: str):
@@ -115,8 +133,10 @@ def start_snapshot_ingest(spark: SparkSession, drop_dir: str,
 
     def commit(batch_df, batch_id: int):
         stage = f"stream-batch-{batch_id}"
-        if any(rec.get("stage") == stage
-               for rec in snapshots.history(table_dir)):
+        # stage_committed, not a history() scan: it survives
+        # expire_snapshots (expiry folds stages into the ledger) and
+        # short-circuits newest-first (replays probe the latest batch)
+        if snapshots.stage_committed(table_dir, stage):
             return                     # replayed batch: already committed
         # rows_written is derived inside commit_append from the files on
         # disk — the batch plan executes exactly once (the write)
@@ -165,17 +185,18 @@ def start_dedup_ingest(spark: SparkSession, drop_dir: str,
 
     def commit(batch_df, batch_id: int):
         stage = f"dedup-batch-{batch_id}"
-        sig_hist = snapshots.history(sig_table)
-        if any(rec.get("stage") == stage for rec in sig_hist):
+        # stage_committed survives expire_snapshots via the ledger and
+        # short-circuits newest-first on the retained log
+        if snapshots.stage_committed(sig_table, stage):
             return                     # replayed batch: fully committed
         texts = doc_text(batch_df)
         new_sigs = textops.minhash_signatures(texts) \
             .localCheckpoint(eager=True)   # consumed by flags AND append
-        sigs = (snapshots.read_table(spark, sig_table) if sig_hist
+        has_store = snapshots.current_snapshot_id(sig_table) is not None
+        sigs = (snapshots.read_table(spark, sig_table) if has_store
                 else new_sigs.limit(0))
         flags = textops.dedup_incremental(texts, sigs, new_sigs=new_sigs)
-        if not any(rec.get("stage") == stage
-                   for rec in snapshots.history(flags_table)):
+        if not snapshots.stage_committed(flags_table, stage):
             snapshots.commit_append(flags, flags_table, stage=stage,
                                     metrics={"batch_id": int(batch_id)})
         snapshots.commit_append(new_sigs, sig_table, stage=stage,
@@ -313,8 +334,7 @@ def start_granule_snapshot_ingest(spark: SparkSession, drop_dir: str,
 
     def commit(batch_df, batch_id: int):
         stage = f"granule-batch-{batch_id}"
-        if any(rec.get("stage") == stage
-               for rec in snapshots.history(table_dir)):
+        if snapshots.stage_committed(table_dir, stage):
             return                     # replayed batch: already committed
         snapshots.commit_append(batch_df, table_dir, stage=stage,
                                 metrics={"batch_id": int(batch_id)})

@@ -19,6 +19,7 @@ silently flattened (the reference likewise forces 2D with st_force2d).
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -35,6 +36,7 @@ _NAME = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
          5: "MULTILINESTRING", 6: "MULTIPOLYGON",
          7: "GEOMETRYCOLLECTION"}
 _CODE = {v: k for k, v in _NAME.items()}
+WKB_TYPE_NAMES = _NAME    # public: consumers (gpkg) name typed empties
 
 
 class _Reader:
@@ -100,9 +102,17 @@ def _ring_txt(ring: np.ndarray) -> str:
 
 
 def _to_wkt(name: str, payload) -> str:
+    # typed empties decode symmetrically with the encoder: 0-count
+    # bodies (and the NaN-point convention) -> "<TYPE> EMPTY", so a
+    # decode->encode round trip never fabricates a 1-point header with
+    # zero coordinate bytes
     if name == "POINT":
         x, y = payload[0]
+        if np.isnan(x) and np.isnan(y):
+            return "POINT EMPTY"
         return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if name != "GEOMETRYCOLLECTION" and len(payload) == 0:
+        return f"{name} EMPTY"
     if name == "LINESTRING":
         return "LINESTRING (" + ", ".join(
             f"{_fmt(x)} {_fmt(y)}" for x, y in payload) + ")"
@@ -167,15 +177,56 @@ def _split_top(body: str):
     return [p.strip() for p in parts]
 
 
+def _check_2d_wkt(s: str):
+    """Refuse Z/M WKT loudly instead of silently flattening: a
+    dimension qualifier after the type name, or any coordinate group
+    that is not exactly two numbers, raises (the module contract —
+    the reference likewise forces 2D with st_force2d)."""
+    if re.match(r"^\s*[A-Za-z]+\s+(ZM|Z|M)\b", s, re.IGNORECASE):
+        raise ValueError(
+            "Z/M WKT dimensions unsupported (force 2D upstream, as the "
+            "reference's st_force2d does)")
+    if "(" not in s:
+        return
+    # leaf coordinate groups are the runs ending at ',' or ')'; child
+    # type names inside GEOMETRYCOLLECTION end at '(' so never match
+    for grp in re.findall(r"[^(),]+(?=[,)])", s[s.index("("):]):
+        toks = grp.split()
+        if not toks:
+            continue
+        try:
+            [float(t) for t in toks]
+        except ValueError:
+            continue                        # e.g. nested 'POINT EMPTY'
+        if len(toks) != 2:
+            raise ValueError(
+                f"coordinate group {grp.strip()!r} has {len(toks)} "
+                "ordinates; only 2D WKT is supported (never silently "
+                "flattened)")
+
+
 def wkt_to_wkb(wkt: str, srid: int | None = None, bo: str = "<") -> bytes:
     """WKT -> (E)WKB bytes. ``srid`` emits the PostGIS EWKB SRID flag.
     Covers all seven 2D types (the decoder's scope): multi-geometries
     nest full WKB children, each with its own byte-order byte and never
-    an SRID flag."""
+    an SRID flag. Typed empties round-trip (``LINESTRING EMPTY`` etc;
+    ``POINT EMPTY`` uses the NaN-coordinates convention PostGIS
+    emits); Z/M raises — never silently flattened."""
     from . import geometry
 
     s = wkt.strip()
     u = s.upper()
+    _check_2d_wkt(s)
+    m_empty = re.match(r"^([A-Z]+)\s+EMPTY$", u)
+    if m_empty:
+        name = m_empty.group(1)
+        code = _CODE.get(name)
+        if code is None:
+            raise ValueError(f"unsupported WKT type {name!r}")
+        if name == "POINT":
+            return _enc_header(1, srid, bo) + struct.pack(
+                bo + "2d", float("nan"), float("nan"))
+        return _enc_header(code, srid, bo) + struct.pack(bo + "I", 0)
     if u.startswith("MULTIPOINT"):
         body = s[s.index("(") + 1:s.rindex(")")]
         pts = [p.strip().lstrip("(").rstrip(")").strip()
@@ -220,11 +271,8 @@ def wkt_to_wkb(wkt: str, srid: int | None = None, bo: str = "<") -> bytes:
     if u.startswith("MULTIPOLYGON") or u.startswith("POLYGON"):
         polys = geometry.parse_wkt_polys(s)
 
-        def one(rings):
-            # nested geometry: own byte-order byte, never an SRID flag
-            out = (b"\x01" if bo == "<" else b"\x00") \
-                + struct.pack(bo + "I", 3)
-            out += struct.pack(bo + "I", len(rings))
+        def rings_body(rings):
+            out = struct.pack(bo + "I", len(rings))
             for r in rings:
                 rr = np.asarray(r, dtype=np.float64)
                 if len(rr) and not np.array_equal(rr[0], rr[-1]):
@@ -233,18 +281,12 @@ def wkt_to_wkb(wkt: str, srid: int | None = None, bo: str = "<") -> bytes:
             return out
 
         if u.startswith("POLYGON"):
-            rings = polys[0]
-            out = _enc_header(3, srid, bo)
-            out += struct.pack(bo + "I", len(rings))
-            for r in rings:
-                rr = np.asarray(r, dtype=np.float64)
-                if len(rr) and not np.array_equal(rr[0], rr[-1]):
-                    rr = np.vstack([rr, rr[:1]])
-                out += _enc_coords(rr, bo)
-            return out
+            return _enc_header(3, srid, bo) + rings_body(polys[0])
         out = _enc_header(6, srid, bo) + struct.pack(bo + "I", len(polys))
         for rings in polys:
-            out += one(rings)
+            # nested geometry: own byte-order byte, never an SRID flag
+            out += ((b"\x01" if bo == "<" else b"\x00")
+                    + struct.pack(bo + "I", 3) + rings_body(rings))
         return out
     raise ValueError(f"unsupported WKT for WKB encode: {s[:30]}...")
 

@@ -102,3 +102,38 @@ def test_gpkg_feeds_pip_join(spark, tmp_path):
     got = joins.pip_join(pts, vegs).select("addr_id", "veg_id") \
         .toPandas().sort_values("addr_id")
     assert list(map(tuple, got.values)) == [("in_a", "A"), ("in_b", "B")]
+
+
+def test_nullable_integer_column_survives_later_nulls(spark, tmp_path):
+    """Schema comes from the DECLARED sqlite type, not a one-row probe:
+    an INTEGER column whose first row is non-null but a later range is
+    NULL must read back as BIGINT with nulls, not crash or cast
+    garbage."""
+    import sqlite3
+
+    path = str(tmp_path / "nullable.gpkg")
+    gpkg.write_gpkg(path, "t", pd.DataFrame({
+        "height": [10, 20, 30],
+        "wkt": ["POINT (0 0)", "POINT (1 1)", "POINT (2 2)"]}))
+    con = sqlite3.connect(path)
+    con.execute('UPDATE "t" SET height = NULL WHERE rowid = 3')
+    con.commit()
+    con.close()
+    got = gpkg.gpkg_features(spark, path, rows_per_task=2) \
+        .orderBy("height").toPandas()
+    assert str(got.height.dtype) in ("float64", "Int64", "object")
+    vals = sorted(int(v) for v in got.height.dropna())
+    assert vals == [10, 20] and got.height.isna().sum() == 1
+    assert dict(gpkg.gpkg_features(spark, path).dtypes)["height"] \
+        == "bigint"
+
+
+def test_empty_flag_keeps_wkb_type_and_short_blob_raises():
+    from balrog_spark import wkbio
+
+    blob = (b"GP\x00\x00" + (0).to_bytes(4, "little")
+            + wkbio.wkt_to_wkb("POINT EMPTY"))
+    blob = bytes([blob[0], blob[1], blob[2], blob[3] | 0x10]) + blob[4:]
+    assert gpkg.parse_gpkg_geometry(blob) == "POINT EMPTY"
+    with pytest.raises(ValueError, match="truncated"):
+        gpkg.parse_gpkg_geometry(b"GP\x00")

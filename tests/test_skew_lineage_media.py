@@ -356,3 +356,25 @@ def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
         .withColumn("n_frames", F.lit(0)),
         out_w=4, out_h=4, fake_decode=False).collect()
     assert len(feats) == sum(1 for k in src.kind if k == "image") > 0
+
+
+def test_lineage_refuses_stage_mismatch(spark, tmp_path):
+    """out_dir is single-stage (bucket data dirs are keyed by bucket
+    only): resuming it under a different stage name used to silently
+    skip every bucket and relabel stage-A output; now it raises."""
+    import pytest
+
+    from balrog_spark import lineage
+
+    out = str(tmp_path / "lin")
+    df = spark.range(40).withColumnRenamed("id", "k")
+    lineage.run_partitioned(spark, df, ["k"],
+                            lambda d: d, out, n_buckets=4,
+                            stage="dissolve")
+    with pytest.raises(ValueError, match="refusing to resume"):
+        lineage.run_partitioned(spark, df, ["k"],
+                                lambda d: d, out, n_buckets=4,
+                                stage="classify")
+    # same stage resumes fine (all buckets done -> no work)
+    lineage.run_partitioned(spark, df, ["k"], lambda d: d, out,
+                            n_buckets=4, stage="dissolve")

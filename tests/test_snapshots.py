@@ -321,3 +321,57 @@ def test_remove_orphans_reclaims_lost_stages_only(spark, tmp_path):
     assert _rows(S.read_table(spark, t)) == before
     # idempotent
     assert S.remove_orphans(t, older_than_s=3600.0) == []
+
+
+def test_commit_append_lost_update_conflicts(spark, tmp_path):
+    """The lost-update race: writer A reads its parent's dirs, then a
+    concurrent writer B publishes before A does. A's publish is pinned
+    to the parent it READ, so it raises CommitConflict instead of
+    silently dropping B's data dir from the table."""
+    td = str(tmp_path / "t")
+    a = spark.range(3).toDF("v")
+    b = spark.range(10, 13).toDF("v")
+    S.commit_append(a, td, stage="base")
+
+    orig = S._rows_on_disk
+
+    def racy(sp, table_dir, rel):
+        S._rows_on_disk = orig      # un-patch before B commits
+        S.commit_append(b, td, stage="racer")
+        return orig(sp, table_dir, rel)
+
+    S._rows_on_disk = racy
+    try:
+        with pytest.raises(S.CommitConflict):
+            S.commit_append(spark.range(20, 22).toDF("v"), td,
+                                    stage="loser")
+    finally:
+        S._rows_on_disk = orig
+    # B's rows are visible; the loser's staged dir is an orphan
+    vals = {r.v for r in S.read_table(spark, td).collect()}
+    assert vals == {0, 1, 2, 10, 11, 12}
+
+
+def test_stage_ledger_survives_expiry(spark, tmp_path):
+    """expire_snapshots folds expired stages (and bucket ids) into the
+    ledger, so batch-id idempotence and bucket resume survive log
+    truncation."""
+    td = str(tmp_path / "t2")
+    for i in range(4):
+        S.commit_append(spark.range(i, i + 1).toDF("v"), td,
+                                stage=f"batch-{i}",
+                                metrics={"bucket": i})
+    assert S.expire_snapshots(td, keep_last=1) != []
+    # history forgot the early stages; the ledger has not
+    hist_stages = {r.get("stage") for r in S.history(td)}
+    assert "batch-0" not in hist_stages
+    for i in range(4):
+        assert S.stage_committed(td, f"batch-{i}")
+    assert not S.stage_committed(td, "batch-9")
+    assert S.ledger_buckets(td, "batch-0") == {0}
+    # repeated expiry keeps the ledger intact (dedup'd, atomic)
+    S.commit_append(spark.range(9, 10).toDF("v"), td,
+                            stage="batch-4", metrics={"bucket": 4})
+    S.expire_snapshots(td, keep_last=1)
+    for i in range(5):
+        assert S.stage_committed(td, f"batch-{i}")

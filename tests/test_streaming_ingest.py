@@ -143,3 +143,49 @@ def test_streaming_incremental_dedup(spark, tmp_path):
             snapshots.read_table(spark, flags).collect()}
     assert got2 == got
     assert snapshots.read_table(spark, sig).count() == 6
+
+
+def test_replay_after_expiry_does_not_double_append(spark, tmp_path):
+    """expire_snapshots truncates the version log, but the stage ledger
+    keeps the committed batch ids: a full replay (fresh checkpoint)
+    after compaction+expiry must not double-append."""
+    from balrog_spark import snapshots
+
+    drop = str(tmp_path / "drop5")
+    table = str(tmp_path / "table5")
+    n1 = _write_drop(spark, drop, 1, 1, "a")
+    q = streaming.start_snapshot_ingest(spark, drop, table,
+                                        str(tmp_path / "ck5"))
+    q.awaitTermination(120)
+    assert snapshots.read_table(spark, table).count() == n1
+
+    snapshots.compact(spark, table)
+    assert snapshots.expire_snapshots(table, keep_last=1) != []
+    assert snapshots.stage_committed(table, "stream-batch-0")
+
+    # checkpoint loss: every file replays with its original batch id
+    q = streaming.start_snapshot_ingest(spark, drop, table,
+                                        str(tmp_path / "ck5b"))
+    q.awaitTermination(120)
+    assert snapshots.read_table(spark, table).count() == n1
+
+
+def test_reject_dir_preserves_violations(spark, tmp_path):
+    import pandas as pd  # noqa: F401
+    drop = str(tmp_path / "drop6")
+    out = str(tmp_path / "out6")
+    rej = str(tmp_path / "rej6")
+    good = {"doc_id": "g", "spans": [
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 0}]}
+    bad = {"doc_id": "b", "spans": [
+        {"kind": "media_ref", "text": "", "media_ref": "", "offset": 0}]}
+    spark.createDataFrame([good, bad], schema=streaming.DOCUMENTS) \
+        .coalesce(1).write.mode("append").parquet(drop)
+    q = streaming.start_ingest(spark, drop, out, str(tmp_path / "ck6"),
+                               reject_dir=rej)
+    q.awaitTermination(120)
+    q._reject_query.awaitTermination(120)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == ["g"]
+    rejected = spark.read.parquet(rej).toPandas()
+    assert list(rejected.doc_id) == ["b"]
+    assert int(rejected.n_violations.iloc[0]) >= 1

@@ -135,3 +135,32 @@ def test_geoparquet_ingest_feeds_pip_join(spark, tmp_path):
     for r in back.itertuples():
         src = dict((v, w) for v, _, w in polys)[r.veg_id]
         _same_polys(src, wkbio.wkb_to_wkt(bytes(r.geom2)))
+
+
+def test_zm_wkt_refused_never_flattened():
+    """Encoder contract symmetry with the decoder: Z/M WKT raises in
+    every form (qualifier or bare 3-number groups) instead of silently
+    dropping the third ordinate."""
+    for bad in ("POINT Z (1 2 3)", "POINT ZM (1 2 3 4)",
+                "LINESTRING M (1 2 3, 4 5 6)",
+                "LINESTRING (1 2 3, 4 5 6)",
+                "POLYGON ((0 0 1, 1 0 1, 1 1 1, 0 0 1))",
+                "MULTIPOINT (1 2 3, 4 5 6)"):
+        with pytest.raises(ValueError):
+            wkbio.wkt_to_wkb(bad)
+
+
+def test_typed_empties_roundtrip():
+    """LINESTRING/POLYGON/MULTI*/POINT EMPTY encode to 0-count bodies
+    (POINT: the NaN convention PostGIS uses) and decode back to the
+    same typed EMPTY — no corrupt 1-point headers with zero coordinate
+    bytes."""
+    for wkt in ("POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY",
+                "MULTIPOINT EMPTY", "MULTILINESTRING EMPTY",
+                "MULTIPOLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY"):
+        for bo in ("<", ">"):
+            blob = wkbio.wkt_to_wkb(wkt, bo=bo)
+            assert wkbio.wkb_to_wkt(blob) == wkt, (wkt, bo)
+            # decode->encode->decode is stable too
+            assert wkbio.wkb_to_wkt(
+                wkbio.wkt_to_wkb(wkbio.wkb_to_wkt(blob))) == wkt
