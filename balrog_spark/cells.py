@@ -85,37 +85,3 @@ def cover_bbox(xmin, ymin, xmax, ymax, cell_m: float = DEFAULT_CELL_M):
     cxs, cys = np.meshgrid(np.arange(cx0, cx1 + 1),
                            np.arange(cy0, cy1 + 1), indexing="ij")
     return pack(cxs.ravel(), cys.ravel())
-
-
-def ring_cells(cell, k: int):
-    """Cell ids exactly k rings out from ``cell`` (Chebyshev ring)."""
-    cx, cy = unpack(np.asarray([cell]))
-    cx, cy = int(cx[0]), int(cy[0])
-    if k == 0:
-        return pack(np.array([cx]), np.array([cy]))
-    xs, ys = [], []
-    for dx in range(-k, k + 1):
-        for dy in range(-k, k + 1):
-            if max(abs(dx), abs(dy)) == k:
-                xs.append(cx + dx)
-                ys.append(cy + dy)
-    return pack(np.array(xs), np.array(ys))
-
-
-def disk_cells_vec(cell_ids, k: int):
-    """Vectorized grid_disk: for an (N,) array of cell ids return
-    (N*(2k+1)^2,) neighbour ids and the (N,) -> rows repeat index."""
-    cx, cy = unpack(cell_ids)
-    offs = np.arange(-k, k + 1)
-    dx, dy = np.meshgrid(offs, offs, indexing="ij")
-    dx, dy = dx.ravel(), dy.ravel()
-    ncx = cx[:, None] + dx[None, :]
-    ncy = cy[:, None] + dy[None, :]
-    return pack(ncx.ravel(), ncy.ravel())
-
-
-def ring_lower_bound_m(k: int, cell_m: float = DEFAULT_CELL_M) -> float:
-    """Conservative minimum distance from a point in the centre cell to any
-    geometry whose cover lies in ring >= k (used to terminate the kNN
-    ring-expansion search safely)."""
-    return max(0.0, (k - 1)) * cell_m

@@ -490,6 +490,27 @@ def union_area(polys) -> float:
     return float(total)
 
 
+def _band_filter(S, pid, in_b):
+    """Restrict a two-poly slab sweep to the x-band where A's and B's
+    x-ranges OVERLAP: the intersection lives only there, parity at any
+    in-band midline needs only segments whose x-span touches the band
+    (every segment crossing an in-band midline does), and the band
+    edges are segment-endpoint breakpoints already, so the pruned sweep
+    is bit-identical — while the O(S^2) pairwise breakpoint matrix
+    shrinks from ALL segments to the in-band ones (a 50k-vertex
+    coastline part against a 200 m buffer otherwise allocates a
+    multi-GB crossing matrix PER PAIR). Returns (S, pid, in_b, band)
+    with band=None when the ranges do not overlap."""
+    sx_lo = np.minimum(S[:, 0], S[:, 2])
+    sx_hi = np.maximum(S[:, 0], S[:, 2])
+    ox0 = max(sx_lo[~in_b].min(), sx_lo[in_b].min())
+    ox1 = min(sx_hi[~in_b].max(), sx_hi[in_b].max())
+    if ox1 <= ox0:
+        return S, pid, in_b, None
+    keep = (sx_hi >= ox0) & (sx_lo <= ox1)
+    return S[keep], pid[keep], in_b[keep], (ox0, ox1)
+
+
 def intersection_area(polys_a, polys_b) -> float:
     """Exact area of union(polys_a) ∩ union(polys_b) — the V12
     polygon∩polygon primitive's area twin for NON-convex inputs, same slab
@@ -504,7 +525,10 @@ def intersection_area(polys_a, polys_b) -> float:
     S = np.array([s[:4] for s in segs], dtype=np.float64)
     pid = np.array([s[4] for s in segs], dtype=np.int64)
     in_b = pid >= len(polys_a)
-    bks = _sweep_breakpoints(S)
+    S, pid, in_b, band = _band_filter(S, pid, in_b)
+    if band is None:
+        return 0.0
+    bks = np.unique(np.clip(_sweep_breakpoints(S), band[0], band[1]))
     total = 0.0
     for k in range(len(bks) - 1):
         w = bks[k + 1] - bks[k]
@@ -664,8 +688,10 @@ def clip_polys_general(polys_a, polys_b) -> list:
     (in A) AND (in B). The decomposition is not a minimal
     representation — seams between adjacent slabs are interior edges —
     which downstream consumers (area, PIP masks, zonal polygon zones)
-    are insensitive to. O(S^2) in segment count like the area sweep;
-    callers bound S by grid-cell subdivision first.
+    are insensitive to. The pairwise breakpoint matrix is O(S'^2) in
+    the segments whose x-span touches the A∩B x-band (exact pruning,
+    see _band_filter) — a small clip window against a huge subject
+    costs the window's band, not the subject's full segment count.
     """
     segs_a = _collect_segs(polys_a)
     segs_b = _collect_segs(polys_b, pid_base=len(polys_a))
@@ -675,7 +701,10 @@ def clip_polys_general(polys_a, polys_b) -> list:
     S = np.array([s[:4] for s in segs], dtype=np.float64)
     pid = np.array([s[4] for s in segs], dtype=np.int64)
     in_b = pid >= len(polys_a)
-    bks = _sweep_breakpoints(S)
+    S, pid, in_b, band = _band_filter(S, pid, in_b)
+    if band is None:
+        return []
+    bks = np.unique(np.clip(_sweep_breakpoints(S), band[0], band[1]))
     out = []
     for k in range(len(bks) - 1):
         x0, x1 = bks[k], bks[k + 1]
@@ -713,10 +742,17 @@ def clip_polys_general(polys_a, polys_b) -> list:
 
 
 def ring_is_convex(ring) -> bool:
-    """True when the ring is convex (all non-zero turn cross-products
-    share one sign; collinear runs allowed) — the dispatch test between
-    the fast Sutherland-Hodgman clip (exact for convex subjects) and the
-    general slab clip."""
+    """True when the ring is convex — the dispatch test between the
+    fast Sutherland-Hodgman clip (exact for convex subjects) and the
+    general slab clip.
+
+    Two conditions, both required: all non-zero turn cross-products
+    share one sign (collinear runs allowed) AND the total turning is a
+    single revolution (|sum of exterior angles| ~ 2*pi). Same-sign
+    turns alone also pass for SELF-INTERSECTING star traversals
+    (a pentagram turns 720 deg, every turn the same sign), which are
+    exactly the subjects Sutherland-Hodgman bridges wrongly — those
+    must route to the general clip."""
     r = _closed(np.asarray(ring, dtype=np.float64))
     if len(r) < 4:
         return True
@@ -724,4 +760,10 @@ def ring_is_convex(ring) -> bool:
     b = np.roll(a, -1, axis=0)
     cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
     nz = cross[np.abs(cross) > 0.0]
-    return len(nz) == 0 or (nz > 0).all() or (nz < 0).all()
+    if len(nz) and not ((nz > 0).all() or (nz < 0).all()):
+        return False
+    dot = a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1]
+    turning = float(np.abs(np.arctan2(cross, dot).sum()))
+    # a simple convex ring turns exactly once (2*pi); 0 covers the
+    # fully-collinear degenerate the sign test already allows
+    return abs(turning - 2.0 * np.pi) < 1e-6 or turning < 1e-6

@@ -77,6 +77,9 @@ def _maybe_broadcast(cover: DataFrame, broadcast_cover):
     return F.broadcast(cover) if broadcast_cover else cover
 
 
+# MRU-1 slot for pip_join's auto-mode probe cover (see pip_join)
+_LAST_PROBE_COVER = None
+
 _COVER = StructType([
     StructField("cell_id", LongType(), False),
     StructField("veg_id", StringType(), False),
@@ -109,7 +112,19 @@ def polygon_cover(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
     changes boundary distances), so the distance joins keep the full WKT.
     Holes are clipped alongside the exterior — even-odd semantics survive
     intersection with a box.
+
+    ``clip`` and ``pad_m`` are mutually exclusive: a padded cover exists
+    so DISTANCE joins see polygons from nearby cells, but clipping to
+    the unpadded cell box empties exactly those pad-band cells (the
+    polygon is within pad_m of the cell without intersecting it), which
+    would silently drop every such match — refuse loudly instead.
     """
+    if clip and pad_m:
+        raise ValueError(
+            "polygon_cover(clip=True, pad_m>0): a clipped cover is "
+            "PIP-only; pad-band cells would clip to nothing and the "
+            "distance join would silently lose matches — build the "
+            "padded cover unclipped")
 
     def gen(batches):
         for pdf in batches:
@@ -153,10 +168,17 @@ def polygon_cover(polys: DataFrame, cell_m: float = cells.DEFAULT_CELL_M,
                         wkts.append(geometry.multipolygon_wkt_polys(pieces))
                 out["cell_id"].extend(kept_ids)
                 out["veg_id"].extend([r.veg_id] * len(kept_ids))
-                out["bal_number"].extend(
-                    [int(getattr(r, "bal_number", 0))] * len(kept_ids))
+                # null-safe: a malformed source token parses to NULL
+                # (NaN here) — keep it null, never int(NaN) (crash) or
+                # astype garbage
+                bal = getattr(r, "bal_number", 0)
+                bal = None if bal is None or pd.isna(bal) else int(bal)
+                out["bal_number"].extend([bal] * len(kept_ids))
                 out["wkt"].extend(wkts)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {k: (pd.array(v, dtype="Int64")
+                     if k == "bal_number" else v)
+                 for k, v in out.items()})
 
     return polys.mapInPandas(gen, schema=_COVER)
 
@@ -216,18 +238,24 @@ def pip_join(points: DataFrame, polys: DataFrame = None,
     elif broadcast_cover is None:
         # cache the unclipped cover for the probe: if the decision is
         # "broadcast" the cached rows are reused as the real build side
-        # (no second cover computation); only the shuffle path pays for a
-        # second (clip-aware) cover build, where it is unavoidable —
-        # clipped and unclipped covers are different data
+        # (no second cover computation). The returned frame is lazy, so
+        # there is no safe release point INSIDE this call — instead the
+        # NEXT auto-mode call releases the previous probe cover (MRU-1:
+        # the leak is bounded to one cached cover per session instead
+        # of one per call; a still-pending earlier result simply
+        # recomputes its cover if collected after that).
+        global _LAST_PROBE_COVER
+        if _LAST_PROBE_COVER is not None:
+            _LAST_PROBE_COVER.unpersist(blocking=False)
         probe_cover = polygon_cover(polys, cell_m).cache()
+        _LAST_PROBE_COVER = probe_cover
         broadcast_cover = _cover_fits_broadcast(probe_cover)
         if broadcast_cover:
             cover = probe_cover
         else:
-            # the cached probe served only the one-row byte estimate on
-            # this branch — release it immediately or repeated auto-mode
-            # calls leak executor storage across a long session
+            # the cached probe served only the byte estimate here
             probe_cover.unpersist(blocking=False)
+            _LAST_PROBE_COVER = None
             cover = polygon_cover(polys, cell_m, clip=True)
     else:
         cover = polygon_cover(polys, cell_m, clip=not broadcast_cover)
@@ -248,8 +276,8 @@ def pip_join(points: DataFrame, polys: DataFrame = None,
                     keep.append(pd.DataFrame({
                         "addr_id": sub.addr_id.values,
                         "veg_id": sub.veg_id.values,
-                        "bal_number": sub.bal_number.values
-                        .astype("int64"),
+                        "bal_number": pd.array(
+                            sub.bal_number.values, dtype="Int64"),
                     }))
             yield (pd.concat(keep) if keep
                    else pd.DataFrame(columns=["addr_id", "veg_id",
@@ -292,8 +320,8 @@ def dwithin_join(points: DataFrame, polys: DataFrame = None,
                     keep.append(pd.DataFrame({
                         "addr_id": sub.addr_id.values,
                         "veg_id": sub.veg_id.values,
-                        "bal_number": sub.bal_number.values
-                        .astype("int64"),
+                        "bal_number": pd.array(
+                            sub.bal_number.values, dtype="Int64"),
                         "distance_m": d[ok],
                     }))
             if keep:
@@ -398,9 +426,19 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_ring < 1:
+        # max_ring=0 would pin the straggler ring-doubling at r=0
+        # forever (prev*2 never grows) — an infinite driver loop
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
     spark = points.sparkSession
-    cover = (polygon_cover(polys, cell_m)
-             if cover is None else cover).cache()
+    # cache only a cover built HERE: a caller-passed cover (load_cover
+    # bucketed table / already-persisted frame) is the caller's to
+    # manage — unconditional caching leaked one cached cover per call
+    # in index-once-probe-many sessions
+    own_cover = cover is None
+    cover = polygon_cover(polys, cell_m) if cover is None else cover
+    if own_cover:
+        cover = cover.cache()
     if broadcast_cover is None:
         broadcast_cover = _cover_fits_broadcast(cover)
     cover_b = F.broadcast(cover) if broadcast_cover else cover
@@ -480,8 +518,8 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
                     keep.append(pd.DataFrame({
                         "addr_id": grp.addr_id.values,
                         "veg_id": grp.veg_id.values,
-                        "bal_number": grp.bal_number.values
-                        .astype("int64"),
+                        "bal_number": pd.array(
+                            grp.bal_number.values, dtype="Int64"),
                         "distance_m": d, "azimuth_deg": az,
                         "near_x": nx_, "near_y": ny_,
                         "px": grp.x.values, "py": grp.y.values,
@@ -652,11 +690,19 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
                 eager=True))
         scored = best_candidates(polys_all.crossJoin(far)) \
             .unionByName(best_so_far.drop(*rank_cols))
-        resolved_parts.append(_topk_per_addr(scored, out_schema, k))
+        # checkpoint so the returned frame no longer references the
+        # cover (lets the cache release below be safe)
+        resolved_parts.append(
+            _topk_per_addr(scored, out_schema, k).localCheckpoint(
+                eager=True))
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
+    if own_cover:
+        # every resolved part is checkpoint-backed by now; the cover
+        # cache has served its rounds — release executor storage
+        cover.unpersist(blocking=False)
     return with_line(out)
 
 

@@ -175,7 +175,10 @@ def veg_factors(points: DataFrame, polys: DataFrame = None,
                         by1 = max(b[3] for b in boxes)
                         out["addr_id"].append(addr[k])
                         out["veg_id"].append(vid[k])
-                        out["bal_number"].append(int(bal[k]))
+                        b = bal[k]
+                        out["bal_number"].append(
+                            None if b is None or pd.isna(b)
+                            else int(b))
                         out["part_idx"].append(pi)
                         out["area_m2"].append(area)
                         out["distance_m"].append(d)
@@ -193,6 +196,9 @@ def veg_factors(points: DataFrame, polys: DataFrame = None,
                         out["line_wkt"].append(
                             "LINESTRING (%.6f %.6f, %.6f %.6f)"
                             % (x, y, nx, ny))
-            yield pd.DataFrame(out, columns=cols)
+            yield pd.DataFrame(
+                {c: (pd.array(v, dtype="Int64")
+                     if c == "bal_number" else v)
+                 for c, v in out.items()}, columns=cols)
 
     return cand.mapInPandas(refine, schema=VEG_FACTORS_SCHEMA)

@@ -31,6 +31,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, StringType,
                                StructField, StructType)
 
 from . import geometry, kernels
+from .joins import _geom_of   # shared worker-global WKT-parse cache
 from .corpus import TILE_M
 
 ZONAL_OUT = StructType([
@@ -149,36 +150,6 @@ def _crop_to_window(joined: DataFrame, xlo, xhi, ylo, yhi) -> DataFrame:
         (F.col("y0") + (n_ - r1).cast("double") * px).alias("y0"))
 
 
-def _in_buffer_values(r, x: float, y: float, radius_m: float,
-                      nodata: float, include: str = "centre") -> np.ndarray:
-    """Values of one joined tile row whose pixels fall in the buffer
-    circle; empty for a null (left-join miss) tile.
-
-    ``include``: 'centre' (default engine contract) keeps pixels whose
-    CENTRE is inside the circle; 'touched' keeps every pixel whose SQUARE
-    intersects the circle — rasterio/arcpy ``all_touched=True``, the
-    reference's inclusion rule (reference:
-    testing/02_get_slope_from_buffer.py:219), for parity runs against
-    reference-computed stats. The touched test is exact circle-vs-square:
-    distance from the centre point to the pixel rectangle <= radius."""
-    if r.data is None or (np.isscalar(r.nrows) and pd.isna(r.nrows)):
-        return np.array([])
-    n, m = int(r.nrows), int(r.ncols)
-    arr = np.asarray(r.data, dtype=np.float64).reshape(n, m)
-    px = float(r.pixel_m)
-    xs = r.x0 + (np.arange(m) + 0.5) * px
-    ys = r.y0 + (n - np.arange(n) - 0.5) * px
-    if include == "touched":
-        dx = np.maximum(np.abs(xs[None, :] - x) - px / 2.0, 0.0)
-        dy = np.maximum(np.abs(ys[:, None] - y) - px / 2.0, 0.0)
-        mask = dx ** 2 + dy ** 2 <= radius_m ** 2
-    else:
-        mask = ((xs[None, :] - x) ** 2
-                + (ys[:, None] - y) ** 2) <= radius_m ** 2
-    v = arr[mask]
-    return v[v != nodata]
-
-
 _EMPTY = np.array([], dtype=np.float64)
 
 
@@ -249,9 +220,13 @@ def zonal_stats(points: DataFrame, tiles: DataFrame, radius_m: float,
                 include: str = "centre") -> DataFrame:
     """Per-point stats of one raster layer within a circular buffer.
     ``tile_m`` must match the tile grid of ``tiles`` (world metres per
-    tile side); ``include`` picks the pixel inclusion rule (see
-    _in_buffer_values — 'centre' contract or 'touched' reference
-    parity). The crop window's one-pixel margin already covers the
+    tile side); ``include`` picks the pixel inclusion rule: 'centre' (engine
+    contract) keeps pixels whose CENTRE lies in the circle;
+    'touched' keeps every pixel whose SQUARE intersects it —
+    rasterio/arcpy all_touched=True, the reference's rule
+    (testing/02_get_slope_from_buffer.py:219), exact
+    circle-vs-square (distance from centre to the pixel rectangle
+    <= radius; implemented in _segment_values). The crop window's one-pixel margin already covers the
     half-pixel the touched rule can add, so both rules ride the slim
     shuffle."""
     joined = tiles_for_buffers(points, tiles, radius_m, tile_m=tile_m,
@@ -327,19 +302,6 @@ def zonal_stats_multi(points: DataFrame, tiles: DataFrame, radius_m: float,
 
 
 # worker-global parsed-zone cache (clip WKTs repeat across tile rows)
-_ZONE_CACHE: dict = {}
-
-
-def _zone_geom(wkt: str):
-    polys = _ZONE_CACHE.get(wkt)
-    if polys is None:
-        if len(_ZONE_CACHE) > 50000:
-            _ZONE_CACHE.clear()
-        polys = geometry.parse_wkt_polys(wkt)
-        _ZONE_CACHE[wkt] = polys
-    return polys
-
-
 def zonal_stats_poly(zones: DataFrame, tiles: DataFrame, layer_specs: dict,
                      sentinel: float = -9999.0, nodata: float = -99.0,
                      batch_m: float = DEFAULT_BATCH_M,
@@ -402,7 +364,7 @@ def zonal_stats_poly(zones: DataFrame, tiles: DataFrame, layer_specs: dict,
             ys = r.y0 + (n - np.arange(n) - 0.5) * px
             gx = np.broadcast_to(xs[None, :], (n, m)).ravel()
             gy = np.broadcast_to(ys[:, None], (n, m)).ravel()
-            inside = geometry.points_in_geom(gx, gy, _zone_geom(r.wkt))
+            inside = geometry.points_in_geom(gx, gy, _geom_of(r.wkt))
             v = arr.ravel()[inside]
             v = v[v != nodata]
             if v.size:

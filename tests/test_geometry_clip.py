@@ -197,3 +197,49 @@ def test_clip_polys_general_disjoint_and_degenerate():
     pieces = geometry.clip_polys_general(box, inner)
     assert sum(geometry.polygon_area(p) for p in pieces) \
         == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ring_is_convex_rejects_self_intersecting_star():
+    """Same-sign turns alone also hold for a pentagram (720 deg total
+    turning) — exactly the self-intersecting subject SH bridges
+    wrongly; the turning-number term must route it to the general
+    clip."""
+    import math
+    star = [(math.cos(math.radians(90 + 144 * i)),
+             math.sin(math.radians(90 + 144 * i))) for i in range(5)]
+    assert not geometry.ring_is_convex(star)
+    gon = [(math.cos(k * math.pi / 8), math.sin(k * math.pi / 8))
+           for k in range(16)]
+    assert geometry.ring_is_convex(gon)
+
+
+def test_band_filter_bounds_giant_subject_against_small_clip():
+    """The slab sweep prunes to the x-band where the two x-ranges
+    overlap: a 20k-vertex comb subject against a 3-unit-wide box
+    completes in the box's band (the unpruned pairwise breakpoint
+    matrix would be 20k^2 ~ 3.2 GB) and the area is analytically
+    exact."""
+    import time
+
+    teeth = 5000
+    pts = [(0.0, 0.0)]
+    for t in range(teeth):
+        x = 2.0 * t
+        pts += [(x, 100.0), (x + 1.0, 100.0), (x + 1.0, 0.0),
+                (x + 2.0, 0.0)]
+    pts += [(2.0 * teeth, -10.0), (0.0, -10.0)]
+    subject = [[np.array(pts)]]
+    # box spanning x in [200.25, 203.25], y in [50, 60]: tooth at
+    # x=[200,201] contributes 0.75 width, tooth at [202,203] a full 1.0
+    # within-band, gaps contribute nothing above y=0
+    box = [[np.array([(200.25, 50.0), (203.25, 50.0),
+                      (203.25, 60.0), (200.25, 60.0)])]]
+    t0 = time.time()
+    area = geometry.intersection_area(subject, box)
+    pieces = geometry.clip_polys_general(subject, box)
+    wall = time.time() - t0
+    expect = (0.75 + 1.0) * 10.0
+    assert abs(area - expect) < 1e-9
+    got = sum(geometry.ring_area(p[0]) for p in pieces)
+    assert abs(got - expect) < 1e-9
+    assert wall < 5.0, f"band filter did not prune: {wall:.1f}s"

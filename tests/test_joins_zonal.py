@@ -345,3 +345,42 @@ def test_zonal_touched_rule_supersets_centre(spark):
                            crop=False).toPandas() \
         .set_index("addr_id").sort_index()
     pd.testing.assert_frame_equal(t, t2)
+
+
+def test_polygon_cover_refuses_clipped_padded(spark):
+    """A clipped cover is PIP-only: pad-band cells clip to nothing, so
+    a distance join over it silently loses matches — refuse loudly."""
+    polys = spark.createDataFrame(pd.DataFrame({
+        "veg_id": ["A"], "bal_number": [29],
+        "wkt": ["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"]}))
+    with pytest.raises(ValueError, match="PIP-only"):
+        joins.polygon_cover(polys, pad_m=150.0, clip=True).count()
+
+
+def test_null_bal_number_survives_cover_and_refine(spark):
+    """A malformed source token parses to NULL bal_number; the cover
+    build and every refine UDF must carry it as null — not crash on
+    int(NaN), not corrupt it to INT64_MIN."""
+    polys = spark.createDataFrame(pd.DataFrame({
+        "veg_id": ["A", "B"],
+        "bal_number": pd.array([29, None], dtype="Int64"),
+        "wkt": ["POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))",
+                "POLYGON ((200 0, 300 0, 300 100, 200 100, 200 0))"]}))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "addr_id": ["a", "b"], "x": [50.0, 250.0], "y": [50.0, 50.0]}))
+    got = joins.pip_join(pts, polys).orderBy("addr_id").toPandas()
+    assert list(got.addr_id) == ["a", "b"]
+    assert got.bal_number.iloc[0] == 29
+    assert pd.isna(got.bal_number.iloc[1])
+    knn = joins.knn_join(pts, polys).orderBy("addr_id").toPandas()
+    assert pd.isna(knn.set_index("veg_id").bal_number.loc["B"])
+
+
+def test_knn_rejects_nonpositive_max_ring(spark):
+    pts = spark.createDataFrame(pd.DataFrame({
+        "addr_id": ["a"], "x": [0.0], "y": [0.0]}))
+    polys = spark.createDataFrame(pd.DataFrame({
+        "veg_id": ["A"], "bal_number": [1],
+        "wkt": ["POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"]}))
+    with pytest.raises(ValueError, match="max_ring"):
+        joins.knn_join(pts, polys, max_ring=0)
