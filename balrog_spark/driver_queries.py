@@ -2586,9 +2586,11 @@ def r15_components(spark, sf_dir):
     tiles, n_rows = _events_class_tiles(spark, sf_dir, two_class=True)
     rects = raster_mod.polygonize_rects(raster_mod.polygonize_tiles(tiles))
     comp = raster_mod.polygonize_components(rects)
-    BITS = 21
-    nid = (F.col("grow0") * F.lit(1 << BITS) + F.col("gcol0")).alias("nid")
-    topdown_key = ((F.lit(n_rows - 1) - F.col("grow1")) * F.lit(1 << BITS)
+    nid = raster_mod.rect_nid().alias("nid")
+    # 21-bit canonical key matches the oracle SQL (MIN(r)*2097152+c0)
+    # — gate-world-sized; the ENGINE's internal node ids use the wide
+    # rect_nid() packing
+    topdown_key = ((F.lit(n_rows - 1) - F.col("grow1")) * F.lit(1 << 21)
                    + F.col("gcol0"))
     joined = rects.select(nid, topdown_key.alias("td_key"), "n_pixels") \
         .join(comp, "nid")

@@ -146,6 +146,13 @@ def read_info(f, level: int = 0) -> GeoTiffInfo:
             f, struct.unpack(bo + ofmt, val)[0], size)
         if typ == 2:
             tags[tag] = raw[:size]
+        elif typ == 5:
+            # RATIONAL: numerator/denominator u32 pairs (XResolution
+            # etc, written by most external encoders) -> floats;
+            # previously KeyError'd the whole file open
+            parts = struct.unpack(bo + f"{2 * cnt}I", raw[:size])
+            tags[tag] = [parts[j] / parts[j + 1] if parts[j + 1] else 0.0
+                         for j in range(0, 2 * cnt, 2)]
         else:
             tags[tag] = list(struct.unpack(
                 bo + f"{cnt}{_TYPE_FMT[typ]}", raw[:size]))
@@ -297,13 +304,16 @@ def num_levels(f) -> int:
 
 
 def read_window(f, x_min: float, y_min: float, x_max: float,
-                y_max: float, level: int = 0):
+                y_max: float, level: int = 0, info=None):
     """Driver-side windowed read: decode ONLY the tiles intersecting the
     model-space window (the reference's `02_get_slope_from_buffer.py`
     S3-range pattern). Returns (array, west_x, top_y) of the covered
     pixel block. ``level`` selects an overview IFD (coarser pixels,
-    fewer bytes)."""
-    info = read_info(f, level=level)
+    fewer bytes). Pass a pre-parsed ``info`` to skip the header walk —
+    against remote storage each IFD parse is seek/read round-trips, and
+    the serving path already holds one."""
+    if info is None:
+        info = read_info(f, level=level)
     c0, c1, r0, r1 = _window_tiles(info, x_min, y_min, x_max, y_max)
     if c0 > c1 or r0 > r1:
         return np.zeros((0, 0), info.dtype), info.x0, info.y_top
@@ -378,6 +388,12 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
     manifest = pd.DataFrame(
         rows, columns=["idx", "tile_x", "tile_y", "offset", "count",
                        "x0", "y0", "nrows", "ncols"])
+    if manifest.empty:
+        # a window fully outside the raster extent is a routine
+        # coverage probe, not an error: empty TILES frame (the
+        # all-object empty pandas frame otherwise fails schema
+        # inference inside createDataFrame)
+        return spark.createDataFrame([], schema=TILES)
     mdf = spark.createDataFrame(manifest) \
         .repartition(spark.sparkContext.defaultParallelism)
 
@@ -409,7 +425,7 @@ def geotiff_tiles(spark, path: str, layer: str, bbox=None,
                     out["pixel_m"].append(float(info.pixel_x))
                     out["nrows"].append(int(r.nrows))
                     out["ncols"].append(int(r.ncols))
-                    out["data"].append(arr.ravel().tolist())
+                    out["data"].append(arr.ravel())
                 yield pd.DataFrame(out)
     return mdf.mapInPandas(fetch, schema=TILES)
 
@@ -745,5 +761,5 @@ def granule_tiles_pdf(payload: bytes, layer: str, src_ref: str,
             out["pixel_m"].append(float(info.pixel_x))
             out["nrows"].append(int(nrows))
             out["ncols"].append(int(ncols))
-            out["data"].append(arr.ravel().tolist())
+            out["data"].append(arr.ravel())
     return pd.DataFrame(out)

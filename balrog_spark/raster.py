@@ -44,6 +44,11 @@ _CONTRIB_DDL = ("tile_x INT, tile_y INT, ox INT, oy INT, layer STRING, "
                 "x0 BIGINT, y0 BIGINT, pixel_mm BIGINT, nrows INT, "
                 "ncols INT, srows INT, scols INT, data ARRAY<FLOAT>")
 
+_BAL_DIRS = ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max")
+_BAL_DDL = ("tile_x INT, tile_y INT, x0 DOUBLE, y0 DOUBLE, pixel_m DOUBLE, "
+            "nrows INT, ncols INT, " + ", ".join(
+                f"bal_{d} ARRAY<FLOAT>" for d in _BAL_DIRS))
+
 _PA_CONTRIB = pa.schema([
     ("tile_x", pa.int32()), ("tile_y", pa.int32()),
     ("ox", pa.int32()), ("oy", pa.int32()), ("layer", pa.string()),
@@ -162,8 +167,31 @@ def _assemble_arrow(tbl: pa.Table, layer: str, halo: int):
     for i in idx:
         block = values[offsets[i]:offsets[i + 1]] \
             .reshape(int(srs[i]), int(scs[i]))
-        rows0 = 0 if oys[i] == 1 else (h if oys[i] == 0 else h + n)
-        cols0 = 0 if oxs[i] == -1 else (h if oxs[i] == 0 else h + m)
+        # clip each axis to THIS tile's halo band and anchor at the
+        # core boundary: a neighbour sizes its strip by ITS OWN halo
+        # (min(halo, its dims)), which differs at ragged edges — the
+        # rows/cols adjacent to the shared boundary are the ones that
+        # belong in the band; a same-size strip is unchanged, an
+        # oversized one must not bleed into the core, an undersized
+        # one leaves the far band absent (not-present)
+        if oys[i] == 1:            # from the tile above: bottom rows
+            tr = min(h, block.shape[0])
+            block = block[-tr:]
+            rows0 = h - tr
+        elif oys[i] == 0:
+            rows0 = h
+        else:                      # from the tile below: top rows
+            block = block[:min(h, block.shape[0])]
+            rows0 = h + n
+        if oxs[i] == -1:           # from the west: its EAST columns
+            tc = min(h, block.shape[1])
+            block = block[:, -tc:]
+            cols0 = h - tc
+        elif oxs[i] == 0:
+            cols0 = h
+        else:                      # from the east: its WEST columns
+            block = block[:, :min(h, block.shape[1])]
+            cols0 = h + m
         pad[rows0:rows0 + block.shape[0],
             cols0:cols0 + block.shape[1]] = block
         present[rows0:rows0 + block.shape[0],
@@ -281,17 +309,12 @@ def bal_tiles(tiles: DataFrame, fdi: int, halo: int = DEFAULT_HALO,
                 pa.array([meta["y0"]], pa.float64()),
                 pa.array([meta["pixel_m"]], pa.float64()),
                 pa.array([n], pa.int32()), pa.array([m], pa.int32())]
-        for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max"):
+        for d in _BAL_DIRS:
             cols.append(_float_list_array(
                 [outs[d][sl].astype(np.float32)]))
         return pa.Table.from_arrays(cols, schema=_PA_BAL)
 
-    ddl = ("tile_x INT, tile_y INT, x0 DOUBLE, y0 DOUBLE, pixel_m DOUBLE, "
-           "nrows INT, ncols INT, " + ", ".join(
-               f"bal_{d} ARRAY<FLOAT>"
-               for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw",
-                         "max")))
-    return _per_tile_apply(contribs, per_tile, ddl, _PA_BAL)
+    return _per_tile_apply(contribs, per_tile, _BAL_DDL, _PA_BAL)
 
 
 def bal_tiles_classified(tiles: DataFrame, fdi: int,
@@ -323,17 +346,12 @@ def bal_tiles_classified(tiles: DataFrame, fdi: int,
                 pa.array([meta["y0"]], pa.float64()),
                 pa.array([meta["pixel_m"]], pa.float64()),
                 pa.array([n], pa.int32()), pa.array([m], pa.int32())]
-        for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw", "max"):
+        for d in _BAL_DIRS:
             cols.append(_float_list_array(
                 [outs[d][sl].astype(np.float32)]))
         return pa.Table.from_arrays(cols, schema=_PA_BAL)
 
-    ddl = ("tile_x INT, tile_y INT, x0 DOUBLE, y0 DOUBLE, pixel_m DOUBLE, "
-           "nrows INT, ncols INT, " + ", ".join(
-               f"bal_{d} ARRAY<FLOAT>"
-               for d in ("w", "e", "n", "s", "nw", "ne", "se", "sw",
-                         "max")))
-    return _per_tile_apply(contribs, per_tile, ddl, _PA_BAL)
+    return _per_tile_apply(contribs, per_tile, _BAL_DDL, _PA_BAL)
 
 
 _PA_BAL_MAX = pa.schema([
@@ -751,6 +769,21 @@ def polygonize_wkt(rects: DataFrame) -> DataFrame:
     return rects.withColumn("wkt", wkt)
 
 
+_NID_OFF = 1 << 30
+_NID_SHIFT = 1 << 31
+
+
+def rect_nid():
+    """Node-id Column for a polygonize rect: (grow0, gcol0) packed into
+    one int64 with 31 bits + offset headroom per axis. Consumers joining
+    back to :func:`polygonize_components` output must use THIS expression.
+    (The earlier 21-bit pack collided once a grid exceeded 2^21 columns
+    — a 1 m national mosaic — or had a negative origin, silently fusing
+    unrelated components.)"""
+    return ((F.col("grow0") + F.lit(_NID_OFF)) * F.lit(_NID_SHIFT)
+            + F.col("gcol0") + F.lit(_NID_OFF))
+
+
 def polygonize_components(rects: DataFrame, max_rounds: int = 20
                           ) -> DataFrame:
     """Connected-component labelling over the rectangle adjacency graph —
@@ -776,12 +809,11 @@ def polygonize_components(rects: DataFrame, max_rounds: int = 20
     from .session import local_checkpoint_fresh
 
     spark = rects.sparkSession
-    BITS = 21
     # materialize the node set once: it feeds both sides of two adjacency
     # joins and the initial labels, which would otherwise each re-execute
     # the whole polygonize pipeline
     nodes = rects.select(
-        (F.col("grow0") * F.lit(1 << BITS) + F.col("gcol0")).alias("nid"),
+        rect_nid().alias("nid"),
         "class_val", "grow0", "grow1", "gcol0", "gcol1") \
         .localCheckpoint(eager=True)
 

@@ -75,7 +75,7 @@ def buffer_zonal_medians(dem_file, x: float, y: float,
     px = info.pixel_x
     arr, wx, ty = geotiff.read_window(
         dem_file, x - buffer_m - px, y - buffer_m - px,
-        x + buffer_m + px, y + buffer_m + px)
+        x + buffer_m + px, y + buffer_m + px, info=info)
     if arr.size == 0:
         return -9999, -9999
     dem = arr.astype(np.float64)

@@ -225,3 +225,19 @@ def test_polygonize_feeds_pip_join(spark, rng_grid):
     assert len(got) == 200                    # exact cover: every point hits
     for i in range(200):
         assert got[f"{i:05d}"] == int(rng_grid[px_r[i], px_c[i]])
+
+
+def test_component_node_ids_do_not_collide_on_wide_grids(spark):
+    """The old 21-bit (grow0, gcol0) packing collided for grids wider
+    than 2^21 columns — (0, 2^21+5) and (1, 5) mapped to one node id,
+    silently fusing unrelated components. The widened rect_nid keeps
+    them distinct."""
+    import pandas as pd
+
+    rects = spark.createDataFrame(pd.DataFrame({
+        "class_val": [1.0, 1.0],
+        "grow0": [0, 1], "grow1": [0, 1],
+        "gcol0": [(1 << 21) + 5, 5], "gcol1": [(1 << 21) + 6, 6]}))
+    comp = raster.polygonize_components(rects).toPandas()
+    assert comp.nid.nunique() == 2
+    assert comp.component.nunique() == 2

@@ -260,3 +260,44 @@ def test_point_sample_out_of_extent_is_null(spark):
            for r in R.sample_tiles_at_points(pts, tiles, 100.0).collect()}
     assert got["in00"] == 4.0 and got["in21"] == 3.0
     assert got["oob_x"] is None and got["oob_y"] is None
+
+
+def test_ragged_edge_tile_halo_exact(spark):
+    """Tiles narrower than the halo (a GeoTIFF whose width is not a
+    multiple of the tile size) must assemble halo-exactly: a full
+    neighbour's 13-px strip used to overwrite a 5-px tile's core (and
+    corner strips crashed on broadcast); strips now clip to the
+    target's band and anchor at the shared boundary."""
+    import pandas as pd
+
+    from balrog_spark.schema import TILES
+
+    rng = np.random.RandomState(7)
+    px = 25.0
+    n, wa, wb = 64, 64, 5
+    dem_a = rng.uniform(100, 200, size=(n, wa))
+    dem_b = rng.uniform(100, 200, size=(n, wb))
+    mosaic = np.hstack([dem_a, dem_b])
+
+    def row(tx, arr, x0):
+        return {"media_ref": f"dem/{tx}/0", "layer": "dem",
+                "tile_x": tx, "tile_y": 0, "x0": x0, "y0": 0.0,
+                "pixel_m": px, "nrows": arr.shape[0],
+                "ncols": arr.shape[1],
+                "data": arr.astype(np.float32).ravel().tolist()}
+
+    tiles = spark.createDataFrame(
+        pd.DataFrame([row(0, dem_a, 0.0), row(1, dem_b, wa * px)]),
+        schema=TILES)
+    out = raster.slope_aspect_tiles(tiles, classify=False).collect()
+    slope_g, aspect_g = kernels.cal_slope_aspect_vec(
+        mosaic.astype(np.float32).astype(np.float64), px, px)
+    crops = {0: (0, wa), 1: (wa, wa + wb)}
+    for r in out:
+        c0, c1 = crops[r.tile_x]
+        exp = {"slope": slope_g, "aspect": aspect_g}[r.layer][:, c0:c1]
+        got = np.asarray(r.data, dtype=np.float64).reshape(
+            r.nrows, r.ncols)
+        assert_array_equal(got.astype(np.float32),
+                           exp.astype(np.float32),
+                           err_msg=f"tile {r.tile_x} {r.layer}")
