@@ -439,8 +439,18 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
     cover = polygon_cover(polys, cell_m) if cover is None else cover
     if own_cover:
         cover = cover.cache()
+    # ONE capped probe job over the (tiny vs points) cover feeds the
+    # broadcast decision, the emptiness check AND (when under the cap,
+    # where it is exact) the straggler pair budget — replacing the three
+    # separate jobs (_cover_fits_broadcast, limit(1).count, cover.count)
+    # this loop used to run before its first ring round
+    probe = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
+             .agg(F.count("*").alias("n"),
+                  F.avg(F.length("wkt")).alias("w")).collect()[0])
     if broadcast_cover is None:
-        broadcast_cover = _cover_fits_broadcast(cover)
+        est = probe.n * ((probe.w or 0.0) + _WKT_ROW_OVERHEAD_B)
+        broadcast_cover = (probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS
+                           and est <= AUTO_BROADCAST_MAX_COVER_BYTES)
     cover_b = F.broadcast(cover) if broadcast_cover else cover
     # one count of the probe side up front (pre-shuffle plan) replaces a
     # full anti-join isEmpty scan of it per ring round below
@@ -471,7 +481,7 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
                             F.col("px"), F.col("py"),
                             F.col("near_x"), F.col("near_y")))
 
-    if cover.limit(1).count() == 0:
+    if probe.n == 0:
         # no polygons at all: there is no nearest neighbour to find, and
         # the straggler ring-doubling below could never terminate
         empty_schema = out_schema if k == 1 else StructType(
@@ -544,7 +554,10 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
     unresolved = pts
     best_so_far = None  # best candidate per addr so far (may not be final)
     n_resolved = 0
-    n_cover = None
+    # the capped probe count is exact when under the cap; above it the
+    # budget check lazily runs the real count (rare: giant covers)
+    n_cover = int(probe.n) \
+        if probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS else None
     n_par = spark.sparkContext.defaultParallelism
     prev = -1
     for r in rounds:
@@ -683,12 +696,90 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         if n_resolved >= n_pts:
             best_so_far = None
     if best_so_far is not None:
+        # finish the pending tail exactly WITHOUT materializing the
+        # (frontier x polygons) pair rows: a cross join ships every
+        # polygon WKT once PER PENDING POINT through the Arrow boundary
+        # (4.3M pair rows at sf0.1 — measured 4.1 s of the 6.5 s query).
+        # Instead the (<= STRAGGLER_DIRECT_MAX, ~40 B/row) point frontier
+        # rides a plain broadcast variable and each polygon partition
+        # computes its PARTIAL per-point top-k in one pass: every WKT
+        # crosses the boundary once per TASK, and only (#tasks x k)
+        # candidate rows per point reach the final merge. Same exact
+        # arithmetic (points_to_geom_distance / points_in_geom /
+        # azimuth_deg over the identical frontier arrays) and the same
+        # (distance, veg_id) tie order; still never broadcasts polygons.
         polys_all = cover.select("veg_id", "bal_number", "wkt").distinct() \
             .repartition(n_par)
-        far = F.broadcast(
-            unresolved.select("addr_id", "x", "y").localCheckpoint(
-                eager=True))
-        scored = best_candidates(polys_all.crossJoin(far)) \
+        far_bc = spark.sparkContext.broadcast(
+            unresolved.select("addr_id", "x", "y").toPandas())
+        k_slots = k
+        out_cols = [f.name for f in out_schema]
+
+        def partial_topk(batches):
+            fr = far_bc.value
+            n = len(fr)
+            if n == 0:
+                yield pd.DataFrame(columns=out_cols)
+                return
+            xs = fr.x.values.astype(np.float64)
+            ys = fr.y.values.astype(np.float64)
+            # k insertion slots per point, each a column set; slot i
+            # holds the i-th best (distance, veg_id)-ordered candidate
+            D = [np.full(n, np.inf) for _ in range(k_slots)]
+            VEG = [np.full(n, None, dtype=object) for _ in range(k_slots)]
+            BAL = [np.full(n, np.nan) for _ in range(k_slots)]
+            NX = [np.zeros(n) for _ in range(k_slots)]
+            NY = [np.zeros(n) for _ in range(k_slots)]
+            AZ = [np.zeros(n) for _ in range(k_slots)]
+            slots = [D, VEG, BAL, NX, NY, AZ]
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    geom = _geom_of(r.wkt)
+                    d, nx_, ny_ = geometry.points_to_geom_distance(
+                        xs, ys, geom)
+                    inside = geometry.points_in_geom(xs, ys, geom)
+                    d = np.where(inside, 0.0, d)
+                    az = geometry.azimuth_deg(xs, ys, nx_, ny_)
+                    bal = getattr(r, "bal_number", None)
+                    bal = np.nan if bal is None or pd.isna(bal) \
+                        else float(bal)
+                    cand = [d, np.full(n, r.veg_id, dtype=object),
+                            np.full(n, bal), nx_, ny_, az]
+                    for i in range(k_slots):
+                        better = cand[0] < D[i]
+                        # finite ties only: an inf "tie" is two empty
+                        # slots (veg None on both sides), order moot
+                        ties = (cand[0] == D[i]) & np.isfinite(cand[0])
+                        if ties.any():
+                            # exact distance ties are rare (d=0 inside
+                            # overlaps); resolve by veg_id only there
+                            ti = np.nonzero(ties)[0]
+                            better[ti] |= np.fromiter(
+                                (a < b for a, b in
+                                 zip(cand[1][ti], VEG[i][ti])),
+                                bool, len(ti))
+                        if better.any():
+                            for j, S in enumerate(slots):
+                                disp = S[i]
+                                S[i] = np.where(better, cand[j], disp)
+                                cand[j] = np.where(better, disp, cand[j])
+            out = []
+            for i in range(k_slots):
+                msk = np.isfinite(D[i])
+                if not msk.any():
+                    continue
+                out.append(pd.DataFrame({
+                    "addr_id": fr.addr_id.values[msk],
+                    "veg_id": VEG[i][msk],
+                    "bal_number": pd.Series(BAL[i][msk]).astype("Int64"),
+                    "distance_m": D[i][msk],
+                    "azimuth_deg": AZ[i][msk],
+                    "near_x": NX[i][msk], "near_y": NY[i][msk],
+                    "px": xs[msk], "py": ys[msk]}))
+            yield (pd.concat(out) if out
+                   else pd.DataFrame(columns=out_cols))
+
+        scored = polys_all.mapInPandas(partial_topk, schema=out_schema) \
             .unionByName(best_so_far.drop(*rank_cols))
         # checkpoint so the returned frame no longer references the
         # cover (lets the cache release below be safe)
