@@ -591,7 +591,7 @@ def r4_slope_aspect_tiled(spark, sf_dir):
     ev = _load(spark, sf_dir, "events").selectExpr(
         "event_id", f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c")
-    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    n_rows = _tcount(spark, sf_dir, "events") // _GRID_W
     TR, TC = 10, 25
     n_ty = max(n_rows // TR, 1)
     TR = n_rows // n_ty
@@ -675,7 +675,7 @@ def s10_regrid(spark, sf_dir):
     ev = _load(spark, sf_dir, "events").selectExpr(
         "event_id", f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c")
-    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    n_rows = _tcount(spark, sf_dir, "events") // _GRID_W
     TR, TC = 10, 20  # both EVEN: factor-2 regrid must not truncate
     n_ty = max(n_rows // TR, 1)
     TR = n_rows // n_ty
@@ -2406,7 +2406,7 @@ def _events_class_tiles(spark, sf_dir, TR=10, TC=25, px=25.0,
     ev = _load(spark, sf_dir, "events").selectExpr(
         "event_id", f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c")
-    n_rows = _load(spark, sf_dir, "events").count() // _GRID_W
+    n_rows = _tcount(spark, sf_dir, "events") // _GRID_W
     n_ty = max(n_rows // TR, 1)
     TR = n_rows // n_ty
 
@@ -2776,6 +2776,39 @@ def text_bm25(spark, sf_dir):
 _FLAG_TILE_PX = 10  # 10x10-px (250 m) square DEM tiles
 
 
+# in-process memo of an immutable input table's row count (same contract
+# as _WORLD_CACHE): the flagship family re-derived the events grid height
+# with a fresh count job per query — one count per (sf_dir, table) per
+# process suffices, and every bench/oracle invocation still computes it
+# fresh from the parquet input
+_COUNT_CACHE: dict = {}
+
+
+def _tcount(spark, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = _load(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
+def _flag_engine_tile_px(R: int) -> int:
+    """ENGINE-side DEM tile side (pixels) for the flagship raster path.
+
+    The oracle's raster extent is pinned by ``used = (R // 10) * 10``
+    (_FLAG_TILE_PX stays 10 there); the engine is free to PACK that same
+    extent into larger tiles — the halo exchange makes slope/aspect
+    tile-size-invariant, and zonal stats are per-pixel. 10x10-px tiles
+    meant 1000 tiny applyInPandas groups + 9000 halo strips at sf0.1
+    (measured 2.7 s for slope_aspect alone); 50x50 cuts that 25x. Pick
+    the largest side that tiles the used extent and the grid width
+    exactly so the pack stays a simple dense fill."""
+    used = max(R // _FLAG_TILE_PX, 1) * _FLAG_TILE_PX
+    for t in (50, 25, 20):
+        if used % t == 0 and _GRID_W % t == 0:
+            return t
+    return _FLAG_TILE_PX
+
+
 def _flag_dem_tiles(spark, sf_dir):
     """Pack the events grid's closed-form DEM (z = 300 + 150 sin(.21c)
     cos(.17r)) into square 10x10-px float32 'dem' tiles — the same tile
@@ -2784,10 +2817,12 @@ def _flag_dem_tiles(spark, sf_dir):
                                    IntegerType, StringType, StructField,
                                    StructType)
 
-    T = _FLAG_TILE_PX
-    R = _load(spark, sf_dir, "events").count() // _GRID_W
-    n_ty = max(R // T, 1)
-    used = n_ty * T
+    R = _tcount(spark, sf_dir, "events") // _GRID_W
+    # raster extent pinned by the ORACLE's tile constant (10); the pack
+    # side T is the engine's own choice (see _flag_engine_tile_px)
+    used = max(R // _FLAG_TILE_PX, 1) * _FLAG_TILE_PX
+    T = _flag_engine_tile_px(R)
+    n_ty = used // T
     ev = _load(spark, sf_dir, "events").selectExpr(
         "event_id", f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c").filter(F.col("r") < used)
@@ -3129,7 +3164,7 @@ def a1_zonal_touched(spark, sf_dir):
     twin, centre rule) and flagship_bal (raster path, centre rule)."""
     from . import zonal as zonal_mod
 
-    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    R = _tcount(spark, sf_dir, "events") // _GRID_W
     H = R * 25
     pts = _load(spark, sf_dir, "customer").selectExpr(
         "CAST(c_custkey AS STRING) AS addr_id",
@@ -3137,7 +3172,8 @@ def a1_zonal_touched(spark, sf_dir):
         f"CAST((c_custkey * 2246822519) % {H} AS DOUBLE) + 0.625 AS y")
     out = zonal_mod.zonal_stats(
         pts, _flag_dem_tiles(spark, sf_dir), 100.0,
-        tile_m=_FLAG_TILE_PX * 25.0, batch_m=500.0, include="touched")
+        tile_m=_flag_engine_tile_px(R) * 25.0, batch_m=500.0,
+        include="touched")
     return out.select(
         F.col("addr_id").cast("long").alias("addr_id"),
         F.col("stat_min").cast("long").alias("stat_min"),
@@ -3160,7 +3196,7 @@ def flagship_bal(spark, sf_dir):
     from . import zonal as zonal_mod
     from .pipeline import classify_bal, direction_class, remap_column
 
-    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    R = _tcount(spark, sf_dir, "events") // _GRID_W
     H = R * 25
     pts = _load(spark, sf_dir, "customer").selectExpr(
         "CAST(c_custkey AS STRING) AS addr_id",
@@ -3193,7 +3229,7 @@ def flagship_bal(spark, sf_dir):
     z = zonal_mod.zonal_stats_multi(
         pts.select("addr_id", "x", "y"), sa, 100.0,
         {"slope": {"circular": False}, "aspect": {"circular": True}},
-        tile_m=_FLAG_TILE_PX * 25.0, batch_m=500.0)
+        tile_m=_flag_engine_tile_px(R) * 25.0, batch_m=500.0)
 
     f = pts.join(knn, "addr_id").join(
         z.select("addr_id", "slope_med", "aspect_med"), "addr_id", "left")
@@ -3477,7 +3513,7 @@ def flagship_veg_factors(spark, sf_dir):
     from . import vegfactors as vf_mod
     from . import zonal as zonal_mod
 
-    R = _load(spark, sf_dir, "events").count() // _GRID_W
+    R = _tcount(spark, sf_dir, "events") // _GRID_W
     H = R * 25
     pts = _load(spark, sf_dir, "customer").selectExpr(
         "CAST(c_custkey AS STRING) AS addr_id",
@@ -3516,7 +3552,7 @@ def flagship_veg_factors(spark, sf_dir):
     z = zonal_mod.zonal_stats_poly(
         zones, sa,
         {"slope": {"circular": False}, "aspect": {"circular": True}},
-        tile_m=_FLAG_TILE_PX * 25.0, batch_m=500.0)
+        tile_m=_flag_engine_tile_px(R) * 25.0, batch_m=500.0)
     f = vf.join(pts.select("addr_id", "x", "y"), "addr_id") \
         .withColumn("zone_id", F.concat_ws("|", "addr_id", "veg_id")) \
         .join(z.select("zone_id", "slope_med", "aspect_med",
