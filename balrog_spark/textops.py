@@ -61,6 +61,16 @@ def _norm(col):
     return F.lower(F.regexp_replace(col, r"\s+", " "))
 
 
+def _np_id_dtype(id_type: str):
+    """numpy dtype for np.full fan-outs of a doc id: int64 for integral
+    Spark types (an object array of Python ints costs a per-element
+    conversion on the Arrow boundary), object otherwise."""
+    import numpy as np
+
+    return np.int64 if id_type in ("bigint", "int", "smallint",
+                                   "tinyint") else object
+
+
 # Python twin of _norm for Arrow-batched scans; [ \t\n\x0b\f\r] is exactly
 # Java's (non-unicode) \s so both sides collapse the same characters
 _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -198,6 +208,7 @@ def shingle_hash_stream(docs: DataFrame, k: int = 8,
     import numpy as np
 
     id_type = docs.schema[id_col].dataType.simpleString()
+    id_np = _np_id_dtype(id_type)
     n_par = docs.sparkSession.sparkContext.defaultParallelism
 
     def scan(batches):
@@ -213,7 +224,7 @@ def shingle_hash_stream(docs: DataFrame, k: int = 8,
                     continue
                 if distinct:
                     h = np.unique(h)
-                ids.append(np.full(h.size, doc_id, dtype=object))
+                ids.append(np.full(h.size, doc_id, dtype=id_np))
                 hs.append(h)
             yield pd.DataFrame({
                 "doc_id": np.concatenate(ids) if ids else [],
@@ -321,6 +332,7 @@ def substring_runs(docs: DataFrame, min_len: int = 24, k: int | None = None,
     import numpy as np
 
     id_type = docs.schema[id_col].dataType.simpleString()
+    id_np = _np_id_dtype(id_type)
     n_par = docs.sparkSession.sparkContext.defaultParallelism
 
     def scan(batches):
@@ -336,7 +348,7 @@ def substring_runs(docs: DataFrame, min_len: int = 24, k: int | None = None,
                 if h1.size == 0:
                     continue
                 h2 = _poly_shingle_hashes(norm, k, 37)
-                ids.append(np.full(h1.size, doc_id, dtype=object))
+                ids.append(np.full(h1.size, doc_id, dtype=id_np))
                 poss.append(np.arange(1, h1.size + 1, dtype=np.int64))
                 hs.append(h1 * (1 << 31) + h2)
             yield pd.DataFrame({
@@ -352,6 +364,11 @@ def substring_runs(docs: DataFrame, min_len: int = 24, k: int | None = None,
         hot = (hs.groupBy("h").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("h"))
         hs = hs.join(F.broadcast(hot), "h", "left_anti")
+    # A collect_list(h)->double-explode pair expansion (one shuffle fewer)
+    # was A/B-measured at sf0.1: no win and occasional 2x outliers —
+    # >128 distinct keys/task puts ObjectHashAggregate on its sort-based
+    # fallback, so the "saved" exchanges came back as per-task sorts.
+    # The self-join keeps hash joins + map-combined counts throughout.
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
                   "h")
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
