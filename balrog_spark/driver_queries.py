@@ -1565,14 +1565,18 @@ def flagship_curation(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     keep = textops.exact_dedup_groups(d).select(
         F.col("keep_id").alias("doc_id"))
-    s1 = d.join(keep, "doc_id")
+    # every stage frame feeds TWO consumers (its op's scan AND the
+    # survivor join) — lazy local checkpoints make each stage's subtree
+    # execute once instead of re-deriving the whole upstream chain per
+    # branch (exchange reuse does not cover the Arrow scan stages)
+    s1 = d.join(keep, "doc_id").localCheckpoint(eager=False)
     pairs = textops.minhash_lsh_pairs(s1, k=8, n_hashes=12, bands=4)
     s2 = s1.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-                 "doc_id", "left_anti")
+                 "doc_id", "left_anti").localCheckpoint(eager=False)
     bench = d.filter(F.col("doc_id").cast("long") % 97 == 0)
     flags = textops.decontaminate_flags(s2, bench, k=8, min_hits=100)
     s3 = s2.join(flags.filter(~F.col("contaminated")).select("doc_id"),
-                 "doc_id")
+                 "doc_id").localCheckpoint(eager=False)
     cut = textops.take_token_budget(s3, budget_tokens=_BUDGET_TOKENS)
     s4 = s3.join(cut.select("doc_id"), "doc_id")
     return textops.pack_sequences(s4, budget_tokens=_PACK_BUDGET,
