@@ -560,7 +560,15 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         if probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS else None
     n_par = spark.sparkContext.defaultParallelism
     prev = -1
-    for r in rounds:
+    # the pair budget applies BEFORE the first ring round too: when the
+    # whole point set fits the frontier cap and points x cover rows is
+    # under the budget, the one-pass partial-top-k finish below beats
+    # even a single ring round's job chain (explode + join + refine +
+    # argmin + checkpoint + count) — at production point counts the
+    # guard fails and the ring expansion runs exactly as before
+    go_direct = (n_pts <= STRAGGLER_DIRECT_MAX and n_cover is not None
+                 and n_pts * n_cover <= DIRECT_PAIR_BUDGET)
+    for r in rounds if not go_direct else []:
         if best_so_far is not None:
             # later-round frontiers sit behind an anti-join whose tiny
             # shuffle AQE coalesces to ONE partition; without a re-spread
@@ -695,7 +703,7 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         prev = r
         if n_resolved >= n_pts:
             best_so_far = None
-    if best_so_far is not None:
+    if go_direct or best_so_far is not None:
         # finish the pending tail exactly WITHOUT materializing the
         # (frontier x polygons) pair rows: a cross join ships every
         # polygon WKT once PER PENDING POINT through the Arrow boundary
@@ -710,8 +718,11 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         # (distance, veg_id) tie order; still never broadcasts polygons.
         polys_all = cover.select("veg_id", "bal_number", "wkt").distinct() \
             .repartition(n_par)
-        far_bc = spark.sparkContext.broadcast(
-            unresolved.select("addr_id", "x", "y").toPandas())
+        # direct mode never ran a ring round: read the raw points (the
+        # _spread repartition only exists to parallelize ring refines)
+        frontier = points.select("addr_id", "x", "y") if go_direct \
+            else unresolved.select("addr_id", "x", "y")
+        far_bc = spark.sparkContext.broadcast(frontier.toPandas())
         k_slots = k
         out_cols = [f.name for f in out_schema]
 
@@ -779,8 +790,9 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
             yield (pd.concat(out) if out
                    else pd.DataFrame(columns=out_cols))
 
-        scored = polys_all.mapInPandas(partial_topk, schema=out_schema) \
-            .unionByName(best_so_far.drop(*rank_cols))
+        scored = polys_all.mapInPandas(partial_topk, schema=out_schema)
+        if best_so_far is not None:
+            scored = scored.unionByName(best_so_far.drop(*rank_cols))
         # checkpoint so the returned frame no longer references the
         # cover (lets the cache release below be safe)
         resolved_parts.append(
