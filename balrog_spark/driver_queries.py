@@ -461,12 +461,9 @@ def w4_directional_scan(spark, sf_dir):
         "ELSE CAST((event_id * 7) % 8 AS BIGINT) - 1 END AS slope_code",
         "CASE ((event_id * 11) % 8) WHEN 0 THEN -99 "
         "ELSE CAST((event_id * 11) % 8 AS BIGINT) END AS veg_code")
-    cur = ev
-    for m in (1, 2, 3, 4):
-        dist = (m - 1) * 25 + 12.5
-        cur = classify_bal(
-            cur.withColumn("distance_m", F.lit(float(dist))), spark,
-            out_col=f"b{m}").drop("distance_m")
+    from .pipeline import classify_bal_multi
+    cur = classify_bal_multi(
+        ev, spark, {f"b{m}": (m - 1) * 25 + 12.5 for m in (1, 2, 3, 4)})
     w = Window.partitionBy("strip").orderBy("event_id")
     bal = F.coalesce(
         F.greatest(F.lag("b1", 1).over(w), F.lag("b2", 2).over(w),

@@ -49,23 +49,30 @@ def bal_lookup_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def classify_bal(df: DataFrame, spark: SparkSession,
-                 fdi_col: str = "fdi", slope_col: str = "slope_code",
-                 veg_col: str = "veg_code", dist_col: str = "distance_m",
-                 out_col: str = "bal") -> DataFrame:
-    """Column-level bal_esti (R9/R10): broadcast-join the AS 3959 lookup and
-    bucket the distance with a CASE chain. Value-identical to
-    kernels.bal_esti_vec (asserted in tests)."""
-    pdf = bal_lookup_pdf().rename(columns=lambda c: f"lk_{c}")
-    lk = F.broadcast(spark.createDataFrame(pdf))
-    j = df.join(
-        lk,
-        (F.col(fdi_col) == F.col("lk_fdi"))
-        & (F.col(slope_col) == F.col("lk_slope_code"))
-        & (F.col(veg_col) == F.col("lk_veg_code")),
-        "left",
-    )
-    d = F.col(dist_col)
+# one AS 3959 lookup DataFrame per SparkSession: the 256-row
+# createDataFrame costs a driver->JVM roundtrip per call, and chains like
+# the directional scan classify four distances back to back
+_LK_CACHE: dict = {}
+
+
+def _bal_lookup_df(spark: SparkSession) -> DataFrame:
+    df = _LK_CACHE.get(spark)
+    if df is None:
+        pdf = bal_lookup_pdf().rename(columns=lambda c: f"lk_{c}")
+        df = spark.createDataFrame(pdf)
+        _LK_CACHE[spark] = df
+    return df
+
+
+_LK_COLS = ("fdi", "slope_code", "veg_code", "t1", "t2", "t3", "t4",
+            "b1", "b2", "b3", "b4", "b5")
+
+
+def _bal_expr(d, fdi_col: str, veg_col: str):
+    """The BAL value expression over a row already joined to the lk_*
+    lookup columns: distance-class bucketing, unmatched-lookup fallback
+    and the grassland >50 m rule (shared by the single- and
+    multi-distance classifiers so they cannot drift)."""
     dist_class = (F.lit(1)
                   + F.when(d >= F.col("lk_t1"), 1).otherwise(0)
                   + F.when(d >= F.col("lk_t2"), 1).otherwise(0)
@@ -78,11 +85,48 @@ def classify_bal(df: DataFrame, spark: SparkSession,
            .otherwise(F.col("lk_b5")))
     # unmatched lookup (unknown codes) and the grassland >50 m rule
     bal = F.coalesce(bal, F.lit(float(NODATA)))
-    bal = F.when((F.col(fdi_col) != 50) & (F.col(veg_col) == 7)
-                 & (d >= 50.0), F.lit(float(NODATA))).otherwise(bal)
+    return F.when((F.col(fdi_col) != 50) & (F.col(veg_col) == 7)
+                  & (d >= 50.0), F.lit(float(NODATA))).otherwise(bal)
+
+
+def _join_lookup(df: DataFrame, spark: SparkSession, fdi_col: str,
+                 slope_col: str, veg_col: str) -> DataFrame:
+    return df.join(
+        F.broadcast(_bal_lookup_df(spark)),
+        (F.col(fdi_col) == F.col("lk_fdi"))
+        & (F.col(slope_col) == F.col("lk_slope_code"))
+        & (F.col(veg_col) == F.col("lk_veg_code")),
+        "left",
+    )
+
+
+def classify_bal(df: DataFrame, spark: SparkSession,
+                 fdi_col: str = "fdi", slope_col: str = "slope_code",
+                 veg_col: str = "veg_code", dist_col: str = "distance_m",
+                 out_col: str = "bal") -> DataFrame:
+    """Column-level bal_esti (R9/R10): broadcast-join the AS 3959 lookup and
+    bucket the distance with a CASE chain. Value-identical to
+    kernels.bal_esti_vec (asserted in tests)."""
+    j = _join_lookup(df, spark, fdi_col, slope_col, veg_col)
+    bal = _bal_expr(F.col(dist_col), fdi_col, veg_col)
     return j.withColumn(out_col, bal).drop(
-        *[f"lk_{c}" for c in ("fdi", "slope_code", "veg_code", "t1", "t2",
-                              "t3", "t4", "b1", "b2", "b3", "b4", "b5")])
+        *[f"lk_{c}" for c in _LK_COLS])
+
+
+def classify_bal_multi(df: DataFrame, spark: SparkSession, dists: dict,
+                       fdi_col: str = "fdi", slope_col: str = "slope_code",
+                       veg_col: str = "veg_code") -> DataFrame:
+    """Fixed-distance BAL columns (``dists``: out_col -> distance in
+    metres) off ONE broadcast lookup join — value-identical to chaining
+    classify_bal once per distance (same joined row, same _bal_expr),
+    but the directional scan's four preceding-cell distances no longer
+    plan four separate broadcast joins (measured: most of that query's
+    wall was driver-side planning of the repeated join chain)."""
+    j = _join_lookup(df, spark, fdi_col, slope_col, veg_col)
+    for out_col, dist in dists.items():
+        j = j.withColumn(out_col,
+                         _bal_expr(F.lit(float(dist)), fdi_col, veg_col))
+    return j.drop(*[f"lk_{c}" for c in _LK_COLS])
 
 
 def _parse_remap(remap: str):
