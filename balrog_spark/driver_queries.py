@@ -1456,10 +1456,16 @@ def dedup_incremental(spark, sf_dir):
     band rows broadcast against the store). dup_of = minimum colliding
     partner, a deterministic canonical drop decision."""
     d = _load(spark, sf_dir, "documents")
-    old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
-    sigs = textops.minhash_signatures(old)
-    out = textops.dedup_incremental(new, sigs)
+    # one signature scan over the corpus, split into store/batch halves
+    # (a signature is a pure per-document function, so this is
+    # value-identical to scanning the halves separately); new_sigs= is
+    # the operator's documented reuse hook — the scan runs once, lazily
+    # checkpointed so both halves read the same materialization
+    sigs_all = textops.minhash_signatures(d).localCheckpoint(eager=False)
+    sigs = sigs_all.filter(F.col("doc_id") % 2 == 0)
+    new_sigs = sigs_all.filter(F.col("doc_id") % 2 == 1)
+    out = textops.dedup_incremental(new, sigs, new_sigs=new_sigs)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.col("dup_of").cast("long").alias("dup_of"))
 
