@@ -80,6 +80,22 @@ def _maybe_broadcast(cover: DataFrame, broadcast_cover):
 # MRU-1 slot for pip_join's auto-mode probe cover (see pip_join)
 _LAST_PROBE_COVER = None
 
+
+def _probe_cached_cover(cover: DataFrame):
+    """Cache a just-built cover, then run the auto broadcast probe over
+    the CACHED frame — without this the probe job computes the cover
+    UDF once and the join recomputes it (measured as a full extra
+    Python cover scan in dwithin/veg_factors auto mode). Returns
+    (cached cover, fits_broadcast). MRU-1 release as in pip_join: the
+    previous auto-mode probe cover is unpersisted on the next call (a
+    still-pending earlier result simply recomputes its cover)."""
+    global _LAST_PROBE_COVER
+    if _LAST_PROBE_COVER is not None:
+        _LAST_PROBE_COVER.unpersist(blocking=False)
+    cover = cover.cache()
+    _LAST_PROBE_COVER = cover
+    return cover, _cover_fits_broadcast(cover)
+
 _COVER = StructType([
     StructField("cell_id", LongType(), False),
     StructField("veg_id", StringType(), False),
@@ -300,6 +316,8 @@ def dwithin_join(points: DataFrame, polys: DataFrame = None,
     been saved with ``pad_m`` equal to this radius."""
     if cover is None:
         cover = polygon_cover(polys, cell_m, pad_m=radius_m)
+        if broadcast_cover is None:
+            cover, broadcast_cover = _probe_cached_cover(cover)
     cover = _maybe_broadcast(cover, broadcast_cover)
     pts = _spread(with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")

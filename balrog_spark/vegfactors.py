@@ -89,6 +89,8 @@ def veg_factors(points: DataFrame, polys: DataFrame = None,
     saved with ``pad_m`` equal to this radius."""
     if cover is None:
         cover = joins.polygon_cover(polys, cell_m, pad_m=radius_m)
+        if broadcast_cover is None:
+            cover, broadcast_cover = joins._probe_cached_cover(cover)
     cover = joins._maybe_broadcast(cover, broadcast_cover)
     pts = joins._spread(joins.with_cell(points, cell_m))
     cand = pts.join(cover, "cell_id")
