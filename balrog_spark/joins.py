@@ -449,32 +449,10 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         # forever (prev*2 never grows) — an infinite driver loop
         raise ValueError(f"max_ring must be >= 1, got {max_ring}")
     spark = points.sparkSession
-    # cache only a cover built HERE: a caller-passed cover (load_cover
-    # bucketed table / already-persisted frame) is the caller's to
-    # manage — unconditional caching leaked one cached cover per call
-    # in index-once-probe-many sessions
     own_cover = cover is None
-    cover = polygon_cover(polys, cell_m) if cover is None else cover
-    if own_cover:
-        cover = cover.cache()
-    # ONE capped probe job over the (tiny vs points) cover feeds the
-    # broadcast decision, the emptiness check AND (when under the cap,
-    # where it is exact) the straggler pair budget — replacing the three
-    # separate jobs (_cover_fits_broadcast, limit(1).count, cover.count)
-    # this loop used to run before its first ring round
-    probe = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
-             .agg(F.count("*").alias("n"),
-                  F.avg(F.length("wkt")).alias("w")).collect()[0])
-    if broadcast_cover is None:
-        est = probe.n * ((probe.w or 0.0) + _WKT_ROW_OVERHEAD_B)
-        broadcast_cover = (probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS
-                           and est <= AUTO_BROADCAST_MAX_COVER_BYTES)
-    cover_b = F.broadcast(cover) if broadcast_cover else cover
     # one count of the probe side up front (pre-shuffle plan) replaces a
     # full anti-join isEmpty scan of it per ring round below
     n_pts = points.count()
-    pts = _spread(with_cell(points, cell_m)
-                  .select("addr_id", "x", "y", "cell_id"))
 
     out_schema = StructType([
         StructField("addr_id", StringType(), False),
@@ -499,7 +477,7 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
                             F.col("px"), F.col("py"),
                             F.col("near_x"), F.col("near_y")))
 
-    if probe.n == 0:
+    def _empty():
         # no polygons at all: there is no nearest neighbour to find, and
         # the straggler ring-doubling below could never terminate
         empty_schema = out_schema if k == 1 else StructType(
@@ -507,10 +485,57 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
                                              False)])
         return with_line(spark.createDataFrame([], empty_schema))
 
-    # a point can only ever find min(k, #polygons) neighbours
-    k_eff = 1 if k == 1 else min(k, cover.select("veg_id")
-                                 .distinct().count())
     rank_cols = ["nn_rank"] if k > 1 else []
+
+    # direct-mode pre-check WITHOUT building the cell cover: when the
+    # whole point set fits the frontier cap and points x polygons is
+    # under the pair budget, the one-pass partial-top-k finish consumes
+    # the RAW polygon rows — the cover explode, its cache, its probe and
+    # the k_eff distinct count never run. Only when the caller owns the
+    # polys side (a pre-built cover has no polys frame to probe).
+    go_direct = False
+    if own_cover and n_pts <= STRAGGLER_DIRECT_MAX:
+        pprobe = (polys.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
+                  .agg(F.count("*").alias("n")).collect()[0])
+        if pprobe.n == 0:
+            return _empty()
+        go_direct = (pprobe.n <= AUTO_BROADCAST_MAX_COVER_ROWS
+                     and n_pts * pprobe.n <= DIRECT_PAIR_BUDGET)
+
+    n_cover = None
+    k_eff = 1
+    if not go_direct:
+        # cache only a cover built HERE: a caller-passed cover
+        # (load_cover bucketed table / already-persisted frame) is the
+        # caller's to manage — unconditional caching leaked one cached
+        # cover per call in index-once-probe-many sessions
+        if own_cover:
+            cover = polygon_cover(polys, cell_m).cache()
+        # ONE capped probe job over the (tiny vs points) cover feeds
+        # the broadcast decision, the emptiness check AND (when under
+        # the cap, where it is exact) the straggler pair budget —
+        # replacing the three separate jobs (_cover_fits_broadcast,
+        # limit(1).count, cover.count) this loop used to run before
+        # its first ring round
+        probe = (cover.limit(AUTO_BROADCAST_MAX_COVER_ROWS + 1)
+                 .agg(F.count("*").alias("n"),
+                      F.avg(F.length("wkt")).alias("w")).collect()[0])
+        if broadcast_cover is None:
+            est = probe.n * ((probe.w or 0.0) + _WKT_ROW_OVERHEAD_B)
+            broadcast_cover = (probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS
+                               and est <= AUTO_BROADCAST_MAX_COVER_BYTES)
+        cover_b = F.broadcast(cover) if broadcast_cover else cover
+        if probe.n == 0:
+            return _empty()
+        # the capped probe count is exact when under the cap; above it
+        # the budget check lazily runs the real count (giant covers)
+        n_cover = int(probe.n) \
+            if probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS else None
+        # a point can only ever find min(k, #polygons) neighbours
+        k_eff = 1 if k == 1 else min(k, cover.select("veg_id")
+                                     .distinct().count())
+        pts = _spread(with_cell(points, cell_m)
+                      .select("addr_id", "x", "y", "cell_id"))
 
     def split_resolved(best: DataFrame, bound: float):
         """(done rows, pending rows, done addr ids) under the ring
@@ -569,23 +594,11 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
     rounds = sorted({min(r, max_ring) for r in (2, 8, max_ring)})
 
     resolved_parts = []
-    unresolved = pts
+    unresolved = pts if not go_direct else None
     best_so_far = None  # best candidate per addr so far (may not be final)
     n_resolved = 0
-    # the capped probe count is exact when under the cap; above it the
-    # budget check lazily runs the real count (rare: giant covers)
-    n_cover = int(probe.n) \
-        if probe.n <= AUTO_BROADCAST_MAX_COVER_ROWS else None
     n_par = spark.sparkContext.defaultParallelism
     prev = -1
-    # the pair budget applies BEFORE the first ring round too: when the
-    # whole point set fits the frontier cap and points x cover rows is
-    # under the budget, the one-pass partial-top-k finish below beats
-    # even a single ring round's job chain (explode + join + refine +
-    # argmin + checkpoint + count) — at production point counts the
-    # guard fails and the ring expansion runs exactly as before
-    go_direct = (n_pts <= STRAGGLER_DIRECT_MAX and n_cover is not None
-                 and n_pts * n_cover <= DIRECT_PAIR_BUDGET)
     for r in rounds if not go_direct else []:
         if best_so_far is not None:
             # later-round frontiers sit behind an anti-join whose tiny
@@ -734,8 +747,16 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
         # arithmetic (points_to_geom_distance / points_in_geom /
         # azimuth_deg over the identical frontier arrays) and the same
         # (distance, veg_id) tie order; still never broadcasts polygons.
-        polys_all = cover.select("veg_id", "bal_number", "wkt").distinct() \
-            .repartition(n_par)
+        if go_direct:
+            # no cover was ever built: the finish consumes the raw
+            # polygon rows (a duplicate polys row yields duplicate
+            # candidates, which the per-(addr, veg) merge collapses
+            # exactly as cover.distinct() did)
+            polys_all = polys.select("veg_id", "bal_number", "wkt") \
+                .repartition(n_par)
+        else:
+            polys_all = cover.select("veg_id", "bal_number", "wkt") \
+                .distinct().repartition(n_par)
         # direct mode never ran a ring round: read the raw points (the
         # _spread repartition only exists to parallelize ring refines)
         frontier = points.select("addr_id", "x", "y") if go_direct \
@@ -764,6 +785,10 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
             for pdf in batches:
                 for r in pdf.itertuples():
                     geom = _geom_of(r.wkt)
+                    if not geom:
+                        # unparseable/degenerate WKT would never have
+                        # produced a cover row on the ring path either
+                        continue
                     d, nx_, ny_ = geometry.points_to_geom_distance(
                         xs, ys, geom)
                     inside = geometry.points_in_geom(xs, ys, geom)
@@ -820,9 +845,10 @@ def knn_join(points: DataFrame, polys: DataFrame = None,
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    if own_cover:
+    if own_cover and not go_direct:
         # every resolved part is checkpoint-backed by now; the cover
         # cache has served its rounds — release executor storage
+        # (direct mode never built one)
         cover.unpersist(blocking=False)
     return with_line(out)
 
