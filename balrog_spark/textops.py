@@ -369,6 +369,12 @@ def substring_runs(docs: DataFrame, min_len: int = 24, k: int | None = None,
     # >128 distinct keys/task puts ObjectHashAggregate on its sort-based
     # fallback, so the "saved" exchanges came back as per-task sorts.
     # The self-join keeps hash joins + map-combined counts throughout.
+    # Alias AFTER one shared explicit repartition on the join key: with
+    # per-side aliases the two join inputs are different subplans, so
+    # the stream is scanned and shuffled TWICE; aliasing above a common
+    # exchange makes Spark reuse it (one scan, one shuffle, both join
+    # sides read the same exchange — ReusedExchange in the plan).
+    hs = hs.repartition(n_par, "h")
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"),
                   "h")
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
