@@ -586,7 +586,7 @@ def r4_slope_aspect_tiled(spark, sf_dir):
     from . import raster as raster_mod
 
     ev = _load(spark, sf_dir, "events").selectExpr(
-        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c")
     n_rows = _tcount(spark, sf_dir, "events") // _GRID_W
     TR, TC = 10, 25
@@ -670,7 +670,7 @@ def s10_regrid(spark, sf_dir):
     from . import raster as raster_mod
 
     ev = _load(spark, sf_dir, "events").selectExpr(
-        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c")
     n_rows = _tcount(spark, sf_dir, "events") // _GRID_W
     TR, TC = 10, 20  # both EVEN: factor-2 regrid must not truncate
@@ -2830,8 +2830,10 @@ def _flag_dem_tiles(spark, sf_dir):
     used = max(R // _FLAG_TILE_PX, 1) * _FLAG_TILE_PX
     T = _flag_engine_tile_px(R)
     n_ty = used // T
+    # project to (r, c) before the opaque pack: applyInPandas ships
+    # every input column, and event_id is never read inside
     ev = _load(spark, sf_dir, "events").selectExpr(
-        "event_id", f"event_id DIV {_GRID_W} AS r",
+        f"event_id DIV {_GRID_W} AS r",
         f"event_id % {_GRID_W} AS c").filter(F.col("r") < used)
 
     tile_schema = StructType([
